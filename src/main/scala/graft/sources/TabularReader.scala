@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.schema.{FieldSpec, SchemaValidator}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Columnar tabular scan with the reference's read surface:
+  * field projection, schema validation, case-insensitive field matching,
+  * default-value population for missing columns, dense padding of ragged
+  * columns, and corrupt-file skipping
+  * (reference: hybridbackend/tensorflow/data/tabular/dataset_v2.py:248-377,
+  * hybridbackend/tensorflow/data/dataframe.py:397-501).
+  *
+  * Spark-first design: all of the reference's C++ scan machinery —
+  * row-group partitioning, column pruning, batched columnar decode,
+  * multi-file interleave, filesystem connectors — is Spark's built-in
+  * Parquet/ORC source (FileSourceScanExec + vectorized reader + Catalyst
+  * ColumnPruning). This wrapper only adds the *semantic* layer: strict
+  * schema validation, `lit(default)` injection for absent fields, and the
+  * dense-pad expression.
+  */
+object TabularReader {
+
+  final case class Options(
+      fields: Seq[FieldSpec] = Nil, // empty = infer all from footer
+      caseInsensitive: Boolean = false, // field_ignore_case (dataset_v2.py:125)
+      skipCorrupted: Boolean = false, // skip_corrupted_data (dataset.cc:263-267)
+      toDense: Boolean = false, // pad ragged columns (dataframe.py:332-345)
+      denseDefault: Any = 0L, // pad value when toDense
+      validate: Boolean = true)
+
+  def fromParquet(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
+    read(spark, "parquet", paths, opts)
+
+  def fromOrc(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
+    read(spark, "orc", paths, opts)
+
+  private def read(
+      spark: SparkSession,
+      format: String,
+      paths: Seq[String],
+      opts: Options): DataFrame = {
+    require(paths.nonEmpty, "no input paths")
+    val reader = spark.read
+      .format(format)
+      .option("ignoreCorruptFiles", opts.skipCorrupted.toString)
+    val raw = reader.load(paths: _*)
+
+    if (opts.fields.isEmpty) {
+      SchemaValidator.requireDistinctNames(raw.schema, opts.caseInsensitive)
+      return raw
+    }
+
+    if (opts.validate) {
+      val errs = SchemaValidator.validateFields(raw.schema, opts.fields, opts.caseInsensitive)
+      require(errs.isEmpty, s"schema validation failed:\n  ${errs.mkString("\n  ")}")
+    }
+
+    val key: String => String = n => if (opts.caseInsensitive) n.toLowerCase else n
+    val present = raw.schema.fieldNames.map(key).toSet
+
+    // Projection reaches the parquet scan (Catalyst column pruning);
+    // missing fields are populated from their declared default, tiled to
+    // every row — the analog of DataFrame.populate_defaults
+    // (dataframe.py:458-501).
+    val cols: Seq[Column] = opts.fields.map { f =>
+      val base =
+        if (present.contains(key(f.name))) projectExisting(raw, f, opts)
+        else defaultColumn(f)
+      base.as(f.name)
+    }
+    raw.select(cols: _*)
+  }
+
+  private def projectExisting(raw: DataFrame, f: FieldSpec, opts: Options): Column = {
+    val c = col(resolveName(raw, f.name, opts.caseInsensitive))
+    if (opts.toDense && (f.raggedRank == 1 || f.shape.length == 1))
+      padToLength(c, f.shape.headOption, opts.denseDefault, f.leafType)
+    else c
+  }
+
+  private def resolveName(raw: DataFrame, name: String, ci: Boolean): String =
+    if (!ci) name
+    else raw.schema.fieldNames.find(_.equalsIgnoreCase(name)).getOrElse(name)
+
+  private def defaultColumn(f: FieldSpec): Column = {
+    val d = f.defaultValue.getOrElse(
+      throw new IllegalArgumentException(s"field ${f.name}: missing and no default"))
+    d match {
+      case xs: Seq[_] => array(xs.map(x => lit(x).cast(f.leafType)): _*)
+      case x => lit(x).cast(f.dataType)
+    }
+  }
+
+  /** Dense padding: ragged list -> fixed-length list padded with
+    * `padValue` (the reference's `Value.to_tensor`, dataframe.py:332-345;
+    * explicit target shape with pad, dataframe.py:437-452). When no
+    * target length is declared, callers pad to the batch max — at engine
+    * level that is a global max, computed by the caller and passed as
+    * `targetLen` (a per-query max would be a two-pass aggregate).
+    * Built-in, codegen'd expressions only: concat + array_repeat + slice.
+    */
+  def padToLength(c: Column, targetLen: Option[Int], padValue: Any, leafType: DataType): Column =
+    targetLen match {
+      case Some(n) =>
+        // pad up then clip down so over-length rows still read as shape [n]
+        slice(
+          concat(c, array_repeat(lit(padValue).cast(leafType), greatest(lit(0), lit(n) - size(c)))),
+          1,
+          n)
+      case None => c
+    }
+}
