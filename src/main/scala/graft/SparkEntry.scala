@@ -1,5 +1,7 @@
 package graft
 
+import graft.functions.Metrics
+import graft.operators.{BlockDedup, EmbeddingLookup, Partitioners, RangeClip}
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -56,6 +58,99 @@ object SparkEntry {
           col("o_orderkey"), col("o_custkey"), col("c_name"),
           col("c_mktsegment"), col("o_totalprice"))
     },
+
+    // ---- block dedup (reference §2.4) ----------------------------------
+    "dedup_block_roundtrip" -> { (s, d) =>
+      val compressed = BlockDedup.compress(
+        Tables.events(s, d), col("user_id"), col("event_id"), Seq("event_type"))
+      BlockDedup.restore(compressed, "event_type")
+        .select(col("__ord").as("event_id"), col("event_type"))
+    },
+    "dedup_block_compressed" -> { (s, d) =>
+      BlockDedup.compress(
+        Tables.events(s, d), col("user_id"), col("event_id"), Seq("event_type"))
+        .select(col("block"), col("event_type_uniq"), col("event_type_idx"))
+    },
+
+    // ---- partition / exchange (reference §2.5) -------------------------
+    "partition_modulo_shards" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(Partitioners.shardId(col("user_id"), 8).as("shard"))
+        .agg(count(lit(1)).as("n"))
+    },
+    "partition_dual_modulo" -> { (s, d) =>
+      val (node, dev) = Partitioners.dualModuloShard(col("user_id"), 4, 2)
+      Tables.events(s, d)
+        .groupBy(node.as("node"), dev.as("dev"))
+        .agg(count(lit(1)).as("n"))
+    },
+    "shuffle_batch_permutation" -> { (s, d) =>
+      // seeded shuffle must be a permutation of the input rows
+      Partitioners.shuffleRows(Tables.events(s, d), seed = 42L)
+        .select(col("event_id"))
+    },
+    "even_splits_count" -> { (s, d) =>
+      Partitioners.evenSplits(Tables.events(s, d), 7).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- embedding lookup joins (reference §2.6) -----------------------
+    "lookup_join" -> { (s, d) =>
+      EmbeddingLookup.lookup(
+        Tables.events(s, d).select(col("event_id"), col("user_id")),
+        "user_id", Tables.embeddings(s, d), "vec_id", Seq("label"),
+        broadcastDim = true)
+    },
+    "lookup_dedup_join" -> { (s, d) =>
+      EmbeddingLookup.lookupDedup(
+        Tables.events(s, d).select(col("event_id"), col("user_id")),
+        "user_id", Tables.embeddings(s, d), "vec_id", Seq("label"))
+    },
+    "lookup_cache_miss" -> { (s, d) =>
+      val cache = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      val (_, misses) = EmbeddingLookup.cacheSplit(
+        Tables.events(s, d).select(col("event_id"), col("user_id")),
+        "user_id", cache, "vec_id")
+      misses
+    },
+
+    // ---- ordered collect / range clip (reference §2.7-2.8) -------------
+    "groupby_collect_sorted" -> { (s, d) =>
+      RangeClip.collectHistory(
+        Tables.events(s, d), col("user_id"), col("event_id"), col("event_type"))
+    },
+    "range_clip_window" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("tsec", col("ts").cast("long"))
+      val w = RangeClip.recentWindow(col("user_id"), col("tsec"), 3600L)
+      e.select(
+        col("event_id"),
+        count(lit(1)).over(w).as("n_recent"),
+        sort_array(collect_list(col("value")).over(w)).as("recent_vals"))
+    },
+
+    // ---- metrics (reference §2.7) --------------------------------------
+    "metric_weighted_mean" -> { (s, d) =>
+      // weighted mean in exact decimal arithmetic for oracle parity
+      val dec = (c: String) => col(c).cast(DecimalType(12, 2))
+      Tables.lineitem(s, d).agg(
+        (sum(dec("l_quantity") * dec("l_discount")).cast(DoubleType)
+          / sum(dec("l_discount")).cast(DoubleType)).as("wmean"))
+    },
+    "metric_accuracy" -> { (s, d) =>
+      Tables.events(s, d).agg(
+        Metrics.accuracy(col("event_type") === "error", col("value") > 100.0)
+          .as("accuracy"))
+    },
+    "metric_auc" -> { (s, d) =>
+      Metrics.aucExact(Tables.events(s, d), col("event_type") === "error", col("value"))
+    },
+    "metric_gauc" -> { (s, d) =>
+      Metrics.gauc(Tables.events(s, d), col("user_id"), col("event_type") === "error", col("value"))
+        .select(round(col("gauc"), 9).as("gauc"))
+    },
+    "metric_gauc_per_group" -> { (s, d) =>
+      Metrics.gaucPerGroup(
+        Tables.events(s, d), col("user_id"), col("event_type") === "error", col("value"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,5 +171,93 @@ object SparkEntry {
     "join_orders_customer" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "dedup_block_roundtrip" ->
+      "SELECT event_id, event_type FROM events",
+    "dedup_block_compressed" ->
+      """WITH g AS (
+        |  SELECT user_id AS block, list(event_type ORDER BY event_id) AS ordered
+        |  FROM events GROUP BY user_id)
+        |SELECT block,
+        |  list_sort(list_distinct(ordered)) AS event_type_uniq,
+        |  list_transform(ordered,
+        |    x -> CAST(list_position(list_sort(list_distinct(ordered)), x) - 1 AS BIGINT)) AS event_type_idx
+        |FROM g""".stripMargin,
+    "partition_modulo_shards" ->
+      "SELECT user_id % 8 AS shard, COUNT(*) AS n FROM events GROUP BY shard",
+    "partition_dual_modulo" ->
+      """SELECT (user_id % 8) % 4 AS node, (user_id % 8) // 4 AS dev, COUNT(*) AS n
+        |FROM events GROUP BY node, dev""".stripMargin,
+    "shuffle_batch_permutation" ->
+      "SELECT event_id FROM events",
+    "even_splits_count" ->
+      "SELECT COUNT(*) AS n FROM events",
+    "lookup_join" ->
+      """SELECT event_id, user_id, label
+        |FROM events LEFT JOIN embeddings ON user_id = vec_id""".stripMargin,
+    "lookup_dedup_join" ->
+      """SELECT event_id, user_id, label
+        |FROM events LEFT JOIN embeddings ON user_id = vec_id""".stripMargin,
+    "lookup_cache_miss" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id < 50)""".stripMargin,
+    "groupby_collect_sorted" ->
+      """SELECT user_id AS key, list(event_type ORDER BY event_id) AS history
+        |FROM events GROUP BY user_id""".stripMargin,
+    "range_clip_window" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS n_recent,
+        |  list_sort(COALESCE(list(value) OVER w, [])) AS recent_vals
+        |FROM (SELECT event_id, user_id, value,
+        |        CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "metric_weighted_mean" ->
+      """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+        |     / CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS wmean
+        |FROM lineitem""".stripMargin,
+    "metric_accuracy" ->
+      """SELECT CAST(SUM(CASE WHEN (event_type = 'error') = (value > 100) THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / COUNT(*) AS accuracy FROM events""".stripMargin,
+    "metric_auc" ->
+      """WITH g AS (
+        |  SELECT value AS s, COUNT(*) AS cnt,
+        |         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS pos
+        |  FROM events GROUP BY value),
+        |r AS (
+        |  SELECT pos, cnt,
+        |         COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumBefore
+        |  FROM g)
+        |SELECT (SUM(pos * (cumBefore + (cnt + 1) / 2.0)) - SUM(pos) * (SUM(pos) + 1) / 2.0)
+        |     / (CAST(SUM(pos) AS DOUBLE) * SUM(cnt - pos)) AS auc
+        |FROM r""".stripMargin,
+    "metric_gauc" ->
+      """WITH ranked AS (
+        |  SELECT user_id AS g,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+        |         rank() OVER (PARTITION BY user_id ORDER BY value)
+        |           + (COUNT(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS avgRank
+        |  FROM events),
+        |pg AS (
+        |  SELECT g, SUM(CASE WHEN y = 1 THEN avgRank ELSE 0 END) AS posRankSum,
+        |         SUM(y) AS p, SUM(1 - y) AS n, COUNT(*) AS cnt
+        |  FROM ranked GROUP BY g),
+        |pa AS (
+        |  SELECT g, (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
+        |  FROM pg WHERE p > 0 AND n > 0)
+        |SELECT ROUND(SUM(auc * cnt) / SUM(cnt), 9) AS gauc FROM pa""".stripMargin,
+    "metric_gauc_per_group" ->
+      """WITH ranked AS (
+        |  SELECT user_id AS g,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+        |         rank() OVER (PARTITION BY user_id ORDER BY value)
+        |           + (COUNT(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS avgRank
+        |  FROM events),
+        |pg AS (
+        |  SELECT g, SUM(CASE WHEN y = 1 THEN avgRank ELSE 0 END) AS posRankSum,
+        |         SUM(y) AS p, SUM(1 - y) AS n, COUNT(*) AS cnt
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS "group",
+        |       (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
+        |FROM pg WHERE p > 0 AND n > 0""".stripMargin,
   )
 }

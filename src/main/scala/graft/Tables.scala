@@ -1,11 +1,21 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided test tables (TESTDATA.md). */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // TIMESTAMP(NANOS) columns arrive as long nanos (nanosAsLong); convert
+    // to TimestampType at µs precision — identical to DuckDB's ns→µs
+    // truncation, keeping oracle parity. `div` (integer floor) avoids the
+    // double-precision loss of `/` on epoch-nanos magnitudes.
+    raw.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
+      .foldLeft(raw)((df, f) =>
+        df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = apply(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = apply(spark, d, "orders")

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Streaming aggregation metrics: mean, accuracy, AUC, grouped AUC.
+  *
+  * The reference implements these as local-accumulate + allreduce-merge
+  * streaming metrics (reference: hybridbackend/tensorflow/metrics/
+  * {mean,accuracy,auc,gauc}.py) — exactly Spark's partial/final
+  * aggregation model, so plain aggregate expressions (codegen'd,
+  * map-side partial) cover mean/accuracy, and typed `Aggregator`s cover
+  * the confusion-matrix AUC.
+  */
+object Metrics {
+
+  /** Weighted streaming mean: sum(v*w)/sum(w)
+    * (reference: metrics/mean.py:36-128). */
+  def weightedMean(v: Column, w: Column): Column =
+    sum(v * w) / sum(w)
+
+  /** accuracy = mean(pred == label) (reference: metrics/accuracy.py:35-86).
+    * Integer-count based, so the double division is order-independent. */
+  def accuracy(label: Column, pred: Column): Column =
+    sum(when(label === pred, 1L).otherwise(0L)).cast("double") / count(lit(1))
+
+  /** Exact ROC-AUC of a boolean label vs a score, via the Mann-Whitney
+    * rank formula with average ranks over ties:
+    * AUC = (Σ_pos avgRank − P(P+1)/2) / (P·N).
+    *
+    * Scale note: exact AUC needs a total order. This plan reduces the
+    * sorted domain to *distinct scores* first (groupBy score — map-side
+    * combinable), so the single-partition prefix window only sees the
+    * distinct-score cardinality, not the row count. For unbounded
+    * continuous scores at 100 TB use [[ThresholdedAuc]] (fixed-memory
+    * one-pass, the reference's own formulation).
+    * Returns a 1-row DataFrame with column `auc`.
+    */
+  def aucExact(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val perScore = df
+      .select(score.as("s"), label.cast("int").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("s"))
+    val ranked = perScore.withColumn("cumBefore",
+      coalesce(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // avg rank of a tie group = cumBefore + (cnt+1)/2; all terms are
+    // halves of integers -> exactly representable, order-independent sum
+    ranked.agg(
+      sum(col("pos") * (col("cumBefore").cast("double") + (col("cnt") + 1).cast("double") / 2.0)).as("posRankSum"),
+      sum(col("pos")).as("p"),
+      sum(col("cnt") - col("pos")).as("n"))
+      .select(
+        ((col("posRankSum") - col("p").cast("double") * (col("p") + 1).cast("double") / 2.0)
+          / (col("p").cast("double") * col("n").cast("double"))).as("auc"))
+  }
+
+  /** Per-group AUC + count-weighted mean (GAUC). The reference groups by
+    * consecutive equal indicators, computes per-group AUC by prediction
+    * sort, drops all-positive/all-negative groups, and returns the
+    * count-weighted mean (reference: metrics/gauc.py:32-71,
+    * metrics/gauc.cc:38-131). We use clean groupBy semantics (SURVEY §7
+    * decision) — groups need not be consecutive, and no warm-up group is
+    * dropped.
+    *
+    * Fully distributed: ranks come from a window partitioned by the
+    * group key (one shuffle), never a global sort.
+    * Returns per-group rows: (group, auc, cnt).
+    */
+  def gaucPerGroup(df: DataFrame, group: Column, label: Column, score: Column): DataFrame = {
+    val base = df.select(group.as("g"), score.as("s"), label.cast("int").as("y"))
+    val wRank = Window.partitionBy(col("g")).orderBy(col("s"))
+    val wTies = Window.partitionBy(col("g"), col("s"))
+    val ranked = base
+      .withColumn("avgRank", rank().over(wRank) + (count(lit(1)).over(wTies) - 1).cast("double") / 2.0)
+    ranked
+      .groupBy(col("g").as("group"))
+      .agg(
+        sum(when(col("y") === 1, col("avgRank")).otherwise(0.0)).as("posRankSum"),
+        sum(col("y")).as("p"),
+        sum(lit(1) - col("y")).as("n"),
+        count(lit(1)).as("cnt"))
+      .filter(col("p") > 0 && col("n") > 0)
+      .select(
+        col("group"),
+        ((col("posRankSum") - col("p").cast("double") * (col("p") + 1).cast("double") / 2.0)
+          / (col("p").cast("double") * col("n").cast("double"))).as("auc"),
+        col("cnt"))
+  }
+
+  /** Final GAUC: count-weighted mean of the per-group AUCs. */
+  def gauc(df: DataFrame, group: Column, label: Column, score: Column): DataFrame =
+    gaucPerGroup(df, group, label, score)
+      .agg((sum(col("auc") * col("cnt")) / sum(col("cnt"))).as("gauc"))
+
+  /** Streaming confusion-matrix AUC — the reference's formulation
+    * (metrics/auc.py:38-185): accumulate TP/FP/TN/FN at `numThresholds`
+    * evenly spaced thresholds, finish with trapezoidal integration over
+    * the ROC curve. Fixed memory (4×T longs), one pass, map-side
+    * partial merge — the 100 TB path. Approximate to threshold
+    * resolution; matches tf.metrics.auc semantics.
+    */
+  final class ThresholdedAuc(numThresholds: Int = 200)
+      extends Aggregator[(Double, Double), Array[Long], Double] {
+    // thresholds: -eps, 1/(T-1), 2/(T-1), ..., 1+eps (tf.metrics.auc layout)
+    private val kEps = 1e-7
+    private def thresholds: Array[Double] = {
+      val t = Array.tabulate(numThresholds)(i =>
+        if (i == 0) -kEps
+        else if (i == numThresholds - 1) 1.0 + kEps
+        else (i.toDouble) / (numThresholds - 1))
+      t
+    }
+
+    override def zero: Array[Long] = new Array[Long](2 * numThresholds + 2)
+
+    // buffer layout: [tp(T) | fp(T) | totalPos | totalNeg]
+    override def reduce(b: Array[Long], in: (Double, Double)): Array[Long] = {
+      val (label, pred) = in
+      val isPos = label > 0.5
+      val th = thresholds
+      var i = 0
+      while (i < numThresholds && pred > th(i)) {
+        if (isPos) b(i) += 1 else b(numThresholds + i) += 1
+        i += 1
+      }
+      if (isPos) b(2 * numThresholds) += 1 else b(2 * numThresholds + 1) += 1
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Long]): Double = {
+      val p = b(2 * numThresholds).toDouble
+      val n = b(2 * numThresholds + 1).toDouble
+      if (p == 0 || n == 0) return Double.NaN
+      var auc = 0.0
+      var i = 0
+      while (i < numThresholds - 1) {
+        val tprHi = b(i) / p; val tprLo = b(i + 1) / p
+        val fprHi = b(numThresholds + i) / n; val fprLo = b(numThresholds + i + 1) / n
+        auc += (fprHi - fprLo) * (tprHi + tprLo) / 2.0
+        i += 1
+      }
+      auc
+    }
+
+    override def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Weighted streaming mean as a typed Aggregator (the reference's
+    * metric-variable form, metrics/mean.py:81-113): buffer =
+    * (Σ v·w, Σ w). */
+  final class MeanAggregator extends Aggregator[(Double, Double), (Double, Double), Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Double, Double)): Double = b._1 / b._2
+    override def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution primitives: modulo / dual-modulo ID partitioning,
+  * seeded shuffle, even splits.
+  *
+  * The reference's `partition_by_modulo` / `partition_by_dual_modulo`
+  * (reference: hybridbackend/tensorflow/distribute/partition/ops.py:33-221)
+  * shard ID tensors across devices with floormod and return gather-back
+  * indices. On Spark the same data motion is a single `Exchange
+  * hashpartitioning`/explicit repartition; row identity is preserved by
+  * the engine so no stitch indices are needed. `alltoall(v)` collapses to
+  * the shuffle itself; `allreduce` to a global aggregate.
+  */
+object Partitioners {
+
+  /** Non-negative floormod shard id (the reference's floormod,
+    * ops.py:44-45). */
+  def shardId(id: Column, numShards: Int): Column = pmod(id, lit(numShards))
+
+  /** Repartition rows so each shard's rows are co-located — the Spark
+    * physical form of partition_by_modulo + alltoallv. */
+  def partitionByModulo(df: DataFrame, id: Column, numShards: Int): DataFrame =
+    df.repartition(numShards, shardId(id, numShards))
+
+  /** Hierarchical two-level shard (node, then device within node) — the
+    * dual-modulo scheme (ops.py:106-221). A single Spark shuffle on the
+    * combined shard subsumes the two physical hops; the (node, device)
+    * pair is exposed for locality-aware layouts. */
+  def dualModuloShard(id: Column, numNodes: Int, devicesPerNode: Int): (Column, Column) = {
+    val flat = pmod(id, lit(numNodes.toLong * devicesPerNode))
+    (pmod(flat, lit(numNodes)), (flat / numNodes).cast("long"))
+  }
+
+  def partitionByDualModulo(
+      df: DataFrame,
+      id: Column,
+      numNodes: Int,
+      devicesPerNode: Int): DataFrame = {
+    val (node, dev) = dualModuloShard(id, numNodes, devicesPerNode)
+    df.repartition(numNodes * devicesPerNode, node, dev)
+  }
+
+  /** Deterministic seeded shuffle — the `shuffle_batch` contract
+    * (reference: data/tabular/table.py:230-275). The reference's
+    * Fisher-Yates over a bounded buffer is not bit-reproducible here;
+    * our documented contract is a total order by `rand(seed)` (global
+    * shuffle) or per-partition sort (buffer-local analog). */
+  def shuffleRows(df: DataFrame, seed: Long, global: Boolean = true): DataFrame =
+    if (global) df.orderBy(rand(seed))
+    else df.sortWithinPartitions(rand(seed))
+
+  /** Even splits — the sync-replicas/drop-remainder analog (reference:
+    * data/sync/dataset_v2.py:34-104): balance rows across n partitions
+    * so every replica sees the same row count ±1. `repartition(n)` with
+    * no key plans RoundRobinPartitioning — exact balancing, no skew. */
+  def evenSplits(df: DataFrame, n: Int): DataFrame =
+    df.repartition(n)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.Metrics
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends GraftSpec {
+
+  test("accuracy golden") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 0), (0, 0), (0, 0)).toDF("label", "pred")
+    val acc = df.agg(Metrics.accuracy(col("label"), col("pred")).as("a"))
+      .collect().head.getDouble(0)
+    assert(acc === 0.75)
+  }
+
+  test("weightedMean golden") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (3.0, 3.0)).toDF("v", "w")
+    val m = df.agg(Metrics.weightedMean(col("v"), col("w")).as("m"))
+      .collect().head.getDouble(0)
+    assert(m === 2.5) // (1*1 + 3*3) / (1+3)
+  }
+
+  test("aucExact golden: perfect, inverted, random separability") {
+    import spark.implicits._
+    val perfect = Seq((0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9)).toDF("y", "s")
+    assert(Metrics.aucExact(perfect, col("y") === 1, col("s"))
+      .collect().head.getDouble(0) === 1.0)
+    val inverted = Seq((1, 0.1), (1, 0.2), (0, 0.8), (0, 0.9)).toDF("y", "s")
+    assert(Metrics.aucExact(inverted, col("y") === 1, col("s"))
+      .collect().head.getDouble(0) === 0.0)
+    // all-tied scores -> AUC 0.5 by average-rank convention
+    val tied = Seq((1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)).toDF("y", "s")
+    assert(Metrics.aucExact(tied, col("y") === 1, col("s"))
+      .collect().head.getDouble(0) === 0.5)
+  }
+
+  test("ThresholdedAuc approximates exact AUC within threshold resolution") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { _ =>
+      val y = rnd.nextInt(2)
+      // noisy separable scores
+      val s = math.min(1.0, math.max(0.0, 0.35 * y + 0.5 * rnd.nextDouble()))
+      (y.toDouble, s)
+    }
+    val df = rows.toDF("y", "s")
+    val exact = Metrics.aucExact(df, col("y") === 1.0, col("s"))
+      .collect().head.getDouble(0)
+    val agg = udaf(new Metrics.ThresholdedAuc(200))
+    val approx = df.agg(agg(col("y"), col("s")).as("auc")).collect().head.getDouble(0)
+    assert(math.abs(exact - approx) < 0.01, s"exact=$exact approx=$approx")
+  }
+
+  test("MeanAggregator matches weightedMean") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (5.0, 1.0), (2.0, 0.5)).toDF("v", "w")
+    val agg = udaf(new Metrics.MeanAggregator)
+    val a = df.agg(agg(col("v"), col("w")).as("m")).collect().head.getDouble(0)
+    val b = df.agg(Metrics.weightedMean(col("v"), col("w"))).collect().head.getDouble(0)
+    assert(math.abs(a - b) < 1e-12)
+  }
+
+  test("gaucPerGroup drops single-class groups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, 0.9), (1L, 0, 0.1), // mixed -> kept, auc 1.0
+      (2L, 1, 0.5), (2L, 1, 0.6)) // all-positive -> dropped
+      .toDF("g", "y", "s")
+    val rows = Metrics.gaucPerGroup(df, col("g"), col("y") === 1, col("s")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L)
+    assert(rows.head.getDouble(1) === 1.0)
+  }
+}

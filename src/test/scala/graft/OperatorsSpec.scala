@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends GraftSpec {
+
+  lazy val events = Tables.events(spark, sf)
+
+  test("partitionByModulo co-locates each shard in one partition") {
+    import spark.implicits._
+    val parted = Partitioners.partitionByModulo(events, col("user_id"), 8)
+    val placement = parted
+      .select(Partitioners.shardId(col("user_id"), 8).as("shard"))
+      .withColumn("pid", spark_partition_id())
+      .distinct().collect()
+    // every shard maps to exactly one physical partition
+    val byShard = placement.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).distinct)
+    assert(byShard.values.forall(_.size == 1))
+  }
+
+  test("evenSplits balances rows within +-1") {
+    val counts = Partitioners.evenSplits(events, 7)
+      .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+    assert(counts.length === 7)
+    assert(counts.max - counts.min <= 1)
+  }
+
+  test("shuffleRows: same seed reproduces, different seed permutes differently") {
+    val a = Partitioners.shuffleRows(events, 1L).select("event_id").collect().map(_.getLong(0)).toSeq
+    val b = Partitioners.shuffleRows(events, 1L).select("event_id").collect().map(_.getLong(0)).toSeq
+    val c = Partitioners.shuffleRows(events, 2L).select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    assert(a !== c)
+    assert(a.sorted === c.sorted) // both are permutations of the input
+  }
+
+  test("embedding lookup preserves input order when asked") {
+    val ids = events.select(col("event_id"), col("user_id")).orderBy(desc("event_id")).limit(100)
+    val out = EmbeddingLookup.lookup(
+      ids, "user_id", Tables.embeddings(spark, sf), "vec_id", Seq("label"),
+      preserveOrder = true)
+    val got = out.select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got === got.sorted(Ordering[Long].reverse))
+  }
+
+  test("broadcast lookup plans a BroadcastHashJoin") {
+    val out = EmbeddingLookup.lookup(
+      events.select("event_id", "user_id"), "user_id",
+      Tables.embeddings(spark, sf), "vec_id", Seq("label"), broadcastDim = true)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("cacheSplit partitions ids into disjoint exhaustive hit/miss") {
+    val ids = events.select("event_id", "user_id")
+    val cache = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+    val (hits, misses) = EmbeddingLookup.cacheSplit(ids, "user_id", cache, "vec_id")
+    assert(hits.count() + misses.count() === ids.count())
+    assert(hits.join(misses, Seq("event_id"), "inner").count() === 0)
+  }
+
+  test("block dedup restore matches the reference fixture golden") {
+    // FIXTURES.md §4 / parquet_dataset_deduplicate_test.py:44-54:
+    // uniq blocks [[[1],[2,3]], [[4],[5]]], idx [[0,1,0,1],[0,0,1,1]]
+    // -> restored rows [[1],[2,3],[1],[2,3],[4],[4],[5],[5]]
+    import spark.implicits._
+    val compressed = Seq(
+      (0L, Seq(Seq(1L), Seq(2L, 3L)), Seq(0L, 1L, 0L, 1L), Seq(0L, 1L, 2L, 3L)),
+      (1L, Seq(Seq(4L), Seq(5L)), Seq(0L, 0L, 1L, 1L), Seq(4L, 5L, 6L, 7L)))
+      .toDF("block", "user_feat_uniq", "user_feat_idx", "__ord_list")
+    val restored = BlockDedup.restore(compressed, "user_feat")
+      .orderBy("__ord").select("user_feat")
+      .collect().map(_.getSeq[Long](0).toList).toList
+    assert(restored === List(List(1), List(2, 3), List(1), List(2, 3),
+      List(4), List(4), List(5), List(5)))
+  }
+
+  test("compress -> restore round-trips the events table") {
+    val compressed = BlockDedup.compress(
+      events, col("user_id"), col("event_id"), Seq("event_type"))
+    val restored = BlockDedup.restore(compressed, "event_type")
+      .select(col("__ord").as("event_id"), col("event_type"))
+    val orig = events.select("event_id", "event_type")
+    assert(restored.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(restored).count() === 0)
+  }
+
+  test("clipLists keeps only in-window history elements") {
+    import spark.implicits._
+    val df = Seq((100L, Seq(10L, 95L, 99L, 100L, 105L), Seq("a", "b", "c", "d", "e")))
+      .toDF("ts", "ts_list", "v_list")
+    val out = df.select(RangeClip.clipLists(
+      col("ts"), col("ts_list"), col("v_list"), before = 10L, after = 1L).as("clipped"))
+      .collect().head.getSeq[String](0).toList
+    // window [90, 101): keeps 95->b, 99->c, 100->d
+    assert(out === List("b", "c", "d"))
+  }
+}
