@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.TextFunctions.{P, StopwordsEn}
+import graft.operators.NearDup
+
+/** DuckDB oracle-SQL fragments that mirror the engine's hash/text/vector
+  * arithmetic expression-for-expression. Shared constants (mod-P hashing,
+  * MinHash permutations, band layout, bucket bits) come from the same
+  * Scala objects the Spark plans use, so the two sides cannot drift.
+  */
+object OracleFragments {
+
+  /** Polynomial char hash of a string-valued SQL expression. */
+  def polyHashSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(string_to_array($e,''), c -> len(c) > 0),
+       |    c -> CAST(ascii(c) AS BIGINT))),
+       |  (a,c) -> (a*31+c) % $P)""".stripMargin
+
+  val stopwordListSql: String = StopwordsEn.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** tokens + distinct 3-gram shingles per doc (names: tok, sh). */
+  def shingleCtes(n: Int): String =
+    s"""tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS shingles
+       |  FROM tok WHERE len(toks) >= $n)""".stripMargin
+
+  /** Exact-Jaccard verification over candidate pairs CTE `cand`. */
+  def jaccardVerifySql(threshold: Double): String =
+    s"""j AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(sa.shingles, sb.shingles)) AS shared,
+       |  len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, CAST(shared AS DOUBLE)/(na + nb - shared) AS jaccard
+       |FROM j WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= $threshold""".stripMargin
+
+  /** MinHash signature CTE: min over shingle hashes per permutation. */
+  def minHashSigSql(k: Int): String = {
+    val mins = (0 until k).map(i =>
+      s"MIN((h*${NearDup.permA(i)} + ${NearDup.permB(i)}) % $P) AS m$i").mkString(",\n  ")
+    s"""ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hs AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM ex),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Band-bucket candidate pairs from `sig`. */
+  def lshCandidateSql(bands: Int, rowsPerBand: Int): String = {
+    def fold(cols: Seq[String]): String =
+      cols.foldLeft("CAST(0 AS BIGINT)")((acc, m) => s"(($acc)*31 + $m) % $P")
+    val bandSelects = (0 until bands).map { j =>
+      val cols = (0 until rowsPerBand).map(r => s"m${j * rowsPerBand + r}")
+      s"SELECT doc_id, $j AS band, ${fold(cols)} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Embeddings as double vectors with norms (names: e, nv). */
+  val vectorCtes: String =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |nv AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x*x)),
+      |       (a,x) -> a+x)) AS nrm FROM e)""".stripMargin
+
+  /** cosine(q.v, c.v) with precomputed norms. */
+  def cosineSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a.v, $b.v), z -> z[1]*z[2])), (p,x) -> p+x)
+       |  / ($a.nrm * $b.nrm)""".stripMargin
+
+  /** Sign bucket over the first `bits` dims of double vector `v`. */
+  def signBucketSql(bits: Int): String =
+    (0 until bits).map(k => s"(CASE WHEN v[${k + 1}] > 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ")
+}

@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.Metrics
-import graft.operators.{BlockDedup, EmbeddingLookup, Partitioners, RangeClip}
+import graft.functions.{Metrics, TextFunctions}
+import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, RangeClip}
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -151,6 +151,71 @@ object SparkEntry {
       Metrics.gaucPerGroup(
         Tables.events(s, d), col("user_id"), col("event_type") === "error", col("value"))
     },
+
+    // ---- text analysis (training-data pipeline ops) --------------------
+    "text_stats" -> { (s, d) =>
+      val toks = TextFunctions.tokenize(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("n_regex_tokens"),
+        (TextFunctions.stopwordCount(toks).cast("double") / size(toks)).as("stopword_ratio"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"))
+    },
+    "text_quality" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    },
+    "text_langid" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextFunctions.languageId(col("text")).as("lang_pred"))
+    },
+    "text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    },
+
+    // ---- deduplication suite -------------------------------------------
+    "dedup_exact_groups" -> { (s, d) =>
+      NearDup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      NearDup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+    },
+    "dedup_minhash_lsh" -> { (s, d) =>
+      NearDup.minHashNearDups(Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+    },
+    "dedup_simhash" -> { (s, d) =>
+      NearDup.simHash(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+    "dedup_embedding_neardup" -> { (s, d) =>
+      Ann.cosineNearDups(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.3, bits = 8)
+    },
+
+    // ---- similarity search ---------------------------------------------
+    "ann_topk_brute" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.bruteForceTopK(emb.filter(col("id") < 16), emb, k = 5)
+    },
+    "ann_topk_bucketed" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.bucketedTopK(emb.filter(col("id") < 16), emb, k = 5, bits = 6)
+    },
+
+    // ---- multimodal binary plumbing ------------------------------------
+    "multimodal_features" -> { (s, d) =>
+      val packed = Multimodal.packBinary(
+        Tables.documents(s, d), col("doc_id"), col("text"), "text/plain")
+      packed.select(
+        col("media_id"),
+        col("meta.byte_len").cast("long").as("byte_len"),
+        Multimodal.asciiFeatures(decode(col("bytes"), "UTF-8"), 8).as("features"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +324,84 @@ object SparkEntry {
         |SELECT g AS "group",
         |       (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
         |FROM pg WHERE p > 0 AND n > 0""".stripMargin,
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_regex_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ${OracleFragments.stopwordListSql})) AS DOUBLE)
+         |    / len(toks) AS stopword_ratio,
+         |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio
+         |FROM t""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+         |  + (CAST(len(list_filter(toks, x -> x IN ${OracleFragments.stopwordListSql})) AS DOUBLE)
+         |     / CAST(len(toks) AS DOUBLE)) * 0.3
+         |  + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3 AS quality
+         |FROM t""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(list_filter(string_split(text,' '),
+         |    x -> x IN ${OracleFragments.stopwordListSql})) > 0
+         |  THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"SELECT doc_id, ${OracleFragments.polyHashSql("text")} AS fp FROM documents",
+    "dedup_exact_groups" ->
+      "SELECT text, COUNT(*) AS n, MIN(doc_id) AS keeper FROM documents GROUP BY text",
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${OracleFragments.shingleCtes(3)},
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |${OracleFragments.jaccardVerifySql(0.5)}""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH ${OracleFragments.shingleCtes(3)},
+         |${OracleFragments.minHashSigSql(16)},
+         |${OracleFragments.lshCandidateSql(4, 4)},
+         |${OracleFragments.jaccardVerifySql(0.5)}""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tokh AS (SELECT doc_id, ${OracleFragments.polyHashSql("t")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
+         |bits AS (SELECT doc_id, i,
+         |  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+         |  FROM tokh CROSS JOIN range(${NearDup.SimHashBits}) r(i) GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_embedding_neardup" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(8)} AS bucket FROM nv)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |    ${OracleFragments.cosineSql("a", "c")} AS cosine
+         |  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |WHERE cosine >= 0.3""".stripMargin,
+    "ann_topk_brute" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM nv q JOIN nv c ON c.vec_id != q.vec_id WHERE q.vec_id < 16)
+         |SELECT q_id, n_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
+         |FROM p QUALIFY rn <= 5""".stripMargin,
+    "ann_topk_bucketed" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 16)
+         |SELECT q_id, n_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
+         |FROM p QUALIFY rn <= 5""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  list_transform(list_filter(string_to_array(substr(text,1,8),''), c -> len(c) > 0),
+        |    c -> ascii(c) / 255.0) AS features
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * token statistics, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd built-in expressions (split /
+  * higher-order `aggregate` / `transform` / regexp) — no UDFs — so the
+  * whole pipeline stays inside whole-stage codegen and scales linearly
+  * with no shuffle. All hash arithmetic is plain integer math (mod
+  * 1e9+7) chosen to be reproducible in any engine (the DuckDB oracles
+  * mirror it expression-for-expression).
+  */
+object TextFunctions {
+
+  /** Modulus for all polynomial hashing: large prime, keeps a*h+b within
+    * int64 (a,b,h < P => a*h+b < ~1e18 < 2^63). */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** Count of regex-tokenizer matches — the BPE-ish alternative counter
+    * (non-overlapping `[a-z]+` word runs). */
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z]+"))
+
+  /** Characters of a string as an array, with the zero-width artifacts
+    * of regex-split removed (Java split can emit "" elements). */
+  def chars(s: Column): Column = filter(split(s, ""), c => length(c) > 0)
+
+  /** Polynomial rolling hash over the characters of a string:
+    * fold(h = (h*31 + ascii(c)) mod P). Deterministic, order-sensitive —
+    * the document-fingerprinting primitive. */
+  def polyHash(s: Column): Column =
+    aggregate(chars(s), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
+
+  /** Character n-gram-of-tokens shingles ("a b c" 3-grams), empty when
+    * the document has fewer than n tokens. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - n + 1),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+
+  /** English stopword markers used by the language-ID heuristic and the
+    * stopword-ratio quality signal. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  def stopwordCount(tokens: Column): Column =
+    size(filter(tokens, t => t.isin(StopwordsEn.map(x => x: Any): _*)))
+
+  /** Ratio of punctuation-ish characters (not lowercase-alnum or space). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text)
+
+  /** Quality score in [0,1]: type-token ratio + stopword presence +
+    * length saturation. Fixed formula, scalar per row, engine-portable. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenize(text)
+    val n = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val stop = stopwordCount(toks).cast("double") / n
+    val sat = least(lit(1.0), n / 100.0)
+    ttr * 0.4 + stop * 0.3 + sat * 0.3
+  }
+
+  /** n-gram-free language ID heuristic: marker-stopword hit ratio. The
+    * corpus is synthetic English-ish text, so this mostly asserts the
+    * deterministic plumbing; real language ID would swap in per-language
+    * marker sets here. */
+  def languageId(text: Column): Column = {
+    val toks = tokenize(text)
+    when(stopwordCount(toks) > 0, lit("en")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: rolling hash of the whole text. */
+  def fingerprint(text: Column): Column = polyHash(text)
+}

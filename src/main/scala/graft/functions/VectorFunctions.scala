@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built from
+  * higher-order functions (zip_with / aggregate) so everything is
+  * codegen'd and needs no UDF. Folds run left-to-right in element
+  * order — deterministic and reproducible by an external oracle.
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> to array<double> for stable arithmetic. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Coarse IVF-style bucket id from the signs of the first `bits`
+    * dimensions: Σ (v[k] > 0) << k. Cheap, deterministic, and gives
+    * 2^bits partitions for bucketed (approximate) search. */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map(k =>
+      when(element_at(v, k + 1) > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+}

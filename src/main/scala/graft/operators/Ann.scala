@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * against the full corpus — one narrow pass, no shuffle of the corpus,
+  * embarrassingly parallel; use it as the exact baseline. The bucketed
+  * path pre-partitions the corpus by a coarse sign-bucket (IVF-style
+  * coarse quantizer): each query only scans its own bucket, trading
+  * recall for a ~2^bits reduction in scanned vectors — the 100 TB path,
+  * where buckets map to co-located partitions.
+  */
+object Ann {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec: array<float>). Query set is assumed
+    * small enough to broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("q_id"), toDouble(col("vec")).as("qv")))
+    val c = corpus.select(col("id").as("n_id"), toDouble(col("vec")).as("cv"))
+    topK(c.crossJoin(q).filter(col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Bucketed (approximate) top-k: queries only scan the corpus bucket
+    * matching their own sign-bucket. */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), toDouble(col("vec")).as("qv"),
+      signBucket(col("vec"), bits).as("bucket"))
+    val c = corpus.select(col("id").as("n_id"), toDouble(col("vec")).as("cv"),
+      signBucket(col("vec"), bits).as("bucket"))
+    topK(c.join(broadcast(q), Seq("bucket")).filter(col("q_id") =!= col("n_id")), k)
+  }
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a<b) within the same sign
+    * bucket with cosine >= threshold — the bucketed all-pairs variant
+    * (each bucket is a small dense block; cross-bucket pairs are
+    * sacrificed for scalability). */
+  def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col("id"), toDouble(col("vec")).as("v"),
+      signBucket(col("vec"), bits).as("bucket"))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over a document corpus: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison.
+  * Jaccard joins only pairs sharing a shingle; MinHash compares only
+  * pairs sharing an LSH band bucket (sub-linear candidate set); SimHash
+  * reduces each document to one 30-bit fingerprint (pairs = bucketed
+  * hamming neighbors). Hash arithmetic is plain mod-P integer math so
+  * an external oracle can reproduce results bit-for-bit.
+  */
+object NearDup {
+
+  // ---- shingle sets ----------------------------------------------------
+
+  /** (id, shingles: distinct token n-grams). */
+  def shingleSets(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    docs.select(id.as("doc_id"),
+      array_distinct(shingles(tokenize(text), n)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact duplicate groups by full text: (text groups with count and
+    * the kept representative = min id). Hash-groupBy — one shuffle,
+    * map-side combinable. */
+  def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(text.as("text"))
+      .agg(count(lit(1)).as("n"), min(id).as("keeper"))
+
+  // ---- n-gram Jaccard --------------------------------------------------
+
+  /** All pairs with Jaccard(shingle sets) >= threshold. Candidate pairs
+    * come from an equi-join on shared shingles (never a cross join);
+    * verification is set arithmetic on the two shingle arrays. */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(docs, id, text, n).cache()
+    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Attach exact Jaccard to candidate (doc_a, doc_b) pairs and filter. */
+  def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** Permutation constants for MinHash: a_i, b_i < P, deterministic. */
+  def permA(i: Int): Long = (104729L * (i + 1)) % P
+  def permB(i: Int): Long = (104659L * (i + 1)) % P
+
+  /** MinHash signatures: (doc_id, m0..m{k-1}) — min over shingles of
+    * (a_i * polyHash(s) + b_i) mod P per permutation. One groupBy with k
+    * min-aggregates (map-side partial), no per-permutation shuffle. */
+  def minHashSignatures(sets: DataFrame, k: Int = 16): DataFrame = {
+    val hashed = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", polyHash(col("s")))
+    val mins = (0 until k).map(i =>
+      min((col("h") * permA(i) + permB(i)) % P).as(s"m$i"))
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band hash: fold the band's signature slice with h = (h*31 + m) mod P. */
+  private def bandHash(cols: Seq[Column]): Column =
+    cols.foldLeft(lit(0L))((acc, m) => (acc * 31 + m) % P)
+
+  /** LSH candidate pairs: documents sharing any band bucket.
+    * k = bands * rowsPerBand. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          bandHash((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))).as("bh"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    * candidate pairs -> exact-Jaccard verification. */
+  def minHashNearDups(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(docs, id, text, n).cache()
+    val cand = lshCandidates(minHashSignatures(sets, k), bands, k / bands)
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  val SimHashBits = 30
+
+  /** 30-bit SimHash fingerprint per document: bit b of the fingerprint
+    * is set when the occurrence-weighted sum of (±1 per token, + when
+    * token-hash bit b is set) is positive. One explode + one groupBy
+    * with 30 sum-aggregates. */
+  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokenize(text)).as("t"))
+      .withColumn("h", polyHash(col("t")))
+    val sums = (0 until SimHashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"w$b"))
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimHashBits).map(b =>
+          when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+}
