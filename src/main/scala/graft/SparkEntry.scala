@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, RangeClip}
+import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, RangeClip, Sessionize}
+import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -207,6 +208,66 @@ object SparkEntry {
       Ann.bucketedTopK(emb.filter(col("id") < 16), emb, k = 5, bits = 6)
     },
 
+    // ---- window functions / sorts (reference §2.8 + superset) ----------
+    "window_rank_lag" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).withColumn("tsec", col("ts").cast("long"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      e.select(
+        col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast(DecimalType(12, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType).as("run_sum"))
+    },
+    "sessionize_batch" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("tsec", col("ts").cast("long"))
+      Sessionize.sessionCounts(e, col("user_id"),
+        col("tsec"), struct(col("tsec"), col("event_id")), gapSeconds = 1800L)
+    },
+
+    // ---- set operations (reference §2.9, superset) ---------------------
+    "setop_users" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val err = e.filter(col("event_type") === "error").select(col("user_id")).distinct()
+      val pur = e.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      err.intersect(pur).withColumn("op", lit("both"))
+        .unionAll(err.except(pur).withColumn("op", lit("error_only")))
+    },
+
+    // ---- grouping sets / rollup / cube (superset) ----------------------
+    "agg_rollup" -> { (s, d) =>
+      Tables.events(s, d)
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+    },
+    "agg_cube" -> { (s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), pmod(col("user_id"), lit(2)).as("par"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- scalar function families (reference §2.10) --------------------
+    "scalar_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("ln"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        expr("l_orderkey div 7").as("dv"),
+        round(log(lit(1.0) + col("l_extendedprice")), 9).as("log_price"),
+        (col("l_extendedprice") / 32.0).as("price_norm"),
+        sequence(lit(1L), col("l_linenumber").cast("long")).as("seq"),
+        array_repeat(col("l_linenumber").cast("long"), 3).as("rep"),
+        element_at(sequence(lit(1L), col("l_linenumber").cast("long")), 1).as("first_elem"))
+    },
+
+    // ---- streaming-shaped windowed aggregation (reference §2.11) -------
+    "stream_window_counts" -> { (s, d) =>
+      StreamingOps.windowedCounts(Tables.events(s, d), "1 hour")
+    },
+
     // ---- multimodal binary plumbing ------------------------------------
     "multimodal_features" -> { (s, d) =>
       val packed = Multimodal.packBinary(
@@ -398,6 +459,59 @@ object SparkEntry {
          |SELECT q_id, n_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
          |FROM p QUALIFY rn <= 5""".stripMargin,
+    "window_rank_lag" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events)
+        |SELECT event_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY tsec, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)""".stripMargin,
+    "sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id))
+        |SELECT user_id AS key, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
+    "setop_users" ->
+      """SELECT user_id, 'both' AS op FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'error_only' AS op FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "agg_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    "agg_cube" ->
+      """SELECT event_type, user_id % 2 AS par, COUNT(*) AS n
+        |FROM events GROUP BY CUBE(event_type, user_id % 2)""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS ln,
+        |  l_orderkey % 7 AS pm,
+        |  l_orderkey // 7 AS dv,
+        |  round(ln(1.0 + l_extendedprice), 9) AS log_price,
+        |  l_extendedprice / 32.0 AS price_norm,
+        |  range(1, CAST(l_linenumber AS BIGINT) + 1) AS seq,
+        |  [CAST(l_linenumber AS BIGINT), CAST(l_linenumber AS BIGINT),
+        |   CAST(l_linenumber AS BIGINT)] AS rep,
+        |  range(1, CAST(l_linenumber AS BIGINT) + 1)[1] AS first_elem
+        |FROM lineitem""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |  list_transform(list_filter(string_to_array(substr(text,1,8),''), c -> len(c) > 0),

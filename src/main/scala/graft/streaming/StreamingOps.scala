@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface.
+  *
+  * The reference's "streaming" is a pull-based tf.data pipeline: unbounded
+  * epochs, background prefetch, replica-synchronized stop — no event time
+  * (reference: hybridbackend/tensorflow/data/prefetch/iterator.py:229-357,
+  * data/sync/hook.py:62-152; SURVEY §2.11). Spark subsumes that model and
+  * adds true event-time semantics; this module exposes the superset:
+  * file-arrival micro-batching, watermarked windowed aggregation, and
+  * keyed state (dedup, sessionization) via flatMapGroupsWithState.
+  */
+object StreamingOps {
+
+  /** File-arrival stream over a parquet directory — the unbounded-epoch
+    * analog of the reference's iterator model. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window aggregation — works identically on a
+    * batch or streaming DataFrame (same function, same plan shape). */
+  def windowedCounts(events: DataFrame, windowDur: String,
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark("ts", w))
+    in.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+  }
+
+  /** Stateful streaming exact-dedup on a key: emit a row the first time
+    * its key is seen, drop re-occurrences across micro-batches — the
+    * streaming form of `dropDuplicates` with explicit keyed state. */
+  def statefulDedup(spark: SparkSession, ids: Dataset[Long]): Dataset[Long] = {
+    import spark.implicits._
+    ids.groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, _: Iterator[Long], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(id) }
+      }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends GraftSpec {
+
+  test("streaming windowed counts equal the batch result") {
+    val batchEvents = Tables.events(spark, sf)
+    // stage the (ns-normalized) events as a stream source directory
+    val dir = Files.createTempDirectory("graft_stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = StreamingOps.fileStream(spark, dir, schema, maxFilesPerTrigger = 2)
+    val q = StreamingOps.windowedCounts(stream, "1 hour", watermark = Some("2 hours"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingOps.windowedCounts(spark.read.parquet(dir), "1 hour")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stateful streaming dedup emits each key exactly once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    // two files with overlapping ids -> separate micro-batches
+    Seq(1L, 2L, 3L).toDF("id").write.parquet(s"$dir/f1")
+    Seq(2L, 3L, 4L).toDF("id").write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val q = StreamingOps.statefulDedup(spark, stream.as[Long])
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+}
