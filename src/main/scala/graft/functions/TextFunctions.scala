@@ -38,8 +38,8 @@ object TextFunctions {
   def polyHash(s: Column): Column =
     aggregate(chars(s), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
 
-  /** Character n-gram-of-tokens shingles ("a b c" 3-grams), empty when
-    * the document has fewer than n tokens. */
+  /** Token n-gram shingles ("a b c" 3-grams), empty when the document
+    * has fewer than n tokens. */
   def shingles(tokens: Column, n: Int): Column =
     when(size(tokens) < n, array().cast("array<string>"))
       .otherwise(transform(

@@ -18,10 +18,13 @@ object NearDup {
 
   // ---- shingle sets ----------------------------------------------------
 
-  /** (id, shingles: distinct token n-grams). */
+  /** (id, shingles: distinct token n-grams). Shingling is CPU-bound and
+    * narrow, so the input is spread across cores first (no-op at real
+    * scale — see [[Parallelism]]). */
   def shingleSets(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
-    docs.select(id.as("doc_id"),
-      array_distinct(shingles(tokenize(text), n)).as("shingles"))
+    Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        array_distinct(shingles(tokenize(col("__text")), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   // ---- exact -----------------------------------------------------------
@@ -36,20 +39,35 @@ object NearDup {
   // ---- n-gram Jaccard --------------------------------------------------
 
   /** All pairs with Jaccard(shingle sets) >= threshold. Candidate pairs
-    * come from an equi-join on shared shingles (never a cross join);
-    * verification is set arithmetic on the two shingle arrays. */
+    * come from an equi-join on shared shingles (never a cross join), and
+    * because shingle sets are distinct per doc, the per-pair join row
+    * count IS the intersection size — so Jaccard needs only a count
+    * aggregate plus two (small, broadcastable) size lookups. No
+    * array_intersect over candidate pairs, no distinct pass: one shuffle
+    * join + one groupBy. */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(docs, id, text, n).cache()
+    val sets = shingleSets(docs, id, text, n)
     val ex = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val cand = ex.as("a").join(ex.as("b"),
+    val shared = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, sets, threshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
+    shared
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Attach exact Jaccard to candidate (doc_a, doc_b) pairs and filter. */
+  /** Attach exact Jaccard to candidate (doc_a, doc_b) pairs and filter.
+    * Right for a SMALL candidate set (e.g. LSH survivors): two joins
+    * against the shingle arrays + an array_intersect per pair. For
+    * candidate sets comparable to the corpus itself, use the count-based
+    * path inside [[jaccardPairs]] instead (arrays never travel). */
   def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
@@ -84,7 +102,13 @@ object NearDup {
     cols.foldLeft(lit(0L))((acc, m) => (acc * 31 + m) % P)
 
   /** LSH candidate pairs: documents sharing any band bucket.
-    * k = bands * rowsPerBand. */
+    * k = bands * rowsPerBand.
+    *
+    * Pairs are generated bucket-locally (groupBy bucket, then all pairs
+    * within the collected id list) instead of a bucket self-join — one
+    * aggregation instead of recomputing the signature pipeline on both
+    * join sides, and pair explosion stays confined to each (tiny)
+    * bucket. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { j =>
@@ -92,10 +116,14 @@ object NearDup {
           bandHash((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))).as("bh"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = banded.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -117,7 +145,8 @@ object NearDup {
     * token-hash bit b is set) is positive. One explode + one groupBy
     * with 30 sum-aggregates. */
   def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), explode(tokenize(text)).as("t"))
+    val toks = Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"), explode(tokenize(col("__text"))).as("t"))
       .withColumn("h", polyHash(col("t")))
     val sums = (0 until SimHashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"w$b"))
