@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.expressions.{DotProduct, PolyHash}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration: exposes the engine's native
+  * expressions to SQL (`SELECT graft_dot(a, b)`, `graft_poly_hash(s)`).
+  * The analog of the reference's custom-op registration surface
+  * (reference: hybridbackend/tensorflow/framework/view.py OperationLike;
+  * SURVEY §2.12). Activate with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${args.length}")
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => { arity("graft_dot", 2)(args); DotProduct(args(0), args(1)) }))
+    e.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => { arity("graft_poly_hash", 1)(args); PolyHash(args.head) }))
+  }
+}

@@ -24,6 +24,7 @@ object GraftSession {
     val s = configure(
       SparkSession.builder()
         .master(s"local[$cores]")
+        .withExtensions(new GraftExtensions)
         .config("spark.sql.shuffle.partitions",
           shufflePartitions.map(_.toString).getOrElse(cores)))
       .getOrCreate()

@@ -33,9 +33,13 @@ object TextFunctions {
   def chars(s: Column): Column = filter(split(s, ""), c => length(c) > 0)
 
   /** Polynomial rolling hash over the characters of a string:
-    * fold(h = (h*31 + ascii(c)) mod P). Deterministic, order-sensitive —
-    * the document-fingerprinting primitive. */
-  def polyHash(s: Column): Column =
+    * fold(h = (h*31 + codepoint) mod P). Deterministic, order-sensitive —
+    * the document-fingerprinting primitive. Native codegen'd expression
+    * ([[expressions.PolyHash]]); [[polyHashHof]] is the equivalent
+    * built-in formulation kept as its semantic spec. */
+  def polyHash(s: Column): Column = expressions.GraftExpressions.poly_hash(s)
+
+  def polyHashHof(s: Column): Column =
     aggregate(chars(s), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
 
   /** Token n-gram shingles ("a b c" 3-grams), empty when the document

@@ -13,7 +13,14 @@ object VectorFunctions {
   /** Cast an array<float> to array<double> for stable arithmetic. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Native codegen'd dot product ([[expressions.DotProduct]]); same
+    * left-to-right accumulation as the HOF fold it replaces. */
   def dot(a: Column, b: Column): Column =
+    expressions.GraftExpressions.dot_product(a, b)
+
+  /** Reference formulation via higher-order functions — kept as the
+    * semantic spec for [[dot]] (asserted equal in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))

@@ -1,0 +1,82 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (whole-stage-codegen) expressions for the engine's hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with` lambdas) are
+  * evaluated interpreted — per-element Column-lambda dispatch — which
+  * dominates vector math and per-char hashing. These expressions compile
+  * to a single static-kernel call inside the generated code, preserving
+  * the exact fold order (and therefore bit-identical results and oracle
+  * parity) of the HOF formulations they replace.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _))
+        if a == b && (a == DoubleType || a == FloatType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs two array<float> or two array<double>, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def kernel: String = if (elemType == FloatType) "dotF" else "dotD"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (elemType == FloatType)
+      VecUtil.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VecUtil.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.$kernel($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h = fold((h*31 + codepoint) mod 1e9+7) over the string — the native
+  * form of [[graft.functions.TextFunctions.polyHash]]. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_hash needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.polyHash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.polyHash($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GraftExpressions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Column-API surface for the native expressions. */
+  def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def poly_hash(s: Column): Column = column(PolyHash(expression(s)))
+}

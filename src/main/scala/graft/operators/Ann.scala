@@ -21,17 +21,19 @@ object Ann {
     * `queries`/`corpus`: (id, vec: array<float>). Query set is assumed
     * small enough to broadcast. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("q_id"), toDouble(col("vec")).as("qv")))
-    val c = corpus.select(col("id").as("n_id"), toDouble(col("vec")).as("cv"))
+    // raw float vectors go straight to the native dot kernel (which
+    // accumulates in double) — no per-element cast pass
+    val q = broadcast(queries.select(col("id").as("q_id"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"))
     topK(c.crossJoin(q).filter(col("q_id") =!= col("n_id")), k)
   }
 
   /** Bucketed (approximate) top-k: queries only scan the corpus bucket
     * matching their own sign-bucket. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val q = queries.select(col("id").as("q_id"), toDouble(col("vec")).as("qv"),
+    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"),
       signBucket(col("vec"), bits).as("bucket"))
-    val c = corpus.select(col("id").as("n_id"), toDouble(col("vec")).as("cv"),
+    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"),
       signBucket(col("vec"), bits).as("bucket"))
     topK(c.join(broadcast(q), Seq("bucket")).filter(col("q_id") =!= col("n_id")), k)
   }
@@ -49,7 +51,7 @@ object Ann {
     * (each bucket is a small dense block; cross-bucket pairs are
     * sacrificed for scalability). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col("id"), toDouble(col("vec")).as("v"),
+    val c = corpus.select(col("id"), col("vec").as("v"),
       signBucket(col("vec"), bits).as("bucket"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

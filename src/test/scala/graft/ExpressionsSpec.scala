@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.expressions.GraftExpressions
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends GraftSpec {
+
+  test("native dot_product equals the HOF fold bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(500)
+    val diff = pairs.select(
+      (VectorFunctions.dot(col("a"), col("b")) -
+        VectorFunctions.dotHof(
+          transform(col("a"), _.cast("double")),
+          transform(col("b"), _.cast("double")))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff === 0.0)
+  }
+
+  test("native poly_hash equals the HOF fold on the corpus") {
+    val n = Tables.documents(spark, sf)
+      .select(TextFunctions.polyHash(col("text")).as("a"),
+        TextFunctions.polyHashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n === 0)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val plan = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.dot(col("embedding"), col("embedding")),
+        GraftExpressions.poly_hash(col("vec_id").cast("string")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages
+    assert(plan.contains("*(1) Project [dotproduct"))
+  }
+
+  test("SQL registration via GraftExtensions") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT graft_dot(embedding, embedding) AS d,
+        |       graft_poly_hash(CAST(vec_id AS STRING)) AS h
+        |FROM emb_sql LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5 && r.forall(row => row.getDouble(0) > 0))
+  }
+
+  test("type errors are reported cleanly") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(1.0, 2.0))).toDF("ints", "dbls")
+    val e = intercept[Exception] {
+      df.select(GraftExpressions.dot_product(col("ints"), col("dbls"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("dot_product") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch") ||
+      e.getMessage.toLowerCase.contains("array"))
+  }
+}
