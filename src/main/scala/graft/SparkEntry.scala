@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, RangeClip, Sessionize}
+import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, RangeClip, Sessionize}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
@@ -268,6 +268,46 @@ object SparkEntry {
       StreamingOps.windowedCounts(Tables.events(s, d), "1 hour")
     },
 
+    // ---- dense padding (reference to_dense, §2.2) ----------------------
+    "scan_to_dense" -> { (s, d) =>
+      val fields = Seq(
+        FieldSpec("vec_id", LongType),
+        FieldSpec("embedding", FloatType, shape = Seq(100)))
+      TabularReader.fromParquet(s, Seq(s"$d/embeddings.parquet"),
+        TabularReader.Options(fields = fields, toDense = true, denseDefault = 0.0f))
+    },
+
+    // ---- reference-shaped integration pipeline (§6) --------------------
+    "pipeline_taobao_shaped" -> { (s, d) =>
+      Pipelines.taobaoShaped(Tables.events(s, d), "purchase", windowSec = 3600L)
+    },
+
+    // ---- streaming thresholded AUC (reference metrics/auc.py; no exact
+    // SQL oracle — thresholded semantics; driver records rows-only) -----
+    "metric_auc_thresholded" -> { (s, d) =>
+      val agg = udaf(new Metrics.ThresholdedAuc(200))
+      Tables.events(s, d)
+        .select(
+          when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"),
+          least(col("value") / 200.0, lit(1.0)).as("p"))
+        .agg(agg(col("y"), col("p")).as("auc"))
+    },
+
+    // ---- real Structured Streaming through the gate --------------------
+    "stream_dedup_ids" -> { (s, d) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
+      Tables.events(s, d).select("event_id").write.mode("overwrite").parquet(dir)
+      val schema = s.read.parquet(dir).schema
+      val name = "gate_dedup_" + math.abs(dir.hashCode)
+      val q = StreamingOps.statefulDedup(s,
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir).as[Long])
+        .toDF("event_id")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+    },
+
     // ---- multimodal binary plumbing ------------------------------------
     "multimodal_features" -> { (s, d) =>
       val packed = Multimodal.packBinary(
@@ -512,6 +552,26 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "scan_to_dense" ->
+      """SELECT vec_id,
+        |  (embedding || [CAST(0.0 AS FLOAT) FOR i IN range(greatest(0, 100 - len(embedding)))])[1:100]
+        |    AS embedding
+        |FROM embeddings""".stripMargin,
+    "pipeline_taobao_shaped" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
+        |h AS (SELECT user_id,
+        |  list(struct_pack(t := tsec, eid := event_id, v := value)
+        |       ORDER BY tsec, event_id) AS hist
+        |  FROM e GROUP BY user_id)
+        |SELECT c.event_id, c.user_id,
+        |  CAST(len(list_filter(h.hist,
+        |    s -> s.t >= c.tsec - 3600 AND s.t < c.tsec)) AS BIGINT) AS n_hist,
+        |  list_transform(list_filter(h.hist,
+        |    s -> s.t >= c.tsec - 3600 AND s.t < c.tsec), s -> s.v) AS recent_vals
+        |FROM e c JOIN h USING (user_id) WHERE c.event_type = 'purchase'""".stripMargin,
+    "stream_dedup_ids" ->
+      "SELECT DISTINCT event_id FROM events",
     "multimodal_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |  list_transform(list_filter(string_to_array(substr(text,1,8),''), c -> len(c) > 0),
