@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, RangeClip, Sessionize}
+import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, RangeClip, Sessionize, SkewJoin}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
@@ -112,6 +112,14 @@ object SparkEntry {
         Tables.events(s, d).select(col("event_id"), col("user_id")),
         "user_id", cache, "vec_id")
       misses
+    },
+
+    "join_salted_skew" -> { (s, d) =>
+      // skew-mitigated equi-join: result set identical to the plain join
+      val dim = Tables.embeddings(s, d).select(col("vec_id").as("user_id"), col("label"))
+      SkewJoin.salted(
+        Tables.events(s, d).select(col("event_id"), col("user_id")),
+        dim, "user_id", saltFactor = 8)
     },
 
     // ---- ordered collect / range clip (reference §2.7-2.8) -------------
@@ -366,6 +374,9 @@ object SparkEntry {
     "lookup_cache_miss" ->
       """SELECT event_id, user_id FROM events
         |WHERE user_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id < 50)""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT user_id, event_id, label
+        |FROM events JOIN embeddings ON user_id = vec_id""".stripMargin,
     "groupby_collect_sorted" ->
       """SELECT user_id AS key, list(event_type ORDER BY event_id) AS history
         |FROM events GROUP BY user_id""".stripMargin,
