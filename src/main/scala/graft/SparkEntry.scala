@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, RangeClip, Sessionize, SkewJoin}
+import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, Sessionize, SkewJoin}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
@@ -274,6 +274,42 @@ object SparkEntry {
     // ---- streaming-shaped windowed aggregation (reference §2.11) -------
     "stream_window_counts" -> { (s, d) =>
       StreamingOps.windowedCounts(Tables.events(s, d), "1 hour")
+    },
+
+    // ---- ragged structural conversions (reference to_sparse, §1.1) -----
+    "ragged_to_coo" -> { (s, d) =>
+      Ragged.toCoo(Tables.documents(s, d), col("doc_id"),
+        TextFunctions.tokenize(col("text")))
+        .select(col("key").as("doc_id"), col("pos").cast("long").as("pos"),
+          col("value").as("token"))
+    },
+
+    // ---- reference-exact consecutive GAUC (gauc.cc:100-116) ------------
+    "metric_gauc_consecutive" -> { (s, d) =>
+      Metrics.gaucConsecutive(Tables.events(s, d), col("event_id"), col("user_id"),
+        col("event_type") === "error", col("value"))
+    },
+
+    // ---- Criteo-shaped wide frame: defaults + norm/log + dim lookup ----
+    "pipeline_criteo_shaped" -> { (s, d) =>
+      val fields = Seq(
+        FieldSpec("l_orderkey", LongType),
+        FieldSpec("l_partkey", LongType),
+        FieldSpec("l_quantity", DoubleType),
+        FieldSpec("l_extendedprice", DoubleType),
+        FieldSpec("l_returnflag", StringType),
+        FieldSpec("if13", LongType, defaultValue = Some(0L))) // missing -> default
+      val li = TabularReader.fromParquet(s, Seq(s"$d/lineitem.parquet"),
+        TabularReader.Options(fields = fields))
+        .select(
+          col("l_orderkey"), col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"),
+          round(log(lit(1.0) + col("l_quantity")), 9).as("qty_log"),
+          (col("l_extendedprice") / 65536.0).as("price_norm"),
+          col("if13"))
+      val dim = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      li.join(broadcast(dim), li("l_partkey") === dim("p_partkey"), "left")
+        .drop("p_partkey")
     },
 
     // ---- dense padding (reference to_dense, §2.2) ----------------------
@@ -563,6 +599,44 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ragged_to_coo" ->
+      """SELECT doc_id,
+        |  generate_subscripts(string_split(text,' '), 1) - 1 AS pos,
+        |  unnest(string_split(text,' ')) AS token
+        |FROM documents""".stripMargin,
+    "metric_gauc_consecutive" ->
+      """WITH base AS (
+        |  SELECT event_id AS o, user_id AS ind, value AS s,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |runs AS (
+        |  SELECT *, CASE WHEN lag(ind) OVER (ORDER BY o) IS NULL
+        |                   OR lag(ind) OVER (ORDER BY o) != ind THEN 1 ELSE 0 END AS isNew
+        |  FROM base),
+        |grps AS (
+        |  SELECT *, SUM(isNew) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM runs),
+        |ranked AS (
+        |  SELECT grp, y,
+        |         rank() OVER (PARTITION BY grp ORDER BY s)
+        |           + (COUNT(*) OVER (PARTITION BY grp, s) - 1) / 2.0 AS avgRank
+        |  FROM grps WHERE grp > 1),
+        |pg AS (
+        |  SELECT grp, SUM(CASE WHEN y = 1 THEN avgRank ELSE 0 END) AS posRankSum,
+        |         SUM(y) AS p, SUM(1 - y) AS n, COUNT(*) AS cnt
+        |  FROM ranked GROUP BY grp),
+        |pa AS (
+        |  SELECT (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
+        |  FROM pg WHERE p > 0 AND n > 0)
+        |SELECT ROUND(SUM(auc * cnt) / SUM(cnt), 9) AS gauc FROM pa""".stripMargin,
+    "pipeline_criteo_shaped" ->
+      """SELECT l_orderkey, l_partkey,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+        |  round(ln(1.0 + l_quantity), 9) AS qty_log,
+        |  l_extendedprice / 65536.0 AS price_norm,
+        |  CAST(0 AS BIGINT) AS if13,
+        |  p_brand
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin,
     "scan_to_dense" ->
       """SELECT vec_id,
         |  (embedding || [CAST(0.0 AS FLOAT) FOR i IN range(greatest(0, 100 - len(embedding)))])[1:100]

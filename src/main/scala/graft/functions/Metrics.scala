@@ -94,6 +94,36 @@ object Metrics {
     gaucPerGroup(df, group, label, score)
       .agg((sum(col("auc") * col("cnt")) / sum(col("cnt"))).as("gauc"))
 
+  /** Reference-exact GAUC ("bench-compat" mode): groups are *consecutive*
+    * runs of equal indicators in `ord` order, and the first group is
+    * dropped as warm-up — faithful to metrics/gauc.cc:100-116. Requires
+    * a global order, so the run-detection window is single-partition;
+    * use [[gauc]] (clean groupBy semantics) at scale.
+    */
+  def gaucConsecutive(df: DataFrame, ord: Column, indicator: Column,
+      label: Column, score: Column, skipFirst: Boolean = true): DataFrame = {
+    val w = Window.orderBy(col("o"))
+    val runs = df
+      .select(ord.as("o"), indicator.as("ind"), score.as("s"), label.cast("int").as("y"))
+      .withColumn("isNew",
+        when(lag(col("ind"), 1).over(w).isNull
+          || lag(col("ind"), 1).over(w) =!= col("ind"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("isNew")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val eligible = if (skipFirst) runs.filter(col("grp") > 1) else runs
+    val wRank = Window.partitionBy(col("grp")).orderBy(col("s"))
+    val wTies = Window.partitionBy(col("grp"), col("s"))
+    eligible
+      .withColumn("avgRank", rank().over(wRank) + (count(lit(1)).over(wTies) - 1).cast("double") / 2.0)
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("y") === 1, col("avgRank")).otherwise(0.0)).as("posRankSum"),
+        sum(col("y")).as("p"), sum(lit(1) - col("y")).as("n"), count(lit(1)).as("cnt"))
+      .filter(col("p") > 0 && col("n") > 0)
+      .select(((col("posRankSum") - col("p").cast("double") * (col("p") + 1).cast("double") / 2.0)
+        / (col("p").cast("double") * col("n").cast("double"))).as("auc"), col("cnt"))
+      .agg(round(sum(col("auc") * col("cnt")) / sum(col("cnt")), 9).as("gauc"))
+  }
+
   /** Streaming confusion-matrix AUC — the reference's formulation
     * (metrics/auc.py:38-185): accumulate TP/FP/TN/FN at `numThresholds`
     * evenly spaced thresholds, finish with trapezoidal integration over
