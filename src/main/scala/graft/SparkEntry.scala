@@ -326,15 +326,14 @@ object SparkEntry {
       Pipelines.taobaoShaped(Tables.events(s, d), "purchase", windowSec = 3600L)
     },
 
-    // ---- streaming thresholded AUC (reference metrics/auc.py; no exact
-    // SQL oracle — thresholded semantics; driver records rows-only) -----
+    // ---- streaming thresholded AUC (reference metrics/auc.py) ----------
     "metric_auc_thresholded" -> { (s, d) =>
       val agg = udaf(new Metrics.ThresholdedAuc(200))
       Tables.events(s, d)
         .select(
           when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"),
           least(col("value") / 200.0, lit(1.0)).as("p"))
-        .agg(agg(col("y"), col("p")).as("auc"))
+        .agg(round(agg(col("y"), col("p")), 9).as("auc"))
     },
 
     // ---- real Structured Streaming through the gate --------------------
@@ -599,6 +598,30 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "metric_auc_thresholded" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+        |         least(value / 200.0, 1.0) AS p
+        |  FROM events),
+        |th AS (
+        |  SELECT i, CASE WHEN i = 0 THEN -0.0000001
+        |                 WHEN i = 199 THEN 1.0000001
+        |                 ELSE i / 199.0 END AS t
+        |  FROM range(200) r(i)),
+        |cm AS (
+        |  SELECT i,
+        |    SUM(CASE WHEN p > t AND y = 1 THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN p > t AND y = 0 THEN 1 ELSE 0 END) AS fp
+        |  FROM th CROSS JOIN base GROUP BY i),
+        |tot AS (SELECT SUM(y) AS pos, SUM(1 - y) AS neg FROM base),
+        |seg AS (
+        |  SELECT i,
+        |    tp / CAST(pos AS DOUBLE) AS tpr, fp / CAST(neg AS DOUBLE) AS fpr,
+        |    lead(tp) OVER (ORDER BY i) / CAST(pos AS DOUBLE) AS tprN,
+        |    lead(fp) OVER (ORDER BY i) / CAST(neg AS DOUBLE) AS fprN
+        |  FROM cm, tot)
+        |SELECT ROUND(SUM((fpr - fprN) * (tpr + tprN) / 2.0), 9) AS auc
+        |FROM seg WHERE i < 199""".stripMargin,
     "ragged_to_coo" ->
       """SELECT doc_id,
         |  generate_subscripts(string_split(text,' '), 1) - 1 AS pos,
