@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The Taobao-shaped pipeline is the reference's canonical workload:
+    * scan -> per-user ordered history collect -> left join + []-fill ->
+    * per-row event-time window clip (SURVEY §6). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_taobao_shaped")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> { (s, d) =>

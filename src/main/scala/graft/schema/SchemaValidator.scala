@@ -73,6 +73,18 @@ object SchemaValidator {
       case _ => false
     }
 
+  /** Strict-mode null rejection: the reference refuses null values
+    * outright (tensorflow/common/arrow.cc:189-191,371-373). Returns the
+    * per-column null counts that violate the contract (empty = clean).
+    * One pass, map-side combinable. */
+  def nullViolations(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    val counts = df.select(cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*).collect().head
+    cols.zipWithIndex.map { case (c, i) => c -> counts.getLong(i) }
+      .filter(_._2 > 0).toMap
+  }
+
   /** Cross-file validation: all files must share name/dtype/raggedRank
     * (mirrors data/validate.py). Returns per-file mismatch reports;
     * empty result means the set is consistent. */

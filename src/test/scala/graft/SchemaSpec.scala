@@ -66,6 +66,15 @@ class SchemaSpec extends GraftSpec {
     }
   }
 
+  test("strict null rejection reports per-column violations (reference refuses nulls)") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None, "b"), (None, "c")).toDF("x", "y")
+    val v = SchemaValidator.nullViolations(df, Seq("x", "y"))
+    assert(v === Map("x" -> 2L))
+    assert(SchemaValidator.nullViolations(Tables.lineitem(spark, sf),
+      Seq("l_orderkey", "l_quantity")).isEmpty)
+  }
+
   test("padToLength pads and clips to the declared shape") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
