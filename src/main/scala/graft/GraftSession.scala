@@ -19,6 +19,7 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   def local(cores: String = "4", shufflePartitions: Option[Int] = None): SparkSession = {
     val s = configure(

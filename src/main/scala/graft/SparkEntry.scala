@@ -63,6 +63,49 @@ object SparkEntry {
           col("c_mktsegment"), col("o_totalprice"))
     },
 
+    "q3_shipping_priority" -> { (s, d) =>
+      // TPC-H Q3 shape: 3-way join + filtered agg + ordered top-k
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(12, 2)))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    "topk_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    "agg_distinct_parts" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+    },
+    "join_full_outer" -> { (s, d) =>
+      val users = Tables.events(s, d).select(col("user_id")).distinct()
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 30)
+        .select(col("vec_id"))
+      users.join(vecs, users("user_id") === vecs("vec_id"), "full_outer")
+        .select(col("user_id"), col("vec_id"))
+    },
+    "window_topn_per_user" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+    },
+
     // ---- block dedup (reference §2.4) ----------------------------------
     "dedup_block_roundtrip" -> { (s, d) =>
       val compressed = BlockDedup.compress(
@@ -383,6 +426,32 @@ object SparkEntry {
     "join_orders_customer" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "agg_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "join_full_outer" ->
+      """SELECT user_id, vec_id
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |FULL OUTER JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 30) v
+        |ON user_id = vec_id""".stripMargin,
+    "window_topn_per_user" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn
+        |FROM events
+        |QUALIFY rn <= 3""".stripMargin,
     "dedup_block_roundtrip" ->
       "SELECT event_id, event_type FROM events",
     "dedup_block_compressed" ->

@@ -87,14 +87,16 @@ object NearDup {
   def permB(i: Int): Long = (104659L * (i + 1)) % P
 
   /** MinHash signatures: (doc_id, m0..m{k-1}) — min over shingles of
-    * (a_i * polyHash(s) + b_i) mod P per permutation. One groupBy with k
-    * min-aggregates (map-side partial), no per-permutation shuffle. */
+    * (a_i * polyHash(s) + b_i) mod P per permutation. Computed entirely
+    * row-locally (hash the shingle array once, then k array_min passes)
+    * — NO shuffle: the explode+groupBy formulation moves every
+    * (doc, shingle) pair through an exchange, this moves nothing. */
   def minHashSignatures(sets: DataFrame, k: Int = 16): DataFrame = {
-    val hashed = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", polyHash(col("s")))
+    val withHashes = sets.select(col("doc_id"),
+      transform(col("shingles"), s => polyHash(s)).as("hs"))
     val mins = (0 until k).map(i =>
-      min((col("h") * permA(i) + permB(i)) % P).as(s"m$i"))
-    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      array_min(transform(col("hs"), h => (h * permA(i) + permB(i)) % P)).as(s"m$i"))
+    withHashes.select(col("doc_id") +: mins: _*)
   }
 
   /** Band hash: fold the band's signature slice with h = (h*31 + m) mod P. */
