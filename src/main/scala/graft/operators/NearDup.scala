@@ -133,7 +133,9 @@ object NearDup {
     * candidate pairs -> exact-Jaccard verification. */
   def minHashNearDups(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(docs, id, text, n).cache()
+    // no cache: every reuse of `sets` is a narrow scan+shingle pass, so
+    // recomputation is cheaper than a materialization barrier
+    val sets = shingleSets(docs, id, text, n)
     val cand = lshCandidates(minHashSignatures(sets, k), bands, k / bands)
     verifyJaccard(cand, sets, threshold)
   }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling primitives for training-data pipelines: deterministic
+  * seeded sampling, stratified (per-class) sampling, and negative
+  * downsampling — the usual class-imbalance tooling for recommender
+  * data. All narrow (per-row Bernoulli on a seeded hash), no shuffle,
+  * reproducible across runs and partition layouts.
+  */
+object Sampling {
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * hash(key, seed) mod 1e6 < fraction*1e6. Unlike `df.sample`, the
+    * decision depends only on the key — stable under re-partitioning
+    * and re-runs (the property pipelines need for reproducible
+    * train/test splits). */
+  def bernoulliByKey(df: DataFrame, key: Column, fraction: Double, seed: Long): DataFrame =
+    df.filter(pmod(xxhash64(key, lit(seed)), lit(1000000L)) < (fraction * 1e6).toLong)
+
+  /** Per-stratum fractions (e.g. downsample negatives): map of stratum
+    * value -> keep fraction; unlisted strata keep everything. */
+  def stratified(df: DataFrame, stratum: Column, key: Column,
+      fractions: Map[String, Double], seed: Long): DataFrame = {
+    val frac = fractions.foldLeft(lit(1.0)) { case (acc, (v, f)) =>
+      when(stratum === v, lit(f)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(key, lit(seed)), lit(1000000L)).cast("double") < frac * 1e6)
+  }
+
+  /** Negative downsampling for binary labels: keep all positives, a
+    * fraction of negatives — the standard CTR-data imbalance fix. */
+  def downsampleNegatives(df: DataFrame, label: Column, key: Column,
+      negativeFraction: Double, seed: Long): DataFrame =
+    df.filter(label ||
+      pmod(xxhash64(key, lit(seed)), lit(1000000L)) < (negativeFraction * 1e6).toLong)
+}

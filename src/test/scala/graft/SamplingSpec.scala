@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends GraftSpec {
+
+  lazy val events = Tables.events(spark, sf)
+
+  test("bernoulliByKey is deterministic and layout-invariant") {
+    val a = Sampling.bernoulliByKey(events, col("event_id"), 0.3, 7L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.bernoulliByKey(events.repartition(13), col("event_id"), 0.3, 7L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // fraction is approximately honored
+    val frac = a.size.toDouble / events.count()
+    assert(frac > 0.2 && frac < 0.4, s"got $frac")
+    // different seed -> different subset
+    val c = Sampling.bernoulliByKey(events, col("event_id"), 0.3, 8L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a !== c)
+  }
+
+  test("downsampleNegatives keeps every positive") {
+    val labeled = events.withColumn("y", col("event_type") === "error")
+    val out = Sampling.downsampleNegatives(labeled, col("y"), col("event_id"), 0.1, 1L)
+    val posIn = labeled.filter(col("y")).count()
+    val posOut = out.filter(col("y")).count()
+    assert(posOut === posIn)
+    assert(out.filter(!col("y")).count() < labeled.filter(!col("y")).count() / 5)
+  }
+
+  test("stratified honors per-stratum fractions") {
+    val out = Sampling.stratified(events, col("event_type"), col("event_id"),
+      Map("click" -> 0.0, "view" -> 1.0), 3L)
+    assert(out.filter(col("event_type") === "click").count() === 0)
+    assert(out.filter(col("event_type") === "view").count() ===
+      events.filter(col("event_type") === "view").count())
+  }
+}
