@@ -317,6 +317,28 @@ object SparkEntry {
         element_at(sequence(lit(1L), col("l_linenumber").cast("long")), 1).as("first_elem"))
     },
 
+    "scalar_json" -> { (s, d) =>
+      // JSON column extraction (superset; reference stores plain columns)
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+    },
+    "scalar_dates" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        trunc(col("o_orderdate"), "month").as("month_start")) // DateType
+    },
+    "agg_percentiles" -> { (s, d) =>
+      // exact interpolated percentiles (median etc.)
+      Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_quantity, 0.5)"), 9).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 9).as("p90"))
+    },
+
     // ---- streaming-shaped windowed aggregation (reference §2.11) -------
     "stream_window_counts" -> { (s, d) =>
       StreamingOps.windowedCounts(Tables.events(s, d), "1 hour")
@@ -666,6 +688,23 @@ object SparkEntry {
         |   CAST(l_linenumber AS BIGINT)] AS rep,
         |  range(1, CAST(l_linenumber AS BIGINT) + 1)[1] AS first_elem
         |FROM lineitem""".stripMargin,
+    "scalar_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events""".stripMargin,
+    "scalar_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 9) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "stream_window_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n
