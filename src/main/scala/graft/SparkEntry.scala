@@ -261,6 +261,27 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.bucketedTopK(emb.filter(col("id") < 16), emb, k = 5, bits = 6)
     },
+    "ann_topk_multiprobe" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.bucketedTopKMultiProbe(emb.filter(col("id") < 16), emb, k = 5, bits = 6, probes = 3)
+    },
+    "q5_local_supplier" -> { (s, d) =>
+      // TPC-H Q5 shape: 6-way join chain + filtered agg; exercises
+      // Catalyst join ordering + broadcast selection across dims
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val joined = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(12, 2)))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc)
+    },
 
     // ---- window functions / sorts (reference §2.8 + superset) ----------
     "window_rank_lag" -> { (s, d) =>
@@ -791,6 +812,30 @@ object SparkEntry {
         |FROM e c JOIN h USING (user_id) WHERE c.event_type = 'purchase'""".stripMargin,
     "stream_dedup_ids" ->
       "SELECT DISTINCT event_id FROM events",
+    "ann_topk_multiprobe" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),
+         |qp AS (SELECT vec_id, v, nrm,
+         |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4)]) AS bucket
+         |  FROM bkt WHERE vec_id < 16),
+         |p AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM qp q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+         |SELECT q_id, n_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
+         |FROM p QUALIFY rn <= 5""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |  list_transform(list_filter(string_to_array(substr(text,1,8),''), c -> len(c) > 0),

@@ -38,6 +38,27 @@ object Ann {
     topK(c.join(broadcast(q), Seq("bucket")).filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /** Multi-probe bucketed top-k: each query also probes the buckets
+    * reachable by flipping one of its first `probes` sign bits (the
+    * standard multi-probe LSH recall/scan trade — probes+1 buckets per
+    * query instead of 1). */
+  def bucketedTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8, probes: Int = 3): DataFrame = {
+    val base = signBucket(col("vec"), bits)
+    val probeBuckets = array(
+      base +: (0 until probes).map(j => base.bitwiseXOR(lit(1L << j))): _*)
+    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"),
+      explode(probeBuckets).as("bucket"))
+    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"),
+      signBucket(col("vec"), bits).as("bucket"))
+    topK(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("qv"), col("n_id"), col("cv"))
+        .distinct(), // a pair can match via several probes
+      k)
+  }
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Partition pruning: hive-partitioned layout + filters prune entire
+  * directories at planning time (the engine-level answer to the
+  * reference's row-group partition pruning, SURVEY §4 — Spark's is
+  * richer: predicate-driven, not just index-range). */
+class PruningSpec extends GraftSpec {
+
+  test("partitioned layout prunes non-matching partitions at plan time") {
+    val dir = Files.createTempDirectory("graft_parted").toString + "/events_by_type"
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "error")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
+    // only the matching partition's rows are read
+    assert(q.count() === Tables.events(spark, sf)
+      .filter(col("event_type") === "error").count())
+    val scanned = q.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scanned.forall(_.contains("event_type=error")),
+      s"scanned files outside the pruned partition: $scanned")
+  }
+
+  test("multi-probe ANN recall dominates single-probe") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(graft.operators.Ann.bruteForceTopK(queries, emb, 5))
+    val single = pairs(graft.operators.Ann.bucketedTopK(queries, emb, 5, bits = 6))
+    val multi = pairs(graft.operators.Ann.bucketedTopKMultiProbe(queries, emb, 5, bits = 6, probes = 3))
+    val rSingle = brute.intersect(single).size.toDouble / brute.size
+    val rMulti = brute.intersect(multi).size.toDouble / brute.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+  }
+}
