@@ -133,15 +133,14 @@ object Metrics {
     */
   final class ThresholdedAuc(numThresholds: Int = 200)
       extends Aggregator[(Double, Double), Array[Long], Double] {
-    // thresholds: -eps, 1/(T-1), 2/(T-1), ..., 1+eps (tf.metrics.auc layout)
+    // thresholds: -eps, 1/(T-1), 2/(T-1), ..., 1+eps (tf.metrics.auc
+    // layout); built once per task, not per row — reduce() is the hot loop
     private val kEps = 1e-7
-    private def thresholds: Array[Double] = {
-      val t = Array.tabulate(numThresholds)(i =>
+    @transient private lazy val thresholds: Array[Double] =
+      Array.tabulate(numThresholds)(i =>
         if (i == 0) -kEps
         else if (i == numThresholds - 1) 1.0 + kEps
         else (i.toDouble) / (numThresholds - 1))
-      t
-    }
 
     override def zero: Array[Long] = new Array[Long](2 * numThresholds + 2)
 

@@ -19,9 +19,12 @@ object VectorFunctions {
     expressions.GraftExpressions.dot_product(a, b)
 
   /** Reference formulation via higher-order functions — kept as the
-    * semantic spec for [[dot]] (asserted equal in tests). */
+    * semantic spec for [[dot]] (asserted equal in tests). Elements are
+    * widened to double BEFORE multiplying, matching the native kernel's
+    * float path (a float×float multiply would round differently). */
   def dotHof(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 

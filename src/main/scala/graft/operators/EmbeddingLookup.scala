@@ -31,16 +31,18 @@ object EmbeddingLookup {
       valueCols: Seq[String],
       broadcastDim: Boolean = false,
       preserveOrder: Boolean = false): DataFrame = {
-    val dim0 = table.select(col(keyCol) +: valueCols.map(col): _*)
+    // rename the dim key before joining: drop(keyCol) after a join would
+    // remove BOTH columns when idCol and keyCol share a name
+    val dim0 = table.select(col(keyCol).as("__dim_key") +: valueCols.map(col): _*)
     val dim = if (broadcastDim) broadcast(dim0) else dim0
     if (preserveOrder) {
       val withOrd = ids.withColumn("__pos", monotonically_increasing_id())
       withOrd
-        .join(dim, withOrd(idCol) === dim(keyCol), "left")
+        .join(dim, withOrd(idCol) === dim("__dim_key"), "left")
         .orderBy(col("__pos"))
-        .drop("__pos", keyCol)
+        .drop("__pos", "__dim_key")
     } else {
-      ids.join(dim, ids(idCol) === dim(keyCol), "left").drop(keyCol)
+      ids.join(dim, ids(idCol) === dim("__dim_key"), "left").drop("__dim_key")
     }
   }
 

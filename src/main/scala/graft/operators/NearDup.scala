@@ -53,10 +53,12 @@ object NearDup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+    // sizes is corpus-cardinality (one row/doc): no broadcast hint — let
+    // AQE pick broadcast when it fits and shuffle-join when it doesn't
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
     shared
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb")), "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)

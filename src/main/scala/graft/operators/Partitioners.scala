@@ -47,10 +47,20 @@ object Partitioners {
     * (reference: data/tabular/table.py:230-275). The reference's
     * Fisher-Yates over a bounded buffer is not bit-reproducible here;
     * our documented contract is a total order by `rand(seed)` (global
-    * shuffle) or per-partition sort (buffer-local analog). */
+    * shuffle) or per-partition sort (buffer-local analog).
+    *
+    * NOTE: rand(seed) is seeded per-partition, so this permutation is
+    * reproducible only for a fixed input layout. For a layout-invariant
+    * seeded shuffle use [[shuffleRowsByKey]]. */
   def shuffleRows(df: DataFrame, seed: Long, global: Boolean = true): DataFrame =
     if (global) df.orderBy(rand(seed))
     else df.sortWithinPartitions(rand(seed))
+
+  /** Layout-invariant seeded shuffle: total order by a seeded hash of a
+    * (unique) key column — same permutation regardless of how the input
+    * is partitioned or re-read. */
+  def shuffleRowsByKey(df: DataFrame, key: Column, seed: Long): DataFrame =
+    df.orderBy(xxhash64(key, lit(seed)), key)
 
   /** Even splits — the sync-replicas/drop-remainder analog (reference:
     * data/sync/dataset_v2.py:34-104): balance rows across n partitions

@@ -40,7 +40,8 @@ object SchemaValidator {
   def validateFields(
       fileSchema: StructType,
       fields: Seq[FieldSpec],
-      caseInsensitive: Boolean = false): Seq[String] = {
+      caseInsensitive: Boolean = false,
+      strict: Boolean = false): Seq[String] = {
     requireDistinctNames(fileSchema, caseInsensitive)
     val key: String => String = n => if (caseInsensitive) n.toLowerCase else n
     val byName = FieldSpec.fromSchema(fileSchema).map(f => key(f.name) -> f).toMap
@@ -51,7 +52,8 @@ object SchemaValidator {
           Seq(s"field ${want.name}: missing from file and no default_value")
         case Some(got) =>
           val dtypeErr =
-            if (!compatibleLeaf(got.leafType, want.leafType))
+            if (if (strict) got.leafType != want.leafType
+                else !compatibleLeaf(got.leafType, want.leafType))
               Seq(s"field ${want.name}: leaf dtype ${got.leafType.simpleString} != declared ${want.leafType.simpleString}")
             else Nil
           val rankErr =
@@ -80,7 +82,8 @@ object SchemaValidator {
   def nullViolations(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Map[String, Long] = {
     import org.apache.spark.sql.functions._
     val counts = df.select(cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*).collect().head
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c)): _*)
+      .collect().head
     cols.zipWithIndex.map { case (c, i) => c -> counts.getLong(i) }
       .filter(_._2 > 0).toMap
   }
@@ -98,7 +101,10 @@ object SchemaValidator {
     val refFields = FieldSpec.fromSchema(spark.read.format(format).load(paths.head).schema)
     paths.flatMap { p =>
       val schema = spark.read.format(format).load(p).schema
-      val errs = validateFields(schema, refFields, caseInsensitive)
+      // strict: cross-file consistency is exact-match (the reference's
+      // contract); widening tolerance would make the result depend on
+      // which file happens to come first
+      val errs = validateFields(schema, refFields, caseInsensitive, strict = true)
       val peekErr =
         if (peek > 0) {
           try { spark.read.format(format).load(p).limit(peek).collect(); Nil }

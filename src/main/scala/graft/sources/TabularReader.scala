@@ -74,10 +74,23 @@ object TabularReader {
   }
 
   private def projectExisting(raw: DataFrame, f: FieldSpec, opts: Options): Column = {
-    val c = col(resolveName(raw, f.name, opts.caseInsensitive))
+    val name = resolveName(raw, f.name, opts.caseInsensitive)
+    // enforce the declared leaf type: validation accepts widenings
+    // (int32->long, float->double), so the read must cast to keep the
+    // output schema equal to the declared FieldSpec across files
+    val fileType = raw.schema(name).dataType
+    val c0 = col(name)
+    // cast only on a real type difference — nullability-only deltas in
+    // (nested) arrays are not castable and don't need to be
+    val c = if (sameIgnoringNullability(fileType, f.dataType)) c0 else c0.cast(f.dataType)
     if (opts.toDense && (f.raggedRank == 1 || f.shape.length == 1))
       padToLength(c, f.shape.headOption, opts.denseDefault, f.leafType)
     else c
+  }
+
+  private def sameIgnoringNullability(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ea, _), ArrayType(eb, _)) => sameIgnoringNullability(ea, eb)
+    case _ => a == b
   }
 
   private def resolveName(raw: DataFrame, name: String, ci: Boolean): String =

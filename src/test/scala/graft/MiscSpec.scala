@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{BlockDedup, Multimodal}
+import graft.schema.FieldSpec
+import graft.sources.TabularReader
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class MiscSpec extends GraftSpec {
+
+  test("approx_count_distinct (HLL sketch) lands within 5% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect().head
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("multimodal sampleStride takes every nth character code") {
+    import spark.implicits._
+    val out = Seq("abcdefg").toDF("t")
+      .select(Multimodal.sampleStride(col("t"), 3).as("s"))
+      .collect().head.getSeq[Int](0).toList
+    assert(out === List('a'.toInt, 'd'.toInt, 'g'.toInt))
+  }
+
+  test("block dedup compresses multiple key columns independently") {
+    val compressed = BlockDedup.compress(
+      Tables.events(spark, sf), col("user_id"), col("event_id"),
+      Seq("event_type", "value"))
+    assert(compressed.columns.toSet.intersect(
+      Set("event_type_uniq", "event_type_idx", "value_uniq", "value_idx")).size === 4)
+    // each restores independently to the original rows
+    Seq("event_type", "value").foreach { k =>
+      val restored = BlockDedup.restore(compressed, k)
+        .select(col("__ord").as("event_id"), col(k))
+      val orig = Tables.events(spark, sf).select("event_id", k)
+      assert(restored.exceptAll(orig).count() === 0, k)
+      assert(orig.exceptAll(restored).count() === 0, k) // no dropped rows either
+    }
+  }
+
+  test("uint64 maps to DecimalType(20,0) and survives a parquet round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_u64").toString + "/f"
+    // a value beyond Long.MaxValue — representable only as unsigned/decimal
+    val big = BigDecimal("18446744073709551615") // 2^64 - 1
+    val df = Seq(1L).toDF("id")
+      .withColumn("u", lit(big.bigDecimal).cast(FieldSpec.dtypeMapping("uint64")))
+    df.write.mode("overwrite").parquet(dir)
+    val back = TabularReader.fromParquet(spark, Seq(dir),
+      TabularReader.Options(fields = Seq(
+        FieldSpec("id", LongType),
+        FieldSpec("u", DecimalType(20, 0)))))
+    assert(back.collect().head.getDecimal(1) === big.bigDecimal)
+  }
+}

@@ -35,6 +35,23 @@ class OperatorsSpec extends GraftSpec {
     assert(a.sorted === c.sorted) // both are permutations of the input
   }
 
+  test("lookup keeps the id column when fact and dim keys share a name") {
+    val ids = events.select(col("event_id"), col("user_id").as("id"))
+    val dim = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("label"))
+    val out = EmbeddingLookup.lookup(ids, "id", dim, "id", Seq("label"))
+    assert(out.columns.toSeq === Seq("event_id", "id", "label"))
+    assert(out.count() === ids.count())
+  }
+
+  test("shuffleRowsByKey is invariant to input partition layout") {
+    val a = Partitioners.shuffleRowsByKey(events, col("event_id"), 5L)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val b = Partitioners.shuffleRowsByKey(events.repartition(17), col("event_id"), 5L)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    assert(a !== a.sorted) // actually shuffled
+  }
+
   test("embedding lookup preserves input order when asked") {
     val ids = events.select(col("event_id"), col("user_id")).orderBy(desc("event_id")).limit(100)
     val out = EmbeddingLookup.lookup(
