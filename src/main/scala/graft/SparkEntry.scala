@@ -40,6 +40,25 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
+    "scan_full_width" -> { (s, d) =>
+      // the reference's benchmark shape: full-width columnar scan
+      Tables.lineitem(s, d)
+    },
+    "metric_mean_aggregator" -> { (s, d) =>
+      // the typed Aggregator surface (reference's streaming mean
+      // metric-variable form) through the gate
+      val agg = udaf(new Metrics.MeanAggregator)
+      Tables.lineitem(s, d)
+        .agg(round(agg(col("l_quantity"), col("l_discount")), 9).as("wmean"))
+    },
+    "stream_sliding_counts" -> { (s, d) =>
+      // sliding event-time windows (1h window, 30m slide): each event
+      // lands in two windows
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    },
     "scan_projection_defaults" -> { (s, d) =>
       // TabularReader: projection + missing-field default population
       // (reference: populate_defaults, dataframe.py:458-501).
@@ -464,6 +483,22 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "scan_full_width" ->
+      "SELECT * FROM lineitem",
+    "metric_mean_aggregator" ->
+      """SELECT round(SUM(l_quantity * l_discount) / SUM(l_discount), 9) AS wmean
+        |FROM lineitem""".stripMargin,
+    "stream_sliding_counts" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start,
+        |    ts
+        |  FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM e
+        |WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+        |GROUP BY window_start, event_type""".stripMargin,
     "scan_projection_defaults" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, CAST(42 AS BIGINT) AS missing_feat FROM lineitem",
     "join_orders_customer" ->
