@@ -4,7 +4,7 @@ import graft.functions.{Metrics, TextFunctions}
 import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, Sessionize, SkewJoin}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
-import graft.sources.TabularReader
+import graft.sources.{TabularReader, TabularWriter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -444,6 +444,16 @@ object SparkEntry {
         .agg(round(agg(col("y"), col("p")), 9).as("auc"))
     },
 
+    // ---- ORC scan path through the gate --------------------------------
+    "scan_orc_roundtrip" -> { (s, d) =>
+      // stage the events table as ORC, read it back through the ORC
+      // reader surface — same rows as the parquet original
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc_gate").toString + "/ev"
+      TabularWriter.toOrc(Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")), dir)
+      TabularReader.fromOrc(s, Seq(dir))
+    },
+
     // ---- real Structured Streaming through the gate --------------------
     "stream_dedup_ids" -> { (s, d) =>
       import s.implicits._
@@ -845,6 +855,8 @@ object SparkEntry {
         |  list_transform(list_filter(h.hist,
         |    s -> s.t >= c.tsec - 3600 AND s.t < c.tsec), s -> s.v) AS recent_vals
         |FROM e c JOIN h USING (user_id) WHERE c.event_type = 'purchase'""".stripMargin,
+    "scan_orc_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "stream_dedup_ids" ->
       "SELECT DISTINCT event_id FROM events",
     "ann_topk_multiprobe" ->

@@ -179,7 +179,11 @@ object Metrics {
       auc
     }
 
-    override def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    // ExpressionEncoder (ArrayType(LongType)) — columnar serialization of
+    // the partial buffers; javaSerialization would round-trip the whole
+    // array through ObjectOutputStream on every partial merge
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 
