@@ -28,7 +28,10 @@ object TabularReader {
       skipCorrupted: Boolean = false, // skip_corrupted_data (dataset.cc:263-267)
       toDense: Boolean = false, // pad ragged columns (dataframe.py:332-345)
       denseDefault: Any = 0L, // pad value when toDense
-      validate: Boolean = true)
+      validate: Boolean = true,
+      // field_map_fn (table.py:83): transform the (inferred or declared)
+      // field list before the read — rename/re-type/drop hooks
+      fieldMapFn: Option[Seq[FieldSpec] => Seq[FieldSpec]] = None)
 
   def fromParquet(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
     read(spark, "parquet", paths, opts)
@@ -47,13 +50,18 @@ object TabularReader {
       .option("ignoreCorruptFiles", opts.skipCorrupted.toString)
     val raw = reader.load(paths: _*)
 
-    if (opts.fields.isEmpty) {
+    val declared =
+      if (opts.fields.nonEmpty) opts.fields
+      else graft.schema.FieldSpec.fromSchema(raw.schema)
+    val fields = opts.fieldMapFn.fold(declared)(_(declared))
+
+    if (opts.fields.isEmpty && opts.fieldMapFn.isEmpty) {
       SchemaValidator.requireDistinctNames(raw.schema, opts.caseInsensitive)
       return raw
     }
 
     if (opts.validate) {
-      val errs = SchemaValidator.validateFields(raw.schema, opts.fields, opts.caseInsensitive)
+      val errs = SchemaValidator.validateFields(raw.schema, fields, opts.caseInsensitive)
       require(errs.isEmpty, s"schema validation failed:\n  ${errs.mkString("\n  ")}")
     }
 
@@ -64,7 +72,7 @@ object TabularReader {
     // missing fields are populated from their declared default, tiled to
     // every row — the analog of DataFrame.populate_defaults
     // (dataframe.py:458-501).
-    val cols: Seq[Column] = opts.fields.map { f =>
+    val cols: Seq[Column] = fields.map { f =>
       val base =
         if (present.contains(key(f.name))) projectExisting(raw, f, opts)
         else defaultColumn(f)

@@ -59,6 +59,16 @@ class SchemaSpec extends GraftSpec {
     assert(df.select("ghost").distinct().collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
 
+  test("TabularReader: fieldMapFn transforms the field list before the read") {
+    // the reference's field_map_fn hook (table.py:83): drop + re-type
+    val df = TabularReader.fromParquet(spark, Seq(s"$sf/lineitem.parquet"),
+      TabularReader.Options(fieldMapFn = Some(fs =>
+        fs.filter(f => Set("l_orderkey", "l_linenumber").contains(f.name))
+          .map(f => if (f.name == "l_linenumber") f.copy(leafType = LongType) else f))))
+    assert(df.columns.toSeq === Seq("l_orderkey", "l_linenumber"))
+    assert(df.schema("l_linenumber").dataType === LongType) // re-typed via cast
+  }
+
   test("TabularReader: strict validation rejects unknown field without default") {
     assertThrows[IllegalArgumentException] {
       TabularReader.fromParquet(spark, Seq(s"$sf/lineitem.parquet"),
