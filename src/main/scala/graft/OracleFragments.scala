@@ -61,6 +61,21 @@ object OracleFragments {
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Shared GAUC CTEs (names: ranked, pg): per-user average ranks + the
+    * per-group rank sums the AUC formula needs. Mirrors
+    * Metrics.withAvgRank/groupAuc. */
+  val gaucCtes: String =
+    """ranked AS (
+      |  SELECT user_id AS g,
+      |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+      |         rank() OVER (PARTITION BY user_id ORDER BY value)
+      |           + (COUNT(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS avgRank
+      |  FROM events),
+      |pg AS (
+      |  SELECT g, SUM(CASE WHEN y = 1 THEN avgRank ELSE 0 END) AS posRankSum,
+      |         SUM(y) AS p, SUM(1 - y) AS n, COUNT(*) AS cnt
+      |  FROM ranked GROUP BY g)""".stripMargin
+
   /** Embeddings as double vectors with norms (names: e, nv). */
   val vectorCtes: String =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -73,6 +88,12 @@ object OracleFragments {
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(list_zip($a.v, $b.v), z -> z[1]*z[2])), (p,x) -> p+x)
        |  / ($a.nrm * $b.nrm)""".stripMargin
+
+  /** Top-k select over a pair CTE `p(q_id, n_id, cosine)`. */
+  def annTopkSelectSql(k: Int): String =
+    s"""SELECT q_id, n_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
+       |FROM p QUALIFY rn <= $k""".stripMargin
 
   /** Sign bucket over the first `bits` dims of double vector `v`. */
   def signBucketSql(bits: Int): String =

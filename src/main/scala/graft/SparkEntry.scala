@@ -461,11 +461,17 @@ object SparkEntry {
       Tables.events(s, d).select("event_id").write.mode("overwrite").parquet(dir)
       val schema = s.read.parquet(dir).schema
       val name = "gate_dedup_" + math.abs(dir.hashCode)
-      val q = StreamingOps.statefulDedup(s,
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir).as[Long])
-        .toDF("event_id")
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      q.processAllAvailable(); q.stop()
+      // keyed state opens one state store per shuffle partition per
+      // micro-batch; narrow the width for this small stateful query
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingOps.statefulDedup(s,
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir).as[Long])
+          .toDF("event_id")
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
     },
 
@@ -603,34 +609,16 @@ object SparkEntry {
         |     / (CAST(SUM(pos) AS DOUBLE) * SUM(cnt - pos)) AS auc
         |FROM r""".stripMargin,
     "metric_gauc" ->
-      """WITH ranked AS (
-        |  SELECT user_id AS g,
-        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
-        |         rank() OVER (PARTITION BY user_id ORDER BY value)
-        |           + (COUNT(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS avgRank
-        |  FROM events),
-        |pg AS (
-        |  SELECT g, SUM(CASE WHEN y = 1 THEN avgRank ELSE 0 END) AS posRankSum,
-        |         SUM(y) AS p, SUM(1 - y) AS n, COUNT(*) AS cnt
-        |  FROM ranked GROUP BY g),
-        |pa AS (
-        |  SELECT g, (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
-        |  FROM pg WHERE p > 0 AND n > 0)
-        |SELECT ROUND(SUM(auc * cnt) / SUM(cnt), 9) AS gauc FROM pa""".stripMargin,
+      s"""WITH ${OracleFragments.gaucCtes},
+         |pa AS (
+         |  SELECT g, (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
+         |  FROM pg WHERE p > 0 AND n > 0)
+         |SELECT ROUND(SUM(auc * cnt) / SUM(cnt), 9) AS gauc FROM pa""".stripMargin,
     "metric_gauc_per_group" ->
-      """WITH ranked AS (
-        |  SELECT user_id AS g,
-        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
-        |         rank() OVER (PARTITION BY user_id ORDER BY value)
-        |           + (COUNT(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS avgRank
-        |  FROM events),
-        |pg AS (
-        |  SELECT g, SUM(CASE WHEN y = 1 THEN avgRank ELSE 0 END) AS posRankSum,
-        |         SUM(y) AS p, SUM(1 - y) AS n, COUNT(*) AS cnt
-        |  FROM ranked GROUP BY g)
-        |SELECT g AS "group",
-        |       (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
-        |FROM pg WHERE p > 0 AND n > 0""".stripMargin,
+      s"""WITH ${OracleFragments.gaucCtes}
+         |SELECT g AS "group",
+         |       (posRankSum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n) AS auc, cnt
+         |FROM pg WHERE p > 0 AND n > 0""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)
          |SELECT doc_id,
@@ -692,9 +680,7 @@ object SparkEntry {
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          |  ${OracleFragments.cosineSql("q", "c")} AS cosine
          |  FROM nv q JOIN nv c ON c.vec_id != q.vec_id WHERE q.vec_id < 16)
-         |SELECT q_id, n_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
-         |FROM p QUALIFY rn <= 5""".stripMargin,
+         |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
     "ann_topk_bucketed" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),
@@ -702,9 +688,7 @@ object SparkEntry {
          |  ${OracleFragments.cosineSql("q", "c")} AS cosine
          |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 16)
-         |SELECT q_id, n_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
-         |FROM p QUALIFY rn <= 5""".stripMargin,
+         |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
     "window_rank_lag" ->
       """WITH e AS (SELECT event_id, user_id, value,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events)
@@ -868,9 +852,7 @@ object SparkEntry {
          |p AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
          |  ${OracleFragments.cosineSql("q", "c")} AS cosine
          |  FROM qp q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
-         |SELECT q_id, n_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
-         |FROM p QUALIFY rn <= 5""".stripMargin,
+         |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -68,14 +68,17 @@ object Metrics {
     * group key (one shuffle), never a global sort.
     * Returns per-group rows: (group, auc, cnt).
     */
-  def gaucPerGroup(df: DataFrame, group: Column, label: Column, score: Column): DataFrame = {
-    val base = df.select(group.as("g"), score.as("s"), label.cast("int").as("y"))
-    val wRank = Window.partitionBy(col("g")).orderBy(col("s"))
-    val wTies = Window.partitionBy(col("g"), col("s"))
-    val ranked = base
-      .withColumn("avgRank", rank().over(wRank) + (count(lit(1)).over(wTies) - 1).cast("double") / 2.0)
-    ranked
-      .groupBy(col("g").as("group"))
+  /** Average rank (ties averaged) of `score` within `grp` — the shared
+    * building block of every rank-formula AUC here. */
+  private def withAvgRank(df: DataFrame, grp: Column, score: Column): DataFrame =
+    df.withColumn("avgRank",
+      rank().over(Window.partitionBy(grp).orderBy(score))
+        + (count(lit(1)).over(Window.partitionBy(grp, score)) - 1).cast("double") / 2.0)
+
+  /** Per-group Mann-Whitney AUC from an avgRank'd frame with int column
+    * `y`; single-class groups dropped. Output: (group, auc, cnt). */
+  private def groupAuc(ranked: DataFrame, grp: Column): DataFrame =
+    ranked.groupBy(grp.as("group"))
       .agg(
         sum(when(col("y") === 1, col("avgRank")).otherwise(0.0)).as("posRankSum"),
         sum(col("y")).as("p"),
@@ -87,6 +90,10 @@ object Metrics {
         ((col("posRankSum") - col("p").cast("double") * (col("p") + 1).cast("double") / 2.0)
           / (col("p").cast("double") * col("n").cast("double"))).as("auc"),
         col("cnt"))
+
+  def gaucPerGroup(df: DataFrame, group: Column, label: Column, score: Column): DataFrame = {
+    val base = df.select(group.as("g"), score.as("s"), label.cast("int").as("y"))
+    groupAuc(withAvgRank(base, col("g"), col("s")), col("g"))
   }
 
   /** Final GAUC: count-weighted mean of the per-group AUCs. */
@@ -110,17 +117,7 @@ object Metrics {
           || lag(col("ind"), 1).over(w) =!= col("ind"), 1L).otherwise(0L))
       .withColumn("grp", sum(col("isNew")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
     val eligible = if (skipFirst) runs.filter(col("grp") > 1) else runs
-    val wRank = Window.partitionBy(col("grp")).orderBy(col("s"))
-    val wTies = Window.partitionBy(col("grp"), col("s"))
-    eligible
-      .withColumn("avgRank", rank().over(wRank) + (count(lit(1)).over(wTies) - 1).cast("double") / 2.0)
-      .groupBy(col("grp"))
-      .agg(
-        sum(when(col("y") === 1, col("avgRank")).otherwise(0.0)).as("posRankSum"),
-        sum(col("y")).as("p"), sum(lit(1) - col("y")).as("n"), count(lit(1)).as("cnt"))
-      .filter(col("p") > 0 && col("n") > 0)
-      .select(((col("posRankSum") - col("p").cast("double") * (col("p") + 1).cast("double") / 2.0)
-        / (col("p").cast("double") * col("n").cast("double"))).as("auc"), col("cnt"))
+    groupAuc(withAvgRank(eligible, col("grp"), col("s")), col("grp"))
       .agg(round(sum(col("auc") * col("cnt")) / sum(col("cnt")), 9).as("gauc"))
   }
 

@@ -55,7 +55,7 @@ object TextFunctions {
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "is")
 
   def stopwordCount(tokens: Column): Column =
-    size(filter(tokens, t => t.isin(StopwordsEn.map(x => x: Any): _*)))
+    size(filter(tokens, t => t.isin(StopwordsEn: _*)))
 
   /** Ratio of punctuation-ish characters (not lowercase-alnum or space). */
   def punctRatio(text: Column): Column =
