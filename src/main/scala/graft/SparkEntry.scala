@@ -125,6 +125,47 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("value"), col("rn"))
     },
 
+    "q6_forecast_revenue" -> { (s, d) =>
+      // TPC-H Q6 shape: multi-predicate filtered aggregate — all three
+      // predicates must reach the parquet scan
+      Tables.lineitem(s, d)
+        .filter(col("l_discount").between(0.02, 0.04) && col("l_quantity") < 20)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+          * col("l_discount").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("revenue"))
+    },
+    "q14_promo_share" -> { (s, d) =>
+      // TPC-H Q14 shape: join + conditional aggregation (CASE inside SUM)
+      val p = Tables.part(s, d)
+      val l = Tables.lineitem(s, d)
+      val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(12, 2)))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2))))
+          .cast(DoubleType) * 100.0
+          / sum(rev).cast(DoubleType)).as("promo_share"))
+    },
+    "scalar_strings" -> { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 3).as("prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+        length(col("p_name")).cast("long").as("name_len"),
+        col("p_name").like("%widget%").as("is_widget"),
+        replace(col("p_name"), lit(" "), lit("_")).as("snake"))
+    },
+    "scalar_arrays" -> { (s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        array_max(col("embedding")).as("vmax"),
+        array_min(col("embedding")).as("vmin"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
+    },
+
     // ---- block dedup (reference §2.4) ----------------------------------
     "dedup_block_roundtrip" -> { (s, d) =>
       val compressed = BlockDedup.compress(
@@ -546,6 +587,38 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn
         |FROM events
         |QUALIFY rn <= 3""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "scalar_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  substr(p_name, 1, 3) AS prefix,
+        |  concat_ws('|', p_brand, p_type) AS tag,
+        |  CAST(strlen(p_name) AS BIGINT) AS name_len,
+        |  p_name LIKE '%widget%' AS is_widget,
+        |  replace(p_name, ' ', '_') AS snake
+        |FROM part""".stripMargin,
+    "scalar_arrays" ->
+      """SELECT vec_id,
+        |  list_max(embedding) AS vmax,
+        |  list_min(embedding) AS vmin,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS first,
+        |  embedding[1:4] AS head4,
+        |  list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
+        |FROM embeddings""".stripMargin,
     "dedup_block_roundtrip" ->
       "SELECT event_id, event_type FROM events",
     "dedup_block_compressed" ->
