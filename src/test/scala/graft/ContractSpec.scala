@@ -1,0 +1,25 @@
+package graft
+
+/** Guards on the driver contract itself: every query entry must be
+  * runnable and every oracle key must reference an existing query — a
+  * stray key would silently weaken (or break) the driver's correctness
+  * gate. */
+class ContractSpec extends GraftSpec {
+
+  test("every oracle key has a query; every query has an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle keys without a query: ${o -- q}")
+    assert((q -- o).isEmpty, s"queries without an oracle (rows-only): ${q -- o}")
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL contains no tabs or carriage returns (json-dump hygiene)") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.contains('\t') && !sql.contains('\r'), k)
+    }
+  }
+}
