@@ -28,6 +28,26 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming metric aggregation (MeanAggregator) equals the batch value") {
+    // the reference's metrics are streaming accumulate+merge
+    // (metrics/mean.py) — the same typed Aggregator runs unchanged on a
+    // micro-batched stream with complete output
+    val dir = Files.createTempDirectory("graft_stream_metric").toString
+    val batch = Tables.events(spark, sf).select("value", "user_id")
+    batch.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val agg = udaf(new graft.functions.Metrics.MeanAggregator)
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+      .agg(agg(col("value"), lit(1.0)).as("mean"))
+      .writeStream.outputMode("complete").format("memory").queryName("stream_mean").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_mean").collect().head.getDouble(0)
+      val batched = batch.agg(agg(col("value"), lit(1.0))).collect().head.getDouble(0)
+      assert(math.abs(streamed - batched) < 1e-9, s"stream=$streamed batch=$batched")
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits each key exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup").toString
