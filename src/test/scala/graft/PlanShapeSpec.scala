@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-shape regressions: the scale-critical physical-plan properties
+  * (pushdown, broadcast, partial aggregation, distributed top-k, no
+  * cartesian products) asserted against the actual planned queries so a
+  * future refactor can't silently trade them away. */
+class PlanShapeSpec extends GraftSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to the parquet scan + map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q6: all value predicates reach the scan") {
+    // toString truncates long PushedFilters lists — assert via the data
+    // filters, which mirror what was pushed
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    assert(p.contains(">= 0.02") && p.contains("<= 0.04") && p.contains("< 20.0"))
+  }
+
+  test("lookup join broadcasts the dimension side") {
+    assert(plan("lookup_join").contains("BroadcastHashJoin"))
+  }
+
+  test("ordered top-k plans as distributed TakeOrderedAndProject, not a global sort") {
+    assert(plan("topk_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("near-dup pipelines plan no cartesian product") {
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_neardup")
+      .foreach { q => assert(!plan(q).contains("CartesianProduct"), q) }
+  }
+
+  test("projection-only scan reads only the projected columns") {
+    val p = plan("scan_projection_defaults")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+}
