@@ -61,6 +61,17 @@ object OracleFragments {
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** SimHash fingerprint CTEs (names: tokh, bits, fp). */
+  def simHashCtes(bits: Int): String =
+    s"""tokh AS (SELECT doc_id, ${polyHashSql("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
+       |bits AS (SELECT doc_id, i,
+       |  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+       |  FROM tokh CROSS JOIN range($bits) r(i) GROUP BY doc_id, i),
+       |fp AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** Shared GAUC CTEs (names: ranked, pg): per-user average ranks + the
     * per-group rank sums the AUC formula needs. Mirrors
     * Metrics.withAvgRank/groupAuc. */

@@ -306,6 +306,14 @@ object SparkEntry {
     "dedup_simhash" -> { (s, d) =>
       NearDup.simHash(Tables.documents(s, d), col("doc_id"), col("text"))
     },
+    "dedup_simhash_pairs" -> { (s, d) =>
+      // doc_id bound keeps the bench predictable: the synthetic corpus's
+      // tiny vocabulary makes hamming<=2 pairs genuinely dense (~5% of
+      // all pairs), so the full-corpus pair set grows quadratically
+      NearDup.simHashNearDups(
+        Tables.documents(s, d).filter(col("doc_id") < 2000),
+        col("doc_id"), col("text"), maxHamming = 2)
+    },
     "dedup_embedding_neardup" -> { (s, d) =>
       Ann.cosineNearDups(
         Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
@@ -732,14 +740,17 @@ object SparkEntry {
          |${OracleFragments.lshCandidateSql(4, 4)},
          |${OracleFragments.jaccardVerifySql(0.5)}""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH tokh AS (SELECT doc_id, ${OracleFragments.polyHashSql("t")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
-         |bits AS (SELECT doc_id, i,
-         |  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
-         |  FROM tokh CROSS JOIN range(${NearDup.SimHashBits}) r(i) GROUP BY doc_id, i)
-         |SELECT doc_id,
-         |  CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin,
+      s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits)}
+         |SELECT doc_id, simhash FROM fp""".stripMargin,
+    "dedup_simhash_pairs" ->
+      // brute-force hamming definition: the banded engine pipeline must
+      // reproduce it exactly (pigeonhole recall guarantee)
+      s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits).replace(
+             "FROM documents", "FROM documents WHERE doc_id < 2000")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "dedup_embedding_neardup" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(8)} AS bucket FROM nv)
