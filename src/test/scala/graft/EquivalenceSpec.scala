@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{EmbeddingLookup, Partitioners, RangeClip}
+import org.apache.spark.sql.functions._
+
+/** Cross-implementation equivalence and remaining goldens: different
+  * physical strategies for the same semantics must agree. */
+class EquivalenceSpec extends GraftSpec {
+
+  lazy val events = Tables.events(spark, sf)
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("lookupDedup (distinct-id prefetch) equals plain lookup") {
+    val ids = events.select(col("event_id"), col("user_id"))
+    val plain = EmbeddingLookup.lookup(ids, "user_id", emb, "vec_id", Seq("label"))
+      .select("event_id", "user_id", "label")
+    val deduped = EmbeddingLookup.lookupDedup(ids, "user_id", emb, "vec_id", Seq("label"))
+      .select("event_id", "user_id", "label")
+    assert(plain.exceptAll(deduped).count() === 0)
+    assert(deduped.exceptAll(plain).count() === 0)
+  }
+
+  test("dualModuloShard is a bijection onto (node, device) pairs") {
+    import spark.implicits._
+    val (node, dev) = Partitioners.dualModuloShard(col("id"), 4, 2)
+    val got = spark.range(0, 16).toDF("id")
+      .select(col("id"), node.as("n"), dev.as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ids 0..7 cover all 8 (node, device) pairs exactly once; 8..15 repeat
+    val firstCycle = got.filter(_._1 < 8).map(t => (t._2, t._3)).toSet
+    assert(firstCycle.size === 8)
+    got.foreach { case (id, n, d) =>
+      assert(n === (id % 8) % 4 && d === (id % 8) / 4, s"id=$id")
+    }
+  }
+
+  test("collectHistory golden: ts-ordered per-key values") {
+    import spark.implicits._
+    val df = Seq((1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "x"))
+      .toDF("k", "o", "v")
+    val got = RangeClip.collectHistory(df, col("k"), col("o"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got === Map(1L -> List("a", "b", "c"), 2L -> List("x")))
+  }
+
+  test("recentWindow frame excludes the current and future timestamps") {
+    import spark.implicits._
+    val df = Seq((1L, 100L, 1.0), (1L, 150L, 2.0), (1L, 200L, 3.0), (1L, 3000L, 4.0))
+      .toDF("k", "tsec", "v")
+    val w = RangeClip.recentWindow(col("k"), col("tsec"), before = 100L)
+    val got = df.select(col("tsec"), collect_list(col("v")).over(w).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    // frame [t-100, t-1]: 100 -> [], 150 -> [1.0], 200 -> [1.0, 2.0], 3000 -> []
+    assert(got(100L) === Nil)
+    assert(got(150L) === List(1.0))
+    assert(got(200L).toSet === Set(1.0, 2.0))
+    assert(got(3000L) === Nil)
+  }
+
+  test("accuracy via expression equals direct computation on events") {
+    val acc = events.agg(graft.functions.Metrics.accuracy(
+      col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)
+    val n = events.count().toDouble
+    val matches = events.filter(
+      (col("event_type") === "error") === (col("value") > 100.0)).count()
+    assert(acc === matches / n)
+  }
+}
