@@ -5,7 +5,7 @@ import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, P
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,6 +18,21 @@ import org.apache.spark.sql.types._
   * aliased identically in the Spark plan and the oracle SQL.
   */
 object SparkEntry {
+
+  /** Driver-checkable serialization of numeric array columns: the gate's
+    * pandas checker cannot sort ndarray cells, so every gated query's
+    * final projection must be scalar. Float→string formatting differs
+    * between engines, but `round(x*1e6)` in double math is bit-identical
+    * on both sides (IEEE widening + multiply + half-away-from-zero
+    * round), so arrays of floats/doubles travel as CSV of micro-scaled
+    * integers. Array-typed forms stay available via the operators and
+    * are covered by ScalaTest specs. */
+  private def numCsv(arr: Column): Column =
+    concat_ws(",", transform(arr, x => round(x.cast("double") * lit(1e6)).cast("long").cast("string")))
+
+  /** CSV of an integer/string array (formatting is engine-invariant). */
+  private def rawCsv(arr: Column): Column =
+    concat_ws(",", transform(arr, _.cast("string")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Taobao-shaped pipeline is the reference's canonical workload:
@@ -162,7 +177,7 @@ object SparkEntry {
         array_min(col("embedding")).as("vmin"),
         size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).as("first"),
-        slice(col("embedding"), 1, 4).as("head4"),
+        numCsv(slice(col("embedding"), 1, 4)).as("head4"),
         array_contains(col("embedding"), lit(0.0f)).as("has_zero"))
     },
 
@@ -176,7 +191,9 @@ object SparkEntry {
     "dedup_block_compressed" -> { (s, d) =>
       BlockDedup.compress(
         Tables.events(s, d), col("user_id"), col("event_id"), Seq("event_type"))
-        .select(col("block"), col("event_type_uniq"), col("event_type_idx"))
+        .select(col("block"),
+          rawCsv(col("event_type_uniq")).as("event_type_uniq"),
+          rawCsv(col("event_type_idx")).as("event_type_idx"))
     },
 
     // ---- partition / exchange (reference §2.5) -------------------------
@@ -232,6 +249,7 @@ object SparkEntry {
     "groupby_collect_sorted" -> { (s, d) =>
       RangeClip.collectHistory(
         Tables.events(s, d), col("user_id"), col("event_id"), col("event_type"))
+        .select(col("key"), rawCsv(col("history")).as("history"))
     },
     "range_clip_window" -> { (s, d) =>
       val e = Tables.events(s, d).withColumn("tsec", col("ts").cast("long"))
@@ -239,7 +257,7 @@ object SparkEntry {
       e.select(
         col("event_id"),
         count(lit(1)).over(w).as("n_recent"),
-        sort_array(collect_list(col("value")).over(w)).as("recent_vals"))
+        numCsv(sort_array(collect_list(col("value")).over(w))).as("recent_vals"))
     },
 
     // ---- metrics (reference §2.7) --------------------------------------
@@ -401,8 +419,8 @@ object SparkEntry {
         expr("l_orderkey div 7").as("dv"),
         round(log(lit(1.0) + col("l_extendedprice")), 9).as("log_price"),
         (col("l_extendedprice") / 32.0).as("price_norm"),
-        sequence(lit(1L), col("l_linenumber").cast("long")).as("seq"),
-        array_repeat(col("l_linenumber").cast("long"), 3).as("rep"),
+        rawCsv(sequence(lit(1L), col("l_linenumber").cast("long"))).as("seq"),
+        rawCsv(array_repeat(col("l_linenumber").cast("long"), 3)).as("rep"),
         element_at(sequence(lit(1L), col("l_linenumber").cast("long")), 1).as("first_elem"))
     },
 
@@ -476,11 +494,14 @@ object SparkEntry {
         FieldSpec("embedding", FloatType, shape = Seq(100)))
       TabularReader.fromParquet(s, Seq(s"$d/embeddings.parquet"),
         TabularReader.Options(fields = fields, toDense = true, denseDefault = 0.0f))
+        .select(col("vec_id"), numCsv(col("embedding")).as("embedding"))
     },
 
     // ---- reference-shaped integration pipeline (§6) --------------------
     "pipeline_taobao_shaped" -> { (s, d) =>
       Pipelines.taobaoShaped(Tables.events(s, d), "purchase", windowSec = 3600L)
+        .select(col("event_id"), col("user_id"), col("n_hist"),
+          numCsv(col("recent_vals")).as("recent_vals"))
     },
 
     // ---- streaming thresholded AUC (reference metrics/auc.py) ----------
@@ -531,7 +552,7 @@ object SparkEntry {
       packed.select(
         col("media_id"),
         col("meta.byte_len").cast("long").as("byte_len"),
-        Multimodal.asciiFeatures(decode(col("bytes"), "UTF-8"), 8).as("features"))
+        numCsv(Multimodal.asciiFeatures(decode(col("bytes"), "UTF-8"), 8)).as("features"))
     },
   )
 
@@ -624,7 +645,8 @@ object SparkEntry {
         |  list_min(embedding) AS vmin,
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  embedding[1] AS first,
-        |  embedding[1:4] AS head4,
+        |  array_to_string(list_transform(embedding[1:4],
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS head4,
         |  list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
         |FROM embeddings""".stripMargin,
     "dedup_block_roundtrip" ->
@@ -634,9 +656,9 @@ object SparkEntry {
         |  SELECT user_id AS block, list(event_type ORDER BY event_id) AS ordered
         |  FROM events GROUP BY user_id)
         |SELECT block,
-        |  list_sort(list_distinct(ordered)) AS event_type_uniq,
-        |  list_transform(ordered,
-        |    x -> CAST(list_position(list_sort(list_distinct(ordered)), x) - 1 AS BIGINT)) AS event_type_idx
+        |  array_to_string(list_sort(list_distinct(ordered)), ',') AS event_type_uniq,
+        |  array_to_string(list_transform(ordered,
+        |    x -> CAST(list_position(list_sort(list_distinct(ordered)), x) - 1 AS BIGINT)), ',') AS event_type_idx
         |FROM g""".stripMargin,
     "partition_modulo_shards" ->
       "SELECT user_id % 8 AS shard, COUNT(*) AS n FROM events GROUP BY shard",
@@ -660,12 +682,14 @@ object SparkEntry {
       """SELECT user_id, event_id, label
         |FROM events JOIN embeddings ON user_id = vec_id""".stripMargin,
     "groupby_collect_sorted" ->
-      """SELECT user_id AS key, list(event_type ORDER BY event_id) AS history
+      """SELECT user_id AS key,
+        |  array_to_string(list(event_type ORDER BY event_id), ',') AS history
         |FROM events GROUP BY user_id""".stripMargin,
     "range_clip_window" ->
       """SELECT event_id,
         |  COUNT(*) OVER w AS n_recent,
-        |  list_sort(COALESCE(list(value) OVER w, [])) AS recent_vals
+        |  COALESCE(array_to_string(list_transform(list_sort(COALESCE(list(value) OVER w, [])),
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ','), '') AS recent_vals
         |FROM (SELECT event_id, user_id, value,
         |        CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
@@ -817,9 +841,9 @@ object SparkEntry {
         |  l_orderkey // 7 AS dv,
         |  round(ln(1.0 + l_extendedprice), 9) AS log_price,
         |  l_extendedprice / 32.0 AS price_norm,
-        |  range(1, CAST(l_linenumber AS BIGINT) + 1) AS seq,
-        |  [CAST(l_linenumber AS BIGINT), CAST(l_linenumber AS BIGINT),
-        |   CAST(l_linenumber AS BIGINT)] AS rep,
+        |  array_to_string(range(1, CAST(l_linenumber AS BIGINT) + 1), ',') AS seq,
+        |  array_to_string([CAST(l_linenumber AS BIGINT), CAST(l_linenumber AS BIGINT),
+        |   CAST(l_linenumber AS BIGINT)], ',') AS rep,
         |  range(1, CAST(l_linenumber AS BIGINT) + 1)[1] AS first_elem
         |FROM lineitem""".stripMargin,
     "scalar_json" ->
@@ -907,8 +931,9 @@ object SparkEntry {
         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin,
     "scan_to_dense" ->
       """SELECT vec_id,
-        |  (embedding || [CAST(0.0 AS FLOAT) FOR i IN range(greatest(0, 100 - len(embedding)))])[1:100]
-        |    AS embedding
+        |  array_to_string(list_transform(
+        |    (embedding || [CAST(0.0 AS FLOAT) FOR i IN range(greatest(0, 100 - len(embedding)))])[1:100],
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS embedding
         |FROM embeddings""".stripMargin,
     "pipeline_taobao_shaped" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
@@ -920,8 +945,9 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id,
         |  CAST(len(list_filter(h.hist,
         |    s -> s.t >= c.tsec - 3600 AND s.t < c.tsec)) AS BIGINT) AS n_hist,
-        |  list_transform(list_filter(h.hist,
-        |    s -> s.t >= c.tsec - 3600 AND s.t < c.tsec), s -> s.v) AS recent_vals
+        |  COALESCE(array_to_string(list_transform(list_filter(h.hist,
+        |    s -> s.t >= c.tsec - 3600 AND s.t < c.tsec),
+        |    s -> CAST(round(CAST(s.v AS DOUBLE) * 1000000) AS BIGINT)), ','), '') AS recent_vals
         |FROM e c JOIN h USING (user_id) WHERE c.event_type = 'purchase'""".stripMargin,
     "scan_orc_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events",
@@ -951,8 +977,9 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-        |  list_transform(list_filter(string_to_array(substr(text,1,8),''), c -> len(c) > 0),
-        |    c -> ascii(c) / 255.0) AS features
+        |  array_to_string(list_transform(
+        |    list_filter(string_to_array(substr(text,1,8),''), c -> len(c) > 0),
+        |    c -> CAST(round(CAST(ascii(c) / 255.0 AS DOUBLE) * 1000000) AS BIGINT)), ',') AS features
         |FROM documents""".stripMargin,
   )
 }
