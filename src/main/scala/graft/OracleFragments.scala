@@ -10,12 +10,13 @@ import graft.operators.NearDup
   */
 object OracleFragments {
 
-  /** Polynomial char hash of a string-valued SQL expression. */
-  def polyHashSql(e: String): String =
+  /** Polynomial char hash of a string-valued SQL expression; `mult`
+    * selects the hash family (mirrors PolyHash's multiplier). */
+  def polyHashSql(e: String, mult: Long = 31L): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(list_filter(string_to_array($e,''), c -> len(c) > 0),
        |    c -> CAST(ascii(c) AS BIGINT))),
-       |  (a,c) -> (a*31+c) % $P)""".stripMargin
+       |  (a,c) -> (a*$mult+c) % $P)""".stripMargin
 
   val stopwordListSql: String = StopwordsEn.map(s => s"'$s'").mkString("(", ",", ")")
 
@@ -61,9 +62,11 @@ object OracleFragments {
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** SimHash fingerprint CTEs (names: tokh, bits, fp). */
+  /** SimHash fingerprint CTEs (names: tokh, bits, fp). Token hash =
+    * two independent mod-P families side by side (bits 0-29 / 30-59),
+    * mirroring NearDup.simHash. */
   def simHashCtes(bits: Int): String =
-    s"""tokh AS (SELECT doc_id, ${polyHashSql("t")} AS h
+    s"""tokh AS (SELECT doc_id, ${polyHashSql("t")} + (${polyHashSql("t", 131L)} << 30) AS h
        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
        |bits AS (SELECT doc_id, i,
        |  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w

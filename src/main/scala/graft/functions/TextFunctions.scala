@@ -39,6 +39,11 @@ object TextFunctions {
     * built-in formulation kept as its semantic spec. */
   def polyHash(s: Column): Column = expressions.GraftExpressions.poly_hash(s)
 
+  /** Second hash family (multiplier 131): independent of [[polyHash]],
+    * used to extend hash width past the 30 bits one mod-P value holds
+    * (SimHash fingerprints combine both families into 60 bits). */
+  def polyHash2(s: Column): Column = expressions.GraftExpressions.poly_hash(s, 131L)
+
   def polyHashHof(s: Column): Column =
     aggregate(chars(s), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
 

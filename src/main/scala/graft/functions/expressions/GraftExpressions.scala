@@ -52,9 +52,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
-/** h = fold((h*31 + codepoint) mod 1e9+7) over the string — the native
-  * form of [[graft.functions.TextFunctions.polyHash]]. */
-case class PolyHash(child: Expression) extends UnaryExpression {
+/** h = fold((h*mult + codepoint) mod 1e9+7) over the string — the native
+  * form of [[graft.functions.TextFunctions.polyHash]]. `mult` selects the
+  * hash family (31 default; other odd multipliers give independent
+  * families, mirrored by the oracle's parameterized fold). */
+case class PolyHash(child: Expression, mult: Long = 31L) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -64,11 +66,11 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(s: Any): Any =
-    VecUtil.polyHash(s.asInstanceOf[UTF8String])
+    VecUtil.polyHash(s.asInstanceOf[UTF8String], mult)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.expressions.VecUtil.polyHash($s);")
+      s"${ev.value} = graft.functions.expressions.VecUtil.polyHash($s, ${mult}L);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -79,4 +81,5 @@ object GraftExpressions {
   /** Column-API surface for the native expressions. */
   def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def poly_hash(s: Column): Column = column(PolyHash(expression(s)))
+  def poly_hash(s: Column, mult: Long): Column = column(PolyHash(expression(s), mult))
 }

@@ -31,30 +31,34 @@ object VecUtil {
 
   private val P = 1000000007L
 
-  /** Polynomial rolling hash h = (h*31 + codepoint) mod P over a UTF-8
+  /** Polynomial rolling hash h = (h*mult + codepoint) mod P over a UTF-8
     * string. ASCII fast path reads bytes directly; non-ASCII falls back
     * to a codepoint loop (same value the per-char `ascii()` fold
-    * produces). */
-  def polyHash(s: UTF8String): Long = {
+    * produces). Different multipliers give independent hash families
+    * (31 is the default; 131 is the second family used to widen SimHash
+    * fingerprints beyond the 30 bits a single mod-P value carries). */
+  def polyHash(s: UTF8String): Long = polyHash(s, 31L)
+
+  def polyHash(s: UTF8String, mult: Long): Long = {
     val n = s.numBytes()
     var h = 0L
     var i = 0
     while (i < n) {
       val b = s.getByte(i)
-      if (b < 0) return polyHashSlow(s)
-      h = (h * 31 + b) % P
+      if (b < 0) return polyHashSlow(s, mult)
+      h = (h * mult + b) % P
       i += 1
     }
     h
   }
 
-  private def polyHashSlow(s: UTF8String): Long = {
+  private def polyHashSlow(s: UTF8String, mult: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * 31 + cp) % P
+      h = (h * mult + cp) % P
       i += Character.charCount(cp)
     }
     h

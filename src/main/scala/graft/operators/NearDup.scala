@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Scale design: every variant avoids the O(n²) all-pairs comparison.
   * Jaccard joins only pairs sharing a shingle; MinHash compares only
   * pairs sharing an LSH band bucket (sub-linear candidate set); SimHash
-  * reduces each document to one 30-bit fingerprint (pairs = bucketed
+  * reduces each document to one 60-bit fingerprint (pairs = bucketed
   * hamming neighbors). Hash arithmetic is plain mod-P integer math so
   * an external oracle can reproduce results bit-for-bit.
   */
@@ -144,17 +144,16 @@ object NearDup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  // 62 bits: maximal discrimination that still fits signed-int64 shifts
-  // (a 30-bit space proved too dense — hamming<=6 matched 60% of all
-  // pairs on a small-vocabulary corpus)
-  val SimHashBits = 62
+  // 60 bits: two independent 30-bit mod-P hash families side by side
+  // (a single mod-P value carries only 30 varying bits — 1e9+7 < 2^30 —
+  // so a wider fingerprint MUST combine two hashes or the upper bits are
+  // constant zero and every band above bit 30 degenerates into a single
+  // all-corpus bucket; a 30-bit space also proved too dense — hamming<=6
+  // matched 60% of all pairs on a small-vocabulary corpus)
+  val SimHashBits = 60
 
-  /** 30-bit SimHash fingerprint per document: bit b of the fingerprint
-    * is set when the occurrence-weighted sum of (±1 per token, + when
-    * token-hash bit b is set) is positive. One explode + one groupBy
-    * with 30 sum-aggregates. */
   /** SimHash near-duplicate pairs: fingerprints within `maxHamming`
-    * bits. Candidates come from banded bucketing — the 30 fingerprint
+    * bits. Candidates come from banded bucketing — the 60 fingerprint
     * bits split into (maxHamming+1) bands, so any pair within the
     * hamming budget shares at least one exact band (pigeonhole) and
     * recall is exact; verification is one bit_count(xor). */
@@ -187,10 +186,16 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** 60-bit SimHash fingerprint per document: bit b of the fingerprint
+    * is set when the occurrence-weighted sum of (±1 per token, + when
+    * token-hash bit b is set) is positive. The token hash places two
+    * independent mod-P hash families side by side (bits 0-29 from the
+    * *31 family, 30-59 from the *131 family) so all 60 bits genuinely
+    * vary. One explode + one groupBy with 60 sum-aggregates. */
   def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
       .select(col("doc_id"), explode(tokenize(col("__text"))).as("t"))
-      .withColumn("h", polyHash(col("t")))
+      .withColumn("h", polyHash(col("t")) + shiftleft(polyHash2(col("t")), 30))
     val sums = (0 until SimHashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"w$b"))
     toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)

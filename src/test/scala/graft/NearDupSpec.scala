@@ -43,8 +43,11 @@ class NearDupSpec extends GraftSpec {
     val hammings = pairs.map { case (a, b) =>
       java.lang.Long.bitCount(fp(a) ^ fp(b))
     }
-    // >=0.9-jaccard docs should differ in only a few of 30 bits
-    assert(hammings.forall(_ <= 6), s"hamming distances: ${hammings.toList}")
+    // >=0.9-jaccard docs should differ in only a few of 60 bits; expected
+    // hamming scales with bit width (each varying bit flips independently
+    // with the same small probability), so the old 30-effective-bit bound
+    // of 6 becomes 12 at 60 bits
+    assert(hammings.forall(_ <= 12), s"hamming distances: ${hammings.toList}")
   }
 
   test("bucketed ANN returns a subset-quality result vs brute force") {
