@@ -29,22 +29,43 @@ object Metrics {
     * rank formula with average ranks over ties:
     * AUC = (Σ_pos avgRank − P(P+1)/2) / (P·N).
     *
-    * Scale note: exact AUC needs a total order. This plan reduces the
-    * sorted domain to *distinct scores* first (groupBy score — map-side
-    * combinable), so the single-partition prefix window only sees the
-    * distinct-score cardinality, not the row count. For unbounded
-    * continuous scores at 100 TB use [[ThresholdedAuc]] (fixed-memory
-    * one-pass, the reference's own formulation).
+    * Scale design: exact AUC needs the global cumulative count below
+    * each score, but never a global sort. The plan (1) reduces to
+    * *distinct scores* (groupBy — map-side combinable), (2) range-
+    * buckets the score domain (any monotone bucketing preserves the
+    * order, so per-bucket prefix sums + per-bucket starting offsets
+    * reproduce the global cumulative count exactly), (3) runs the
+    * prefix window partitioned BY BUCKET, and (4) gets bucket offsets
+    * from a theta-join over the ≤`buckets`-row bucket-count table.
+    * No single-partition window anywhere (PlanShapeSpec guards this).
+    * For unbounded continuous scores at 100 TB [[ThresholdedAuc]]
+    * (fixed-memory one-pass) remains the cheaper streaming option.
     * Returns a 1-row DataFrame with column `auc`.
     */
-  def aucExact(df: DataFrame, label: Column, score: Column): DataFrame = {
+  def aucExact(df: DataFrame, label: Column, score: Column, buckets: Int = 1024): DataFrame = {
     val perScore = df
       .select(score.as("s"), label.cast("int").as("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-    val w = Window.orderBy(col("s"))
-    val ranked = perScore.withColumn("cumBefore",
-      coalesce(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // ordering-preserving range bucket over [lo, hi]; the 1-row stats
+    // frame rides along via broadcast so the plan stays fully lazy
+    val stats = perScore.agg(min(col("s")).as("__lo"), max(col("s")).as("__hi"))
+    val bucketed = perScore.crossJoin(broadcast(stats))
+      .withColumn("bkt",
+        when(col("__hi") <= col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("s") - col("__lo")) / (col("__hi") - col("__lo")) * buckets),
+            lit(buckets - 1L))))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("s"))
+    val inBucket = bucketed.withColumn("cumIn",
+      coalesce(sum(col("cnt")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bktCnts = bucketed.groupBy(col("bkt")).agg(sum(col("cnt")).as("bktCnt"))
+    val offsets = bktCnts.as("x")
+      .join(bktCnts.as("z"), col("z.bkt") < col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("z.bktCnt")), lit(0L)).as("bktOffset"))
+    val ranked = inBucket.join(broadcast(offsets), "bkt")
+      .withColumn("cumBefore", col("bktOffset") + col("cumIn"))
     // avg rank of a tie group = cumBefore + (cnt+1)/2; all terms are
     // halves of integers -> exactly representable, order-independent sum
     ranked.agg(

@@ -41,4 +41,18 @@ class PlanShapeSpec extends GraftSpec {
     val p = plan("scan_projection_defaults")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
   }
+
+  test("no gated query plans an unpartitioned ordered window (scale-killer guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val exempt = Set(
+      "metric_gauc_consecutive", // documented bench-compat mode: reference-exact
+                                 // consecutive-run semantics genuinely need a total order
+      "scan_orc_roundtrip", "stream_dedup_ids") // side-effecting builders (write temp
+                                                // files / run a stream); plan no windows
+    SparkEntry.queries.keys.filterNot(exempt).toSeq.sorted.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w }
+      assert(bad.isEmpty, s"$name plans an unpartitioned ordered window — single-partition at scale")
+    }
+  }
 }
