@@ -22,6 +22,14 @@ import org.apache.spark.sql.types._
   */
 object TabularReader {
 
+  /** Parse-time dedup restore pair (reference: data/deduplicate/
+    * dataset.py:28-67 marks each value field with its restore-idx field;
+    * dataframe.py:301-313 gathers values through the index at batch
+    * assembly). `valueField` holds a block's unique values, `keyIdxField`
+    * the per-original-row inverse indices; the scan emits `as` = the
+    * gathered value per original row. */
+  final case class RestoreSpec(valueField: String, keyIdxField: String, as: String)
+
   final case class Options(
       fields: Seq[FieldSpec] = Nil, // empty = infer all from footer
       caseInsensitive: Boolean = false, // field_ignore_case (dataset_v2.py:125)
@@ -31,7 +39,19 @@ object TabularReader {
       validate: Boolean = true,
       // field_map_fn (table.py:83): transform the (inferred or declared)
       // field list before the read — rename/re-type/drop hooks
-      fieldMapFn: Option[Seq[FieldSpec] => Seq[FieldSpec]] = None)
+      fieldMapFn: Option[Seq[FieldSpec] => Seq[FieldSpec]] = None,
+      // dedup restore at scan (deduplicate/dataset.py:28-67): gather each
+      // value field through its key-idx field; with restoreOrdField set
+      // (the compressed layout's row-identity list) blocks are exploded
+      // back to one row per original row
+      restore: Seq[RestoreSpec] = Nil,
+      restoreOrdField: Option[String] = None,
+      // row-range scan [rowStart, rowEnd) per file — the reference's
+      // `?start=&end=` URI semantics (data/tabular/parquet.cc:46-64),
+      // used for deterministic external sharding. Positions come from the
+      // scan's own _metadata.row_index (no sort, no global id pass).
+      rowStart: Option[Long] = None,
+      rowEnd: Option[Long] = None)
 
   def fromParquet(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
     read(spark, "parquet", paths, opts)
@@ -48,25 +68,37 @@ object TabularReader {
     val reader = spark.read
       .format(format)
       .option("ignoreCorruptFiles", opts.skipCorrupted.toString)
-    val raw = reader.load(paths: _*)
+    val loaded = reader.load(paths: _*)
+
+    // row-range scan: filter on the scan's per-file row position — a
+    // narrow post-scan predicate over a generated metadata column, no
+    // sort and no monotonically_increasing_id pass
+    val raw = (opts.rowStart, opts.rowEnd) match {
+      case (None, None) => loaded
+      case (s, e) =>
+        val idx = col("_metadata.row_index")
+        val lower = s.map(idx >= _)
+        val upper = e.map(idx < _)
+        loaded.filter((lower ++ upper).reduce(_ && _))
+    }
 
     val declared =
       if (opts.fields.nonEmpty) opts.fields
-      else graft.schema.FieldSpec.fromSchema(raw.schema)
+      else graft.schema.FieldSpec.fromSchema(loaded.schema)
     val fields = opts.fieldMapFn.fold(declared)(_(declared))
 
     if (opts.fields.isEmpty && opts.fieldMapFn.isEmpty) {
-      SchemaValidator.requireDistinctNames(raw.schema, opts.caseInsensitive)
-      return raw
+      SchemaValidator.requireDistinctNames(loaded.schema, opts.caseInsensitive)
+      return applyRestore(raw.select(loaded.columns.map(col): _*), opts)
     }
 
     if (opts.validate) {
-      val errs = SchemaValidator.validateFields(raw.schema, fields, opts.caseInsensitive)
+      val errs = SchemaValidator.validateFields(loaded.schema, fields, opts.caseInsensitive)
       require(errs.isEmpty, s"schema validation failed:\n  ${errs.mkString("\n  ")}")
     }
 
     val key: String => String = n => if (opts.caseInsensitive) n.toLowerCase else n
-    val present = raw.schema.fieldNames.map(key).toSet
+    val present = loaded.schema.fieldNames.map(key).toSet
 
     // Projection reaches the parquet scan (Catalyst column pruning);
     // missing fields are populated from their declared default, tiled to
@@ -78,7 +110,29 @@ object TabularReader {
         else defaultColumn(f)
       base.as(f.name)
     }
-    raw.select(cols: _*)
+    applyRestore(raw.select(cols: _*), opts)
+  }
+
+  /** Dedup restore at scan: gather each RestoreSpec's value list through
+    * its inverse-index list (narrow codegen'd expressions, zero shuffle);
+    * with restoreOrdField set, explode blocks back to one row per
+    * original row — the parse-time analog of
+    * [[graft.operators.BlockDedup.restore]]. */
+  private def applyRestore(df: DataFrame, opts: Options): DataFrame = {
+    if (opts.restore.isEmpty) return df
+    val consumed = opts.restore.flatMap(r => Seq(r.valueField, r.keyIdxField)).toSet ++
+      opts.restoreOrdField
+    val passthrough = df.columns.filterNot(consumed).map(col(_)).toSeq
+    val gathered = opts.restore.map(r =>
+      transform(col(r.keyIdxField), i => element_at(col(r.valueField), (i + 1).cast("int"))).as(r.as))
+    opts.restoreOrdField match {
+      case None => df.select(passthrough ++ gathered: _*)
+      case Some(ordF) =>
+        df.select(passthrough :+
+          explode(arrays_zip(col(ordF).as("__ord") +: gathered: _*)).as("__r"): _*)
+          .select(passthrough ++ (col("__r.__ord").as("__ord") +:
+            opts.restore.map(r => col(s"__r.${r.as}").as(r.as))): _*)
+    }
   }
 
   private def projectExisting(raw: DataFrame, f: FieldSpec, opts: Options): Column = {
