@@ -28,6 +28,29 @@ object OracleFragments {
        |    i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS shingles
        |  FROM tok WHERE len(toks) >= $n)""".stripMargin
 
+  /** Count-based Jaccard with a document-frequency cap, mirroring
+    * NearDup.jaccardPairs(dfCap): shingles with df > cap are dropped
+    * before the self-join, and set sizes count capped shingles only.
+    * Expects the `sh` CTE from [[shingleCtes]]. */
+  def cappedJaccardSql(cap: Int, threshold: Double): String =
+    s"""ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |exf AS (SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex) t
+       |  WHERE df <= $cap),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM exf GROUP BY doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+       |FROM shared JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= $threshold""".stripMargin
+
+  /** Mod-P integer key hash mirroring Sampling.modPHash (two
+    * multiply-add rounds; all operands non-negative so `%` ≡ pmod). */
+  def modPHashSql(key: String, seed: Long): String =
+    s"(((($key % $P) * 104729 + $seed) % $P) * 104659 + 1) % $P"
+
   /** Exact-Jaccard verification over candidate pairs CTE `cand`. */
   def jaccardVerifySql(threshold: Double): String =
     s"""j AS (SELECT doc_a, doc_b,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, Sessionize, SkewJoin}
+import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, Sampling, Sessionize, SkewJoin}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter}
@@ -314,8 +314,10 @@ object SparkEntry {
       NearDup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     },
     "dedup_ngram_jaccard" -> { (s, d) =>
+      // dfCap = 20: stop-shingles (df > 20) are dropped before the
+      // self-join — bounds the join fanout to df² ≤ 400 rows per shingle
       NearDup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, dfCap = 20)
     },
     "dedup_minhash_lsh" -> { (s, d) =>
       NearDup.minHashNearDups(Tables.documents(s, d), col("doc_id"), col("text"),
@@ -545,6 +547,61 @@ object SparkEntry {
       s.table(name)
     },
 
+    // ---- dedup restore at the scan (reference deduplicate/dataset.py) --
+    "scan_dedup_restore" -> { (s, d) =>
+      // stage a block-compressed fixture, then restore it at parse time
+      // through TabularReader ALONE (no BlockDedup.restore) — the shape of
+      // reference data/tests/parquet_dataset_deduplicate_test.py:38-92
+      val dir = java.nio.file.Files.createTempDirectory("graft_restore_gate").toString + "/ev"
+      TabularWriter.toParquet(BlockDedup.compress(
+        Tables.events(s, d), col("user_id"), col("event_id"), Seq("event_type")), dir)
+      TabularReader.fromParquet(s, Seq(dir), TabularReader.Options(
+        restore = Seq(TabularReader.RestoreSpec("event_type_uniq", "event_type_idx", "event_type")),
+        restoreOrdField = Some("__ord_list"),
+        restoreOrdAs = Some("event_id")))
+        .select(col("event_id"), col("event_type"))
+    },
+
+    // ---- row-range scan (reference parquet.cc:46-64 `?start=&end=`) ----
+    "scan_row_range" -> { (s, d) =>
+      TabularReader.fromParquet(s, Seq(s"$d/lineitem.parquet"),
+        TabularReader.Options(rowStart = Some(1000L), rowEnd = Some(2000L)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+
+    // ---- reproducible sampling ------------------------------------------
+    "sample_bernoulli" -> { (s, d) =>
+      Sampling.bernoulliByKeyModP(Tables.events(s, d), col("event_id"),
+        fraction = 0.5, seed = 42L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    },
+    "sample_stratified" -> { (s, d) =>
+      // negative-downsampling shape: keep 25% of clicks, 50% of views,
+      // everything else intact
+      Sampling.stratifiedModP(Tables.events(s, d), col("event_type"), col("event_id"),
+        Map("click" -> 0.25, "view" -> 0.5), seed = 7L)
+        .select(col("event_id"), col("event_type"))
+    },
+
+    // ---- nested-ragged (rank-2) scan -------------------------------------
+    "scan_ragged_nested" -> { (s, d) =>
+      // rank-2 fixture (token chunks of 3) staged to parquet, read back
+      // through TabularReader with a declared raggedRank=2 field, then
+      // flattened to COO — reference parquet_dataset_ragged_nested_test.py
+      val toks = TextFunctions.tokenize(col("text"))
+      val nested = Tables.documents(s, d).select(col("doc_id"),
+        transform(sequence(lit(0L), floor((size(toks) + 2) / 3).cast("long") - 1),
+          i => slice(toks, (i * 3 + 1).cast("int"), lit(3))).as("tok_chunks"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_ragged_gate").toString + "/doc"
+      TabularWriter.toParquet(nested, dir)
+      val read = TabularReader.fromParquet(s, Seq(dir), TabularReader.Options(fields = Seq(
+        FieldSpec("doc_id", LongType),
+        FieldSpec("tok_chunks", StringType, raggedRank = 2))))
+      Ragged.toCoo2(read, col("doc_id"), col("tok_chunks"))
+        .select(col("key").as("doc_id"), col("pos0").cast("long").as("pos0"),
+          col("pos1").cast("long").as("pos1"), col("value").as("token"))
+    },
+
     // ---- multimodal binary plumbing ------------------------------------
     "multimodal_features" -> { (s, d) =>
       val packed = Multimodal.packBinary(
@@ -754,10 +811,7 @@ object SparkEntry {
       "SELECT text, COUNT(*) AS n, MIN(doc_id) AS keeper FROM documents GROUP BY text",
     "dedup_ngram_jaccard" ->
       s"""WITH ${OracleFragments.shingleCtes(3)},
-         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |${OracleFragments.jaccardVerifySql(0.5)}""".stripMargin,
+         |${OracleFragments.cappedJaccardSql(20, 0.5)}""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH ${OracleFragments.shingleCtes(3)},
          |${OracleFragments.minHashSigSql(16)},
@@ -951,6 +1005,30 @@ object SparkEntry {
         |FROM e c JOIN h USING (user_id) WHERE c.event_type = 'purchase'""".stripMargin,
     "scan_orc_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "scan_dedup_restore" ->
+      "SELECT event_id, event_type FROM events",
+    "scan_row_range" ->
+      // physical rows [1000, 2000) of the single parquet file; DuckDB
+      // preserves file order for a plain scan (preserve_insertion_order)
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem LIMIT 1000 OFFSET 1000",
+    "sample_bernoulli" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE (${OracleFragments.modPHashSql("event_id", 42L)}) % 1000000 < 500000""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT event_id, event_type FROM events
+         |WHERE CAST((${OracleFragments.modPHashSql("event_id", 7L)}) % 1000000 AS DOUBLE)
+         |  < (CASE WHEN event_type = 'click' THEN 0.25
+         |          WHEN event_type = 'view' THEN 0.5 ELSE 1.0 END) * 1000000.0""".stripMargin,
+    "scan_ragged_nested" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT)),
+        |  i -> toks[i*3+1:i*3+3]) AS chunks FROM t),
+        |o AS (SELECT doc_id, generate_subscripts(chunks,1) - 1 AS pos0,
+        |  unnest(chunks) AS chunk FROM ch)
+        |SELECT doc_id, CAST(pos0 AS BIGINT) AS pos0,
+        |  CAST(generate_subscripts(chunk,1) - 1 AS BIGINT) AS pos1,
+        |  unnest(chunk) AS token
+        |FROM o""".stripMargin,
     "stream_dedup_ids" ->
       "SELECT DISTINCT event_id FROM events",
     "ann_topk_multiprobe" ->

@@ -43,10 +43,18 @@ object Metrics {
     * Returns a 1-row DataFrame with column `auc`.
     */
   def aucExact(df: DataFrame, label: Column, score: Column, buckets: Int = 1024): DataFrame = {
+    // rank semantics are only defined for non-null finite scores: least()
+    // skips nulls and floor(NaN) buckets inconsistently with NaN's sort
+    // order, so such rows are excluded up front (ROC over them is
+    // undefined anyway). Persist the distinct-score aggregate: the DAG
+    // below fans out into stats, the in-bucket window AND the bucket
+    // counts — without it the groupBy shuffle recomputes three times.
     val perScore = df
-      .select(score.as("s"), label.cast("int").as("y"))
+      .select(score.cast("double").as("s"), label.cast("int").as("y"))
+      .filter(col("s").isNotNull && !isnan(col("s")))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ordering-preserving range bucket over [lo, hi]; the 1-row stats
     // frame rides along via broadcast so the plan stays fully lazy
     val stats = perScore.agg(min(col("s")).as("__lo"), max(col("s")).as("__hi"))
@@ -207,16 +215,37 @@ object Metrics {
 
   /** Weighted streaming mean as a typed Aggregator (the reference's
     * metric-variable form, metrics/mean.py:81-113): buffer =
-    * (Σ v·w, Σ w). */
-  final class MeanAggregator extends Aggregator[(Double, Double), (Double, Double), Double] {
-    override def zero: (Double, Double) = (0.0, 0.0)
-    override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
-      (b._1 + in._1 * in._2, b._2 + in._2)
-    override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
-      (a._1 + b._1, a._2 + b._2)
-    override def finish(b: (Double, Double)): Double = b._1 / b._2
-    override def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+    * (Σ v·w, its Kahan compensation, Σ w, its compensation).
+    *
+    * Kahan (compensated) summation keeps the accumulated error O(1) in
+    * the partition row count instead of O(n) — plain double accumulation
+    * is partition-order-dependent and can flake a round-to-9 comparison
+    * once partitions hold billions of rows. */
+  final class MeanAggregator
+      extends Aggregator[(Double, Double), (Double, Double, Double, Double), Double] {
+    private def add(sum: Double, comp: Double, x: Double): (Double, Double) = {
+      val y = x - comp
+      val t = sum + y
+      (t, (t - sum) - y)
+    }
+    override def zero: (Double, Double, Double, Double) = (0.0, 0.0, 0.0, 0.0)
+    override def reduce(b: (Double, Double, Double, Double), in: (Double, Double)) = {
+      val (s, sc) = add(b._1, b._2, in._1 * in._2)
+      val (w, wc) = add(b._3, b._4, in._2)
+      (s, sc, w, wc)
+    }
+    override def merge(a: (Double, Double, Double, Double), b: (Double, Double, Double, Double)) = {
+      // fold b's compensated total into a's running compensation
+      val (s, sc) = add(a._1, a._2, b._1 - b._2)
+      val (w, wc) = add(a._3, a._4, b._3 - b._4)
+      (s, sc, w, wc)
+    }
+    override def finish(b: (Double, Double, Double, Double)): Double =
+      (b._1 - b._2) / (b._3 - b._4)
+    override def bufferEncoder = {
+      val d = org.apache.spark.sql.Encoders.scalaDouble
+      org.apache.spark.sql.Encoders.tuple(d, d, d, d)
+    }
     override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 }

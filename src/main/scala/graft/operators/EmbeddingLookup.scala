@@ -57,8 +57,11 @@ object EmbeddingLookup {
       table: DataFrame,
       keyCol: String,
       valueCols: Seq[String]): DataFrame = {
+    // rename the dim key before joining (same reason as lookup():
+    // col(idCol) after the join is ambiguous when idCol == keyCol)
+    val dim = table.select(col(keyCol).as("__dim_key") +: valueCols.map(col): _*)
     val uniqueIds = ids.select(col(idCol)).distinct()
-    val fetched = uniqueIds.join(table, uniqueIds(idCol) === table(keyCol), "left")
+    val fetched = uniqueIds.join(dim, col(idCol) === col("__dim_key"), "left")
       .select(col(idCol) +: valueCols.map(col): _*)
     ids.join(fetched, Seq(idCol), "left")
   }

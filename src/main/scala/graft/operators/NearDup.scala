@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over a document corpus: exact, n-gram
@@ -44,18 +45,36 @@ object NearDup {
     * count IS the intersection size — so Jaccard needs only a count
     * aggregate plus two (small, broadcastable) size lookups. No
     * array_intersect over candidate pairs, no distinct pass: one shuffle
-    * join + one groupBy. */
+    * join + one groupBy.
+    *
+    * `dfCap` bounds the self-join fanout: a shingle occurring in d
+    * documents contributes d² join rows, so one corpus-wide "stop
+    * shingle" (boilerplate text) alone produces a quadratic blowup at
+    * scale. Shingles with document frequency > dfCap are dropped BEFORE
+    * the join — standard stop-shingle removal: Jaccard is then computed
+    * over the capped shingle space (set sizes count capped shingles
+    * too, so the metric stays a true Jaccard of the reduced sets). The
+    * df comes from a count window over the shingle key — one shuffle
+    * that the self-join immediately reuses (same partitioning). */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, dfCap: Int = Int.MaxValue): DataFrame = {
     val sets = shingleSets(docs, id, text, n)
-    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ex0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ex =
+      if (dfCap == Int.MaxValue) ex0
+      else ex0
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("__df") <= dfCap)
+        .drop("__df")
     val shared = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    // sizes is corpus-cardinality (one row/doc): no broadcast hint — let
-    // AQE pick broadcast when it fits and shuffle-join when it doesn't
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
+    // per-doc (capped) set size; shingles are distinct per doc, so a row
+    // count over the exploded view equals the set size. Corpus-cardinality
+    // (one row/doc): no broadcast hint — let AQE pick broadcast when it
+    // fits and shuffle-join when it doesn't
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "nb"), "doc_b")
@@ -105,29 +124,64 @@ object NearDup {
   private def bandHash(cols: Seq[Column]): Column =
     cols.foldLeft(lit(0L))((acc, m) => (acc * 31 + m) % P)
 
+  /** Default per-bucket materialization bound for [[bucketPairs]]. */
+  val DefaultMaxBucket = 1024
+
+  /** All within-bucket pairs (a < b) of `payload` structs, never
+    * materializing an unbounded per-bucket array.
+    *
+    * Buckets at or under `maxBucket` rows use the collect_list path (one
+    * bounded array per bucket, pairs expanded row-locally); buckets above
+    * it — the hot buckets natural skew produces (boilerplate text ⇒ one
+    * band value carrying a large share of the corpus) — switch to a
+    * within-bucket self-join, which streams pairs through the join
+    * instead of collecting the bucket into a single executor row.
+    *
+    * The pair SET is identical either way; `maxBucket` only selects the
+    * execution strategy. Bucket sizes come from a count window over the
+    * bucket key, so the input is shuffled ONCE by bucket and all three
+    * consumers (size tagging, cold aggregate, hot self-join) reuse that
+    * exchange. */
+  private[operators] def bucketPairs(
+      banded: DataFrame,
+      keys: Seq[String],
+      payload: Column,
+      maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val withSz = banded.select(keys.map(col) :+ payload.as("p"): _*)
+      .withColumn("__bsz", count(lit(1)).over(w))
+    val cold = withSz.filter(col("__bsz") <= maxBucket && col("__bsz") > 1)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+    val coldPairs = cold.select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+    val hot = withSz.filter(col("__bsz") > maxBucket)
+    val hotPairs = hot.as("x").join(hot.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
+          && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    coldPairs.unionAll(hotPairs)
+  }
+
   /** LSH candidate pairs: documents sharing any band bucket.
     * k = bands * rowsPerBand.
     *
-    * Pairs are generated bucket-locally (groupBy bucket, then all pairs
-    * within the collected id list) instead of a bucket self-join — one
-    * aggregation instead of recomputing the signature pipeline on both
-    * join sides, and pair explosion stays confined to each (tiny)
-    * bucket. */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * Pairs are generated bucket-locally via [[bucketPairs]] — pair
+    * explosion stays confined to each bucket, and no bucket ever
+    * materializes more than `maxBucket` rows in one array. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
           bandHash((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))).as("bh"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
-    val buckets = banded.groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("a"), y.as("b")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    bucketPairs(banded, Seq("band", "bh"), struct(col("doc_id")), maxBucket)
+      .select(col("a").getField("doc_id").as("doc_a"),
+        col("b").getField("doc_id").as("doc_b"))
       .distinct()
   }
 
@@ -158,7 +212,7 @@ object NearDup {
     * hamming budget shares at least one exact band (pigeonhole) and
     * recall is exact; verification is one bit_count(xor). */
   def simHashNearDups(docs: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val fp = simHash(docs, id, text)
     val nBands = maxHamming + 1
     // split SimHashBits into nBands near-equal (offset, width) slices
@@ -172,16 +226,12 @@ object NearDup {
             .bitwiseAND((1L << widths(j)) - 1).as("bv"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bv"))
-    val buckets = banded.groupBy(col("band"), col("bv"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
-          x.getField("simhash").as("fa"), y.getField("simhash").as("fb")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-        expr("bit_count(p.fa ^ p.fb)").cast("long").as("hamming"))
+    bucketPairs(banded, Seq("band", "bv"),
+        struct(col("doc_id"), col("simhash")), maxBucket)
+      .select(col("a").getField("doc_id").as("doc_a"),
+        col("b").getField("doc_id").as("doc_b"),
+        bit_count(col("a").getField("simhash")
+          .bitwiseXOR(col("b").getField("simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -14,8 +14,16 @@ import org.apache.spark.sql.DataFrame
   * exchange of the raw rows.
   */
 object Parallelism {
-  def ensure(df: DataFrame, min: Int): DataFrame =
-    if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
+  /** For file-backed frames, `inputFiles` (a file-index listing, no RDD
+    * materialization — `df.rdd` would physical-plan the whole query per
+    * call) under-counts splits of large files, so it only errs toward
+    * repartitioning — acceptable for a parallelism floor. Non-file frames
+    * (tests, in-memory relations) fall back to the RDD partition count. */
+  def ensure(df: DataFrame, min: Int): DataFrame = {
+    val files = df.inputFiles.length
+    val parts = if (files > 0) files else df.rdd.getNumPartitions
+    if (parts >= min) df else df.repartition(min)
+  }
 
   def ensureDefault(df: DataFrame): DataFrame =
     ensure(df, df.sparkSession.sparkContext.defaultParallelism)

@@ -19,6 +19,33 @@ object Sampling {
   def bernoulliByKey(df: DataFrame, key: Column, fraction: Double, seed: Long): DataFrame =
     df.filter(pmod(xxhash64(key, lit(seed)), lit(1000000L)) < (fraction * 1e6).toLong)
 
+  /** Mod-P mixing of an integer key — the engine-portable hash used by
+    * the `*ModP` sampling variants. Two rounds of multiply-add mod
+    * P = 1e9+7 (same prime as the text-hash family): plain integer
+    * arithmetic that any SQL engine reproduces bit-for-bit, unlike
+    * xxhash64. Products stay under 2^63 (P² ≈ 2^60). */
+  private val P = graft.functions.TextFunctions.P
+  private val MixA = 104729L
+  private val MixB = 104659L
+  def modPHash(key: Column, seed: Long): Column =
+    pmod(pmod(pmod(key, lit(P)) * MixA + seed, lit(P)) * MixB + lit(1L), lit(P))
+
+  /** [[bernoulliByKey]] with the portable mod-P hash: same keep/drop
+    * contract, reproducible outside Spark (for cross-engine pipelines
+    * and external verification). Prefer xxhash64 when portability is
+    * not needed — it mixes better on adversarial key sets. */
+  def bernoulliByKeyModP(df: DataFrame, key: Column, fraction: Double, seed: Long): DataFrame =
+    df.filter(pmod(modPHash(key, seed), lit(1000000L)) < (fraction * 1e6).toLong)
+
+  /** [[stratified]] with the portable mod-P hash. */
+  def stratifiedModP(df: DataFrame, stratum: Column, key: Column,
+      fractions: Map[String, Double], seed: Long): DataFrame = {
+    val frac = fractions.foldLeft(lit(1.0)) { case (acc, (v, f)) =>
+      when(stratum === v, lit(f)).otherwise(acc)
+    }
+    df.filter(pmod(modPHash(key, seed), lit(1000000L)).cast("double") < frac * 1e6)
+  }
+
   /** Per-stratum fractions (e.g. downsample negatives): map of stratum
     * value -> keep fraction; unlisted strata keep everything. */
   def stratified(df: DataFrame, stratum: Column, key: Column,

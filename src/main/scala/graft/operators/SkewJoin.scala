@@ -22,15 +22,18 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Salted inner/left equi-join: `facts` (skewed, large) ⋈ `dim`
-    * (replicated saltFactor×). */
+    * (replicated saltFactor×). The salt is seeded so the physical layout
+    * is identical run to run (unseeded rand() would re-derive a new salt
+    * per execution — correct but nondeterministic to debug/profile). */
   def salted(
       facts: DataFrame,
       dim: DataFrame,
       key: String,
       saltFactor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      seed: Long = 0x5a17): DataFrame = {
     val saltedFacts = facts.withColumn("__salt",
-      (rand() * saltFactor).cast("int"))
+      (rand(seed) * saltFactor).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedFacts.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
@@ -45,8 +48,9 @@ object SkewJoin {
       key: Column,
       saltFactor: Int,
       partialAggs: Seq[Column],
-      finalAggs: Seq[Column]): DataFrame =
-    df.withColumn("__salt", (rand() * saltFactor).cast("int"))
+      finalAggs: Seq[Column],
+      seed: Long = 0x5a17): DataFrame =
+    df.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
       .groupBy(key.as("key"), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(col("key"))

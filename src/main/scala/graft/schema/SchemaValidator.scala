@@ -99,12 +99,18 @@ object SchemaValidator {
       peek: Int = 0): Seq[Mismatch] = {
     require(paths.nonEmpty, "no files to validate")
     val refFields = FieldSpec.fromSchema(spark.read.format(format).load(paths.head).schema)
+    val key: String => String = n => if (caseInsensitive) n.toLowerCase else n
+    val refNames = refFields.map(f => key(f.name)).toSet
     paths.flatMap { p =>
       val schema = spark.read.format(format).load(p).schema
       // strict: cross-file consistency is exact-match (the reference's
       // contract); widening tolerance would make the result depend on
       // which file happens to come first
-      val errs = validateFields(schema, refFields, caseInsensitive, strict = true)
+      val errs = validateFields(schema, refFields, caseInsensitive, strict = true) ++
+        // exact equality cuts both ways (data/validate.py:34-98): a column
+        // present in THIS file but absent from the first is also a mismatch
+        schema.fieldNames.toSeq.filterNot(n => refNames.contains(key(n)))
+          .map(n => s"field $n: present in file but absent from ${paths.head}")
       val peekErr =
         if (peek > 0) {
           try { spark.read.format(format).load(p).limit(peek).collect(); Nil }

@@ -46,10 +46,16 @@ object TabularReader {
       // back to one row per original row
       restore: Seq[RestoreSpec] = Nil,
       restoreOrdField: Option[String] = None,
+      // output name of the restored row-identity column; defaults to the
+      // ord field's name minus the writer's "_list" suffix (so a column
+      // compressed from `event_id` and stored as `event_id_list` restores
+      // as `event_id` again)
+      restoreOrdAs: Option[String] = None,
       // row-range scan [rowStart, rowEnd) per file — the reference's
       // `?start=&end=` URI semantics (data/tabular/parquet.cc:46-64),
       // used for deterministic external sharding. Positions come from the
       // scan's own _metadata.row_index (no sort, no global id pass).
+      // Parquet only: row_index is a Parquet-reader metadata column.
       rowStart: Option[Long] = None,
       rowEnd: Option[Long] = None)
 
@@ -65,6 +71,10 @@ object TabularReader {
       paths: Seq[String],
       opts: Options): DataFrame = {
     require(paths.nonEmpty, "no input paths")
+    require(
+      format == "parquet" || (opts.rowStart.isEmpty && opts.rowEnd.isEmpty),
+      s"rowStart/rowEnd require the Parquet reader (_metadata.row_index is " +
+        s"Parquet-only); format '$format' does not support row-range scans")
     val reader = spark.read
       .format(format)
       .option("ignoreCorruptFiles", opts.skipCorrupted.toString)
@@ -128,10 +138,13 @@ object TabularReader {
     opts.restoreOrdField match {
       case None => df.select(passthrough ++ gathered: _*)
       case Some(ordF) =>
+        // restore the row-identity column under its pre-compression name
+        // (default: strip the writer's "_list" suffix), not an internal one
+        val ordAs = opts.restoreOrdAs.getOrElse(ordF.stripSuffix("_list"))
         df.select(passthrough :+
-          explode(arrays_zip(col(ordF).as("__ord") +: gathered: _*)).as("__r"): _*)
-          .select(passthrough ++ (col("__r.__ord").as("__ord") +:
-            opts.restore.map(r => col(s"__r.${r.as}").as(r.as))): _*)
+          explode(arrays_zip(col(ordF).as(ordAs) +: gathered: _*)).as("__r"): _*)
+          .select(passthrough ++ (col("__r").getField(ordAs).as(ordAs) +:
+            opts.restore.map(r => col("__r").getField(r.as).as(r.as))): _*)
     }
   }
 

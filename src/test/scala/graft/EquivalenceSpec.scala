@@ -20,6 +20,16 @@ class EquivalenceSpec extends GraftSpec {
     assert(deduped.exceptAll(plain).count() === 0)
   }
 
+  test("lookupDedup works when fact and dim keys share a name") {
+    val ids = events.select(col("event_id"), col("user_id").as("vec_id"))
+    val out = EmbeddingLookup.lookupDedup(ids, "vec_id", emb, "vec_id", Seq("label"))
+    assert(out.columns.toSet === Set("vec_id", "event_id", "label"))
+    assert(out.count() === ids.count())
+    val plain = EmbeddingLookup.lookup(ids, "vec_id", emb, "vec_id", Seq("label"))
+      .select("event_id", "vec_id", "label")
+    assert(out.select("event_id", "vec_id", "label").exceptAll(plain).count() === 0)
+  }
+
   test("dualModuloShard is a bijection onto (node, device) pairs") {
     import spark.implicits._
     val (node, dev) = Partitioners.dualModuloShard(col("id"), 4, 2)

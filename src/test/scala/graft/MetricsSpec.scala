@@ -61,6 +61,28 @@ class MetricsSpec extends GraftSpec {
     assert(math.abs(a - b) < 1e-12)
   }
 
+  test("aucExact ignores null and NaN scores (undefined rank order)") {
+    import spark.implicits._
+    val clean = Seq((0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9)).toDF("y", "s")
+    val dirty = Seq[(Int, java.lang.Double)](
+      (0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9),
+      (1, null), (0, null), (1, Double.NaN), (0, Double.NaN)).toDF("y", "s")
+    val a = Metrics.aucExact(clean, col("y") === 1, col("s")).collect().head.getDouble(0)
+    val b = Metrics.aucExact(dirty, col("y") === 1, col("s")).collect().head.getDouble(0)
+    assert(a === b && a === 1.0)
+  }
+
+  test("MeanAggregator (Kahan) is accurate under badly conditioned sums") {
+    import spark.implicits._
+    // 1e12 + many tiny values: plain double accumulation loses the tail
+    val rows = (1.0e12, 1.0) +: Seq.fill(10000)((1e-4, 1.0))
+    val df = rows.toDF("v", "w").repartition(8)
+    val agg = udaf(new Metrics.MeanAggregator)
+    val got = df.agg(agg(col("v"), col("w"))).collect().head.getDouble(0)
+    val want = (1.0e12 + 10000 * 1e-4) / 10001.0
+    assert(math.abs(got - want) / want < 1e-15, s"got=$got want=$want")
+  }
+
   test("gaucPerGroup drops single-class groups") {
     import spark.implicits._
     val df = Seq(

@@ -76,6 +76,53 @@ class NearDupSpec extends GraftSpec {
     }
   }
 
+  test("jaccard dfCap drops stop-shingle-only pairs, keeps rare-shingle pairs") {
+    import spark.implicits._
+    // every doc shares the stop shingle "x y z" (df = 12 > cap); docs 1
+    // and 2 share ONLY that shingle, docs 3 and 4 are near-identical
+    val docs = (Seq(
+      (1L, "x y z p q r"),
+      (2L, "x y z u v w"),
+      (3L, "x y z a b c d"),
+      (4L, "x y z a b c e")) ++
+      (5L to 12L).map(i => (i, s"x y z t$i s$i r$i"))).toDF("doc_id", "text")
+    def pairs(cap: Int) =
+      NearDup.jaccardPairs(docs, col("doc_id"), col("text"), n = 3, threshold = 0.1, dfCap = cap)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(5)
+    assert(uncapped.contains((1L, 2L))) // via the stop shingle alone
+    assert(!capped.contains((1L, 2L))) // stop shingle removed
+    assert(capped.contains((3L, 4L)), capped.toString) // rare shared shingles survive
+  }
+
+  test("bucketPairs: pair set is invariant to maxBucket (hot self-join == cold collect)") {
+    // maxBucket = 2 forces nearly every band bucket down the self-join
+    // path on this corpus; results must be identical to the default
+    val cold = NearDup.simHashNearDups(docs, col("doc_id"), col("text"), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hot = NearDup.simHashNearDups(docs, col("doc_id"), col("text"),
+        maxHamming = 2, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hot === cold)
+    val lshCold = NearDup.lshCandidates(
+      NearDup.minHashSignatures(NearDup.shingleSets(docs, col("doc_id"), col("text")), 16), 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshHot = NearDup.lshCandidates(
+      NearDup.minHashSignatures(NearDup.shingleSets(docs, col("doc_id"), col("text")), 16), 4, 4,
+      maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshHot === lshCold)
+  }
+
+  test("near-dup plans contain no unbounded per-bucket collect_list") {
+    // the cold path's collect_list is guarded by the __bsz <= maxBucket
+    // filter; verify the guard window sits below every aggregate
+    val plan = NearDup.simHashNearDups(docs, col("doc_id"), col("text"), maxHamming = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bsz"), "bucket-size guard missing from plan")
+  }
+
   test("text pipeline stays in whole-stage codegen (no UDFs in the plan)") {
     val plan = docs.select(
       TextFunctions.fingerprint(col("text")),

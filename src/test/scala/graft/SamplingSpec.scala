@@ -38,4 +38,27 @@ class SamplingSpec extends GraftSpec {
     assert(out.filter(col("event_type") === "view").count() ===
       events.filter(col("event_type") === "view").count())
   }
+
+  test("bernoulliByKeyModP is deterministic, layout-invariant, near the fraction") {
+    val a = Sampling.bernoulliByKeyModP(events, col("event_id"), 0.3, 7L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.bernoulliByKeyModP(events.repartition(13), col("event_id"), 0.3, 7L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    val frac = a.size.toDouble / events.count()
+    assert(frac > 0.2 && frac < 0.4, s"got $frac")
+    val c = Sampling.bernoulliByKeyModP(events, col("event_id"), 0.3, 8L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a !== c)
+  }
+
+  test("stratifiedModP keeps unlisted strata intact and honors 0/1 fractions") {
+    val out = Sampling.stratifiedModP(events, col("event_type"), col("event_id"),
+      Map("click" -> 0.0, "view" -> 1.0), 3L)
+    assert(out.filter(col("event_type") === "click").count() === 0)
+    assert(out.filter(col("event_type") === "view").count() ===
+      events.filter(col("event_type") === "view").count())
+    assert(out.filter(col("event_type") === "error").count() ===
+      events.filter(col("event_type") === "error").count())
+  }
 }

@@ -64,4 +64,73 @@ class SourcesSpec extends GraftSpec {
     val mm = SchemaValidator.validateFiles(spark, Seq(s"$dir/f1", s"$dir/f2"))
     assert(mm.nonEmpty)
   }
+
+  test("validateFiles flags a column only later files have (exact equality both ways)") {
+    val dir = Files.createTempDirectory("graft_drift_extra").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$dir/f1")
+    Seq((1L, "x", 9L)).toDF("a", "b", "c").write.parquet(s"$dir/f2") // extra column c
+    val mm = SchemaValidator.validateFiles(spark, Seq(s"$dir/f1", s"$dir/f2"))
+    assert(mm.exists(m => m.path.endsWith("f2") && m.detail.contains("field c")), mm.toString)
+  }
+
+  test("restore-at-scan: compressed fixture round-trips through TabularReader alone") {
+    val dir = Files.createTempDirectory("graft_restore").toString + "/ev"
+    val events = Tables.events(spark, sf)
+    graft.sources.TabularWriter.toParquet(
+      graft.operators.BlockDedup.compress(
+        events, col("user_id"), col("event_id"), Seq("event_type")), dir)
+    val restored = TabularReader.fromParquet(spark, Seq(dir), TabularReader.Options(
+      restore = Seq(TabularReader.RestoreSpec("event_type_uniq", "event_type_idx", "event_type")),
+      restoreOrdField = Some("__ord_list"),
+      restoreOrdAs = Some("event_id")))
+    // the restored ord column carries the ORIGINAL name, not an internal one
+    assert(restored.columns.toSet === Set("block", "event_id", "event_type"))
+    val back = restored.select("event_id", "event_type")
+    val orig = events.select("event_id", "event_type")
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).count() === 0 && orig.exceptAll(back).count() === 0)
+  }
+
+  test("restore-at-scan without ord field gathers per-block value lists") {
+    val dir = Files.createTempDirectory("graft_restore_noord").toString + "/ev"
+    val events = Tables.events(spark, sf)
+    graft.sources.TabularWriter.toParquet(
+      graft.operators.BlockDedup.compress(
+        events, col("user_id"), col("event_id"), Seq("event_type")), dir)
+    val restored = TabularReader.fromParquet(spark, Seq(dir), TabularReader.Options(
+      restore = Seq(TabularReader.RestoreSpec("event_type_uniq", "event_type_idx", "event_type"))))
+    // one row per block; the gathered list equals the block's ordered values
+    val got = restored.select(col("block"), col("event_type"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val want = events.orderBy("event_id").select("user_id", "event_type")
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toList }
+    assert(got === want)
+  }
+
+  test("row-range scan returns exactly [start, end) of the file's physical rows") {
+    val path = s"$sf/lineitem.parquet"
+    val full = spark.read.parquet(path)
+      .select(col("_metadata.row_index").as("ri"), col("l_orderkey"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    val ranged = TabularReader.fromParquet(spark, Seq(path),
+      TabularReader.Options(rowStart = Some(10L), rowEnd = Some(25L)))
+    assert(ranged.count() === 15)
+    val got = spark.read.parquet(path)
+      .select(col("_metadata.row_index").as("ri"), col("l_orderkey"))
+      .filter(col("ri") >= 10 && col("ri") < 25)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(got === full.slice(10, 25))
+    assert(ranged.select("l_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      === full.slice(10, 25).sorted)
+  }
+
+  test("row-range on a non-parquet format fails fast with a clear message") {
+    val dir = Files.createTempDirectory("graft_rr_orc").toString + "/ev"
+    Tables.events(spark, sf).select("event_id").write.mode("overwrite").orc(dir)
+    val e = intercept[IllegalArgumentException] {
+      TabularReader.fromOrc(spark, Seq(dir), TabularReader.Options(rowStart = Some(5L)))
+    }
+    assert(e.getMessage.contains("Parquet"))
+  }
 }
