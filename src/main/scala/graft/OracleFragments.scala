@@ -46,10 +46,14 @@ object OracleFragments {
        |FROM shared JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= $threshold""".stripMargin
 
-  /** Mod-P integer key hash mirroring Sampling.modPHash (two
-    * multiply-add rounds; all operands non-negative so `%` ≡ pmod). */
-  def modPHashSql(key: String, seed: Long): String =
-    s"(((($key % $P) * 104729 + $seed) % $P) * 104659 + 1) % $P"
+  /** Mod-P integer key hash mirroring Sampling.modPHash. Spark's side
+    * uses pmod throughout; DuckDB's `%` follows the sign of the
+    * dividend, so the first reduction is wrapped to non-negative —
+    * after that every operand is ≥ 0 (seed ≥ 0) and `%` ≡ pmod. */
+  def modPHashSql(key: String, seed: Long): String = {
+    require(seed >= 0, s"modPHashSql: seed must be non-negative, got $seed")
+    s"((((($key % $P + $P) % $P) * 104729 + $seed) % $P) * 104659 + 1) % $P"
+  }
 
   /** Exact-Jaccard verification over candidate pairs CTE `cand`. */
   def jaccardVerifySql(threshold: Double): String =

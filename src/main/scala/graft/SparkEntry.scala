@@ -518,19 +518,21 @@ object SparkEntry {
 
     // ---- ORC scan path through the gate --------------------------------
     "scan_orc_roundtrip" -> { (s, d) =>
-      // stage the events table as ORC, read it back through the ORC
-      // reader surface — same rows as the parquet original
-      val dir = java.nio.file.Files.createTempDirectory("graft_orc_gate").toString + "/ev"
-      TabularWriter.toOrc(Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value")), dir)
+      // stage the events table as ORC (once per data dir), read it back
+      // through the ORC reader surface — same rows as the parquet original
+      val dir = GateFixtures.dir("orc", d) { target =>
+        TabularWriter.toOrc(Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")), target)
+      }
       TabularReader.fromOrc(s, Seq(dir))
     },
 
     // ---- real Structured Streaming through the gate --------------------
     "stream_dedup_ids" -> { (s, d) =>
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
-      Tables.events(s, d).select("event_id").write.mode("overwrite").parquet(dir)
+      val dir = GateFixtures.dir("stream", d) { target =>
+        Tables.events(s, d).select("event_id").write.mode("overwrite").parquet(target)
+      }
       val schema = s.read.parquet(dir).schema
       val name = "gate_dedup_" + math.abs(dir.hashCode)
       // keyed state opens one state store per shuffle partition per
@@ -552,9 +554,10 @@ object SparkEntry {
       // stage a block-compressed fixture, then restore it at parse time
       // through TabularReader ALONE (no BlockDedup.restore) — the shape of
       // reference data/tests/parquet_dataset_deduplicate_test.py:38-92
-      val dir = java.nio.file.Files.createTempDirectory("graft_restore_gate").toString + "/ev"
-      TabularWriter.toParquet(BlockDedup.compress(
-        Tables.events(s, d), col("user_id"), col("event_id"), Seq("event_type")), dir)
+      val dir = GateFixtures.dir("restore", d) { target =>
+        TabularWriter.toParquet(BlockDedup.compress(
+          Tables.events(s, d), col("user_id"), col("event_id"), Seq("event_type")), target)
+      }
       TabularReader.fromParquet(s, Seq(dir), TabularReader.Options(
         restore = Seq(TabularReader.RestoreSpec("event_type_uniq", "event_type_idx", "event_type")),
         restoreOrdField = Some("__ord_list"),
@@ -592,8 +595,9 @@ object SparkEntry {
       val nested = Tables.documents(s, d).select(col("doc_id"),
         transform(sequence(lit(0L), floor((size(toks) + 2) / 3).cast("long") - 1),
           i => slice(toks, (i * 3 + 1).cast("int"), lit(3))).as("tok_chunks"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_ragged_gate").toString + "/doc"
-      TabularWriter.toParquet(nested, dir)
+      val dir = GateFixtures.dir("ragged", d) { target =>
+        TabularWriter.toParquet(nested, target)
+      }
       val read = TabularReader.fromParquet(s, Seq(dir), TabularReader.Options(fields = Seq(
         FieldSpec("doc_id", LongType),
         FieldSpec("tok_chunks", StringType, raggedRank = 2))))

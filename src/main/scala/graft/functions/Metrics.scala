@@ -46,15 +46,18 @@ object Metrics {
     // rank semantics are only defined for non-null finite scores: least()
     // skips nulls and floor(NaN) buckets inconsistently with NaN's sort
     // order, so such rows are excluded up front (ROC over them is
-    // undefined anyway). Persist the distinct-score aggregate: the DAG
-    // below fans out into stats, the in-bucket window AND the bucket
-    // counts — without it the groupBy shuffle recomputes three times.
+    // undefined anyway). The DAG below fans out into stats, the
+    // in-bucket window AND the bucket counts — but all three consumers
+    // sit in ONE physical plan over the identical groupBy subtree, so
+    // ReuseExchange dedupes the shuffle (scan + partial agg run once);
+    // only the cheap post-shuffle final agg re-runs per consumer. No
+    // persist: a cached dataset here would outlive the call with no
+    // unpersist hook (and InMemoryRelation breaks codegen fusion).
     val perScore = df
       .select(score.cast("double").as("s"), label.cast("int").as("y"))
       .filter(col("s").isNotNull && !isnan(col("s")))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ordering-preserving range bucket over [lo, hi]; the 1-row stats
     // frame rides along via broadcast so the plan stays fully lazy
     val stats = perScore.agg(min(col("s")).as("__lo"), max(col("s")).as("__hi"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Parallelism guard for CPU-bound narrow pipelines.
@@ -14,14 +16,39 @@ import org.apache.spark.sql.DataFrame
   * exchange of the raw rows.
   */
 object Parallelism {
-  /** For file-backed frames, `inputFiles` (a file-index listing, no RDD
-    * materialization — `df.rdd` would physical-plan the whole query per
-    * call) under-counts splits of large files, so it only errs toward
-    * repartitioning — acceptable for a parallelism floor. Non-file frames
-    * (tests, in-memory relations) fall back to the RDD partition count. */
+  /** Estimated scan partition count for file-backed frames, without
+    * physical-planning the query (`df.rdd` would plan it per call).
+    * The raw file count over-estimates when many small files pack into
+    * few partitions (maxPartitionBytes bin-packing), so the estimate is
+    * bounded by total bytes the same way Spark's FilePartition packing
+    * is: ceil((Σ len + openCost·files) / maxPartitionBytes), capped at
+    * the file count. Spark's actual maxSplitBytes is ≤ maxPartitionBytes
+    * (it shrinks when bytes/defaultParallelism is smaller), so this
+    * estimate can only be ≤ the real partition count when files are
+    * splittable — i.e. it errs toward repartitioning, the safe
+    * direction for a parallelism floor. */
+  private def estimateScanPartitions(df: DataFrame, files: Array[String]): Int = {
+    val spark = df.sparkSession
+    def bytesConf(k: String, dflt: String): Long =
+      JavaUtils.byteStringAsBytes(spark.conf.get(k, dflt))
+    val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", "128m")
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4m")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.iterator.map { f =>
+      val p = new Path(f)
+      // FileSystem instances are cached per scheme+authority by Hadoop
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen + openCost
+    }.sum
+    val byBytes = (totalBytes + maxPartitionBytes - 1) / maxPartitionBytes
+    math.max(1L, math.min(files.length.toLong, byBytes)).toInt
+  }
+
   def ensure(df: DataFrame, min: Int): DataFrame = {
-    val files = df.inputFiles.length
-    val parts = if (files > 0) files else df.rdd.getNumPartitions
+    val files = df.inputFiles
+    val parts =
+      if (files.nonEmpty) estimateScanPartitions(df, files)
+      // non-file frames (tests, in-memory relations): RDD partition count
+      else df.rdd.getNumPartitions
     if (parts >= min) df else df.repartition(min)
   }
 

@@ -132,7 +132,15 @@ object TabularReader {
     if (opts.restore.isEmpty) return df
     val consumed = opts.restore.flatMap(r => Seq(r.valueField, r.keyIdxField)).toSet ++
       opts.restoreOrdField
-    val passthrough = df.columns.filterNot(consumed).map(col(_)).toSeq
+    val passthroughNames = df.columns.filterNot(consumed)
+    val passthrough = passthroughNames.map(col(_)).toSeq
+    // every output name must be unique: a collision between the restored
+    // ord name, a RestoreSpec.as and/or a passthrough column would yield
+    // duplicate arrays_zip fields and ambiguous getField resolution
+    val asNames = opts.restore.map(_.as)
+    val dupAs = (asNames ++ passthroughNames).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dupAs.isEmpty,
+      s"restore output name(s) ${dupAs.mkString(", ")} collide with a passthrough column or another RestoreSpec.as")
     val gathered = opts.restore.map(r =>
       transform(col(r.keyIdxField), i => element_at(col(r.valueField), (i + 1).cast("int"))).as(r.as))
     opts.restoreOrdField match {
@@ -141,6 +149,9 @@ object TabularReader {
         // restore the row-identity column under its pre-compression name
         // (default: strip the writer's "_list" suffix), not an internal one
         val ordAs = opts.restoreOrdAs.getOrElse(ordF.stripSuffix("_list"))
+        require(!asNames.contains(ordAs) && !passthroughNames.contains(ordAs),
+          s"restored ord column name '$ordAs' collides with a RestoreSpec.as or passthrough column; " +
+            s"set restoreOrdAs to a distinct name")
         df.select(passthrough :+
           explode(arrays_zip(col(ordF).as(ordAs) +: gathered: _*)).as("__r"): _*)
           .select(passthrough ++ (col("__r").getField(ordAs).as(ordAs) +:

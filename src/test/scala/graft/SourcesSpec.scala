@@ -108,6 +108,28 @@ class SourcesSpec extends GraftSpec {
     assert(got === want)
   }
 
+  test("restore-at-scan rejects colliding output names") {
+    val dir = Files.createTempDirectory("graft_restore_collide").toString + "/ev"
+    val events = Tables.events(spark, sf)
+    graft.sources.TabularWriter.toParquet(
+      graft.operators.BlockDedup.compress(
+        events, col("user_id"), col("event_id"), Seq("event_type")), dir)
+    // ord restored as "block" would collide with the passthrough column
+    val e1 = intercept[IllegalArgumentException] {
+      TabularReader.fromParquet(spark, Seq(dir), TabularReader.Options(
+        restore = Seq(TabularReader.RestoreSpec("event_type_uniq", "event_type_idx", "event_type")),
+        restoreOrdField = Some("__ord_list"),
+        restoreOrdAs = Some("block")))
+    }
+    assert(e1.getMessage.contains("block"))
+    // a RestoreSpec.as equal to a passthrough column collides too
+    val e2 = intercept[IllegalArgumentException] {
+      TabularReader.fromParquet(spark, Seq(dir), TabularReader.Options(
+        restore = Seq(TabularReader.RestoreSpec("event_type_uniq", "event_type_idx", "block"))))
+    }
+    assert(e2.getMessage.contains("block"))
+  }
+
   test("row-range scan returns exactly [start, end) of the file's physical rows") {
     val path = s"$sf/lineitem.parquet"
     val full = spark.read.parquet(path)
