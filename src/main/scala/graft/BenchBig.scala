@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Headline benches over the [[MakeBigData]] layout, measured the same
+  * way on both engines: each query's full output is reduced engine-side
+  * to ONE row via `sum(hash(row))` (scripts/bench_big.py runs the DuckDB
+  * mirror, `SELECT sum(hash(t)) FROM (<oracle sql>) t`). The reducer
+  * forces every output column of every output row to be computed without
+  * timing client-side transfer of multi-million-row results — at this
+  * scale a fetch of the raw join/scan output would measure the client,
+  * not the engine.
+  *
+  * Usage: runMain graft.BenchBig [dataDir] [names] [reps]
+  * Prints one JSON line: {"queries":{name:bestSec,...},"sf":dataDir}
+  */
+object BenchBig {
+  val Headline: Seq[String] = Seq(
+    "scan_full_width", "q1_pricing_summary", "q1_pricing_summary_cents",
+    "join_orders_customer", "metric_gauc", "metric_gauc_sorted",
+    "dedup_block_roundtrip")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")
+    val names = if (args.length > 1) args(1).split(",").toSeq else Headline
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      // double sum: overflow-free on both engines (DuckDB's integer sum
+      // widens to HUGEINT; Spark's long sum would throw under ANSI)
+      df.select(sum(xxhash64(df.columns.map(col): _*).cast("double")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    names.foreach(once) // warm-up: JVM/codegen + page cache
+    val results = names.map(n => n -> (1 to reps).map(_ => once(n)).min)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"big","queries":$qs,"sf":"$dir"}""")
+    spark.stop()
+  }
+}

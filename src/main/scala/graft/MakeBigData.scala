@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stages the data-dominating bench layout: replicates the sf0.1 fact
+  * tables N× with key-shifted replicas into a multi-file parquet layout
+  * (dims copied 1×), so the headline benches can be measured at a size
+  * where engine work dominates the fixed local scheduling floor.
+  *
+  * Key shifting keeps the scaled data realistic: each replica's keys are
+  * offset by `max(key)+1`, so key cardinality grows with the data (a
+  * naive copy would multiply duplicates per key instead — 50× group
+  * sizes, not 50× groups) while dim-join semantics are preserved
+  * (foreign keys into copied dims are left unshifted).
+  *
+  * Usage: runMain graft.MakeBigData [srcDir] [outDir] [replicas]
+  */
+object MakeBigData {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/root/repo/benchdata/x50"
+    val replicas = if (args.length > 2) args(2).toInt else 50
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    def replicate(name: String, shiftKeys: Seq[String], files: Int): Unit = {
+      val base = Tables(spark, src, name)
+      val strides = shiftKeys.map(k => k -> (base.agg(max(col(k))).head.getLong(0) + 1L))
+      val wide = base.crossJoin(spark.range(replicas).select(col("id").as("__rep")))
+      val shifted = strides.foldLeft(wide) { case (df, (k, stride)) =>
+        df.withColumn(k, col(k) + col("__rep") * stride)
+      }.drop("__rep")
+      shifted.repartition(files).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[bigdata] $name x$replicas (${shiftKeys.mkString(",")} shifted) -> $files files")
+    }
+    def copy(name: String, files: Int): Unit = {
+      Tables(spark, src, name).repartition(files)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[bigdata] $name copied 1x -> $files files")
+    }
+
+    replicate("lineitem", Seq("l_orderkey"), 64)
+    replicate("orders", Seq("o_orderkey"), 32)
+    replicate("events", Seq("event_id", "user_id"), 32)
+    Seq("customer" -> 4, "part" -> 2, "supplier" -> 1, "nation" -> 1, "region" -> 1,
+      "documents" -> 2, "embeddings" -> 2).foreach { case (t, f) => copy(t, f) }
+    spark.stop()
+  }
+}

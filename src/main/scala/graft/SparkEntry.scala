@@ -55,6 +55,28 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
+    "q1_pricing_summary_cents" -> { (s, d) =>
+      // q1 with fixed-point long accumulation: money/quantity are 2-dp
+      // values, so summing them as integer cents is exact and ~2× faster
+      // than Spark's Decimal partial aggregation (boxed Decimal math vs
+      // primitive longs in codegen). Overflow envelope: the widest term,
+      // Σ price_cents·(100−disc_cents) per group, stays under 2^63 up to
+      // ~9×10⁹ max-price rows per group (≈ TB-scale lineitem); ANSI mode
+      // throws rather than silently wrapping beyond it. The DECIMAL form
+      // (q1_pricing_summary) remains the unbounded-scale path; both
+      // hash-match the same DECIMAL oracle.
+      val li = Tables.lineitem(s, d)
+      val cents = (c: String) => round(col(c) * 100).cast("long")
+      li.filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(cents("l_quantity")).cast(DoubleType) / 100.0).as("sum_qty"),
+          (sum(cents("l_extendedprice")).cast(DoubleType) / 100.0).as("sum_base_price"),
+          (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).cast(DoubleType) / 10000.0)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
     "scan_full_width" -> { (s, d) =>
       // the reference's benchmark shape: full-width columnar scan
       Tables.lineitem(s, d)
@@ -278,6 +300,12 @@ object SparkEntry {
     },
     "metric_gauc" -> { (s, d) =>
       Metrics.gauc(Tables.events(s, d), col("user_id"), col("event_type") === "error", col("value"))
+        .select(round(col("gauc"), 9).as("gauc"))
+    },
+    "metric_gauc_sorted" -> { (s, d) =>
+      // the sorted-scan per-group kernel (reference gauc.cc design) —
+      // same oracle as metric_gauc: results are bit-identical
+      Metrics.gaucSorted(Tables.events(s, d), col("user_id"), col("event_type") === "error", col("value"))
         .select(round(col("gauc"), 9).as("gauc"))
     },
     "metric_gauc_per_group" -> { (s, d) =>
@@ -619,7 +647,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // plan variants share their base query's oracle: results must be
+    // bit-identical, only the physical strategy differs
+    "q1_pricing_summary_cents" -> oracleSqlBase("q1_pricing_summary"),
+    "metric_gauc_sorted" -> oracleSqlBase("metric_gauc"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -83,6 +83,36 @@ class MetricsSpec extends GraftSpec {
     assert(math.abs(got - want) / want < 1e-15, s"got=$got want=$want")
   }
 
+  test("gaucSorted equals the window-based gauc (incl. ties, single-class drop)") {
+    import spark.implicits._
+    // ties within and across label classes, a single-class group (20),
+    // groups landing in different partitions
+    val df = Seq(
+      (10L, 1, 0.5), (10L, 0, 0.5), (10L, 1, 0.9), (10L, 0, 0.1), (10L, 0, 0.9),
+      (11L, 1, 0.3), (11L, 0, 0.3), (11L, 1, 0.3), (11L, 0, 0.7),
+      (20L, 1, 0.4), (20L, 1, 0.6),
+      (30L, 0, 0.2), (30L, 1, 0.8)
+    ).toDF("g", "y", "s").repartition(5)
+    val a = Metrics.gauc(df, col("g"), col("y") === 1, col("s")).head.getDouble(0)
+    val b = Metrics.gaucSorted(df, col("g"), col("y") === 1, col("s")).head.getDouble(0)
+    assert(a === b)
+    val perA = Metrics.gaucPerGroup(df, col("g"), col("y") === 1, col("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    val perB = Metrics.gaucPerGroupSorted(df, col("g"), col("y") === 1, col("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(perA === perB)
+    assert(!perA.exists(_._1 == 20L)) // single-class group dropped by both
+  }
+
+  test("gaucSorted equals gauc on the events table") {
+    val ev = Tables.events(spark, sf)
+    val a = Metrics.gauc(ev, col("user_id"), col("event_type") === "error", col("value"))
+      .select(round(col("gauc"), 9)).head.getDouble(0)
+    val b = Metrics.gaucSorted(ev, col("user_id"), col("event_type") === "error", col("value"))
+      .select(round(col("gauc"), 9)).head.getDouble(0)
+    assert(a === b)
+  }
+
   test("gaucPerGroup drops single-class groups") {
     import spark.implicits._
     val df = Seq(
