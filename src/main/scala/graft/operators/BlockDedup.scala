@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Block deduplication with inverse-index restore.
@@ -31,24 +32,36 @@ object BlockDedup {
     *   - `<k>_idx`  — inverse index per original row, ordered by `ord`
     * plus `<ordName>_list`, the ordered `ord` values (needed to restore
     * row identity).
+    *
+    * The inverse index is `dense_rank() - 1` over (block, k): a row's
+    * dense rank in its block IS its value's position in the block's
+    * sorted distinct values. An earlier form computed
+    * `array_position(uniq, v)` inside a `transform` lambda — higher-order
+    * functions don't hoist loop-invariant subtrees, so the whole
+    * sort+distinct chain re-evaluated per element (O(n·u) per block,
+    * measured 2.9× slower at 5M rows). The windows all share the block
+    * partitioning, so compress is still ONE exchange (+ one in-partition
+    * sort per key); key values must be non-null (dense_rank orders nulls
+    * first, array_sort puts them last).
     */
   def compress(df: DataFrame, block: Column, ord: Column, keyCols: Seq[String]): DataFrame = {
     val ordName = "__ord"
     val keyed = df.withColumn(ordName, ord).withColumn("__block", block)
+    val withIdx = keyCols.foldLeft(keyed) { (acc, k) =>
+      val w = Window.partitionBy(col("__block")).orderBy(col(k))
+      acc.withColumn(s"__idx_$k", (dense_rank().over(w) - 1).cast("long"))
+    }
     val aggs: Seq[Column] = keyCols.flatMap { k =>
-      // ordered values of k within the block (struct-sort makes
-      // collect_list deterministic — SURVEY §7 hard-parts)
-      val ordered = transform(
-        sort_array(collect_list(struct(col(ordName), col(k)))),
-        s => s.getField(k))
-      val uniq = array_sort(array_distinct(ordered))
       Seq(
-        uniq.as(s"${k}_uniq"),
-        transform(ordered, v => array_position(uniq, v) - 1).as(s"${k}_idx"))
+        array_sort(collect_set(col(k))).as(s"${k}_uniq"),
+        // struct-sort by ord makes collect_list deterministic under the
+        // unordered exchange (SURVEY §7 hard-parts)
+        transform(sort_array(collect_list(struct(col(ordName), col(s"__idx_$k")))),
+          s => s.getField(s"__idx_$k")).as(s"${k}_idx"))
     } :+ transform(
       sort_array(collect_list(struct(col(ordName)))),
       s => s.getField(ordName)).as(s"${ordName}_list")
-    keyed.groupBy(col("__block").as("block")).agg(aggs.head, aggs.tail: _*)
+    withIdx.groupBy(col("__block").as("block")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Restore one compressed key column back to one row per original row:
