@@ -559,7 +559,12 @@ object SparkEntry {
     "stream_dedup_ids" -> { (s, d) =>
       import s.implicits._
       val dir = GateFixtures.dir("stream", d) { target =>
-        Tables.events(s, d).select("event_id").write.mode("overwrite").parquet(target)
+        // exactly 2 files -> 2 micro-batches: state must carry across a
+        // batch boundary (the cross-batch SEMANTICS are spec'd with
+        // overlapping ids in StreamingSpec); each extra micro-batch costs
+        // ~0.6s of spin-up, so the volume gate keeps the minimum that
+        // still crosses a boundary
+        Tables.events(s, d).select("event_id").repartition(2).write.mode("overwrite").parquet(target)
       }
       val schema = s.read.parquet(dir).schema
       val name = "gate_dedup_" + math.abs(dir.hashCode)
