@@ -6,15 +6,18 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions registration: exposes the engine's native
-  * expressions to SQL (`SELECT graft_dot(a, b)`, `graft_poly_hash(s)`).
-  * The analog of the reference's custom-op registration surface
-  * (reference: hybridbackend/tensorflow/framework/view.py OperationLike;
-  * SURVEY §2.12). Activate with
+  * expressions to SQL (`SELECT graft_dot(a, b)`, `graft_poly_hash(s)`)
+  * and injects the engine's optimizer pass
+  * ([[graft.plans.CollapseIdempotent]]) — together the analog of the
+  * reference's custom-op registration + graph-rewriting surface
+  * (reference: hybridbackend/tensorflow/framework/view.py OperationLike,
+  * framework/rewriting.py GraphRewriting; SURVEY §2.12). Activate with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.CollapseIdempotent)
     def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
       if (args.length != n) throw new IllegalArgumentException(
         s"$name requires exactly $n argument(s), got ${args.length}")

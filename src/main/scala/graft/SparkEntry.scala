@@ -4,7 +4,7 @@ import graft.functions.{Metrics, TextFunctions}
 import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, Sampling, Sessionize, SkewJoin}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
-import graft.sources.{TabularReader, TabularWriter}
+import graft.sources.{TabularReader, TabularWriter, TypedParquet}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -264,7 +264,7 @@ object SparkEntry {
       val dim = Tables.embeddings(s, d).select(col("vec_id").as("user_id"), col("label"))
       SkewJoin.salted(
         Tables.events(s, d).select(col("event_id"), col("user_id")),
-        dim, "user_id", saltFactor = 8)
+        dim, "user_id", saltFactor = 8, saltBy = Seq("event_id"))
     },
 
     // ---- ordered collect / range clip (reference §2.7-2.8) -------------
@@ -603,6 +603,66 @@ object SparkEntry {
       TabularReader.fromParquet(s, Seq(s"$d/lineitem.parquet"),
         TabularReader.Options(rowStart = Some(1000L), rowEnd = Some(2000L)))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+
+    // ---- ORC row-range (reference orc.cc:118-120 Count/Seek) -----------
+    "scan_orc_row_range" -> { (s, d) =>
+      // single-file ORC staged in the parquet original's row order
+      // (coalesce(1) pins write order), then rows [1000, 2000) read back
+      // through the per-split offset pass — same semantics as the
+      // parquet row_index path, ORC-native positions
+      val dir = GateFixtures.dir("orc_rr", d) { target =>
+        TabularWriter.toOrc(Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value")).coalesce(1), target)
+      }
+      TabularReader.fromOrc(s, Seq(dir),
+        TabularReader.Options(rowStart = Some(1000L), rowEnd = Some(2000L)))
+    },
+
+    // ---- exotic physical types (reference arrow.cc:48-73) ---------------
+    "scan_float16" -> { (s, d) =>
+      // fp16 parquet staged by a non-Spark writer (parquet-java FLBA(2),
+      // the FLOAT16 physical layout), read through the float16 dtype
+      // mapping: binary file column declared FloatType -> native half
+      // decode. Values are exact in fp16 (<= 999.5, 0.5 steps) so the
+      // round-trip is bit-exact and the oracle recomputes them directly.
+      val dir = GateFixtures.dir("fp16", d) { target =>
+        TypedParquet.Fp16Fixture.write(s"$target/part-00000.parquet")
+      }
+      TabularReader.fromParquet(s, Seq(dir), TabularReader.Options(fields = Seq(
+        FieldSpec("id", LongType),
+        FieldSpec("half_val", FloatType))))
+        .select(col("id"), col("half_val").cast("double").as("half_val"))
+    },
+    "scan_uint64" -> { (s, d) =>
+      // uint64 parquet (INT64 logical INTEGER(64,false)) staged by
+      // parquet-java; Spark's vectorized reader maps it to DECIMAL(20,0)
+      // natively — exactly FieldSpec.dtypeMapping's declared uint64
+      // mapping — with values above Long.MaxValue intact (fixture stores
+      // 2^63 + id). Projected to string for an engine-neutral compare.
+      val dir = GateFixtures.dir("uint64", d) { target =>
+        TypedParquet.U64Fixture.write(s"$target/part-00000.parquet")
+      }
+      TabularReader.fromParquet(s, Seq(dir), TabularReader.Options(fields = Seq(
+        FieldSpec("id", LongType),
+        FieldSpec("u", DecimalType(20, 0)))))
+        .select(col("id"), col("u").cast("string").as("u"))
+    },
+    "scan_csv_roundtrip" -> { (s, d) =>
+      // CSV source (reference benchmarks/data_benchmark_csv.py): events
+      // staged once as CSV, read back with a declared schema — must
+      // reproduce the parquet original bit-for-bit (doubles survive via
+      // Java's shortest-round-trip formatting; JSON props via quoting)
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      val dir = GateFixtures.dir("csv", d) { target =>
+        Tables.events(s, d).select(cols.map(col): _*)
+          .write.option("header", "true").csv(target)
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      TabularReader.fromCsv(s, Seq(dir), schema)
     },
 
     // ---- reproducible sampling ------------------------------------------
@@ -1054,6 +1114,20 @@ object SparkEntry {
       // physical rows [1000, 2000) of the single parquet file; DuckDB
       // preserves file order for a plain scan (preserve_insertion_order)
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem LIMIT 1000 OFFSET 1000",
+    "scan_orc_row_range" ->
+      // physical rows [1000, 2000) of the single ORC file, which holds
+      // the events table in original parquet order (as scan_row_range)
+      "SELECT event_id, user_id, value FROM events LIMIT 1000 OFFSET 1000",
+    "scan_float16" ->
+      // mirrors TypedParquet.Fp16Fixture.value — exact in binary16
+      """SELECT i AS id, CAST((i % 2000) / 2.0 AS DOUBLE) AS half_val
+        |FROM range(10000) r(i)""".stripMargin,
+    "scan_uint64" ->
+      // mirrors TypedParquet.U64Fixture — 2^63 + i, above BIGINT range
+      """SELECT i AS id, CAST(CAST(9223372036854775808 AS HUGEINT) + i AS VARCHAR) AS u
+        |FROM range(10000) r(i)""".stripMargin,
+    "scan_csv_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value, props FROM events",
     "sample_bernoulli" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE (${OracleFragments.modPHashSql("event_id", 42L)}) % 1000000 < 500000""".stripMargin,

@@ -75,6 +75,29 @@ case class PolyHash(child: Expression, mult: Long = 31L) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Decode IEEE binary16 stored as 2 little-endian bytes (the Parquet
+  * FLOAT16 physical layout, which Spark's reader surfaces as binary) to
+  * FloatType. Used by [[graft.sources.TabularReader]]'s float16 dtype
+  * mapping (reference: hybridbackend/common/arrow.cc:48-73). */
+case class HalfToFloat(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"half_to_float needs binary, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = FloatType
+
+  override protected def nullSafeEval(b: Any): Any =
+    VecUtil.halfToFloat(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.halfToFloat($b);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -82,4 +105,5 @@ object GraftExpressions {
   def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def poly_hash(s: Column): Column = column(PolyHash(expression(s)))
   def poly_hash(s: Column, mult: Long): Column = column(PolyHash(expression(s), mult))
+  def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
 }

@@ -52,6 +52,36 @@ object VecUtil {
     h
   }
 
+  /** IEEE 754 binary16 (2 little-endian bytes, the Parquet FLOAT16
+    * physical layout) -> binary32. Exact: every half value is a float.
+    * Mirrors the reference's fp16 decode path
+    * (hybridbackend/common/arrow.cc:48-73); same contract as JDK 21's
+    * Float.float16ToFloat (unavailable on 17). */
+  def halfToFloat(bytes: Array[Byte]): Float = {
+    if (bytes.length != 2)
+      throw new IllegalArgumentException(
+        s"half_to_float expects 2-byte fp16 values, got ${bytes.length} bytes")
+    halfBitsToFloat(((bytes(1) & 0xFF) << 8) | (bytes(0) & 0xFF))
+  }
+
+  def halfBitsToFloat(h: Int): Float = {
+    val sign = (h & 0x8000) << 16
+    val e = (h >> 10) & 0x1F
+    val m = h & 0x3FF
+    val f =
+      if (e == 0x1F) sign | 0x7F800000 | (m << 13) // Inf / NaN
+      else if (e == 0) {
+        if (m == 0) sign // signed zero
+        else { // subnormal half -> normal float
+          var mm = m
+          var ex = -1
+          while ((mm & 0x400) == 0) { mm <<= 1; ex += 1 }
+          sign | ((127 - 15 - ex) << 23) | ((mm & 0x3FF) << 13)
+        }
+      } else sign | ((e - 15 + 127) << 23) | (m << 13)
+    java.lang.Float.intBitsToFloat(f)
+  }
+
   private def polyHashSlow(s: UTF8String, mult: Long): Long = {
     val str = s.toString
     var h = 0L

@@ -22,18 +22,30 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Salted inner/left equi-join: `facts` (skewed, large) ⋈ `dim`
-    * (replicated saltFactor×). The salt is seeded so the physical layout
-    * is identical run to run (unseeded rand() would re-derive a new salt
-    * per execution — correct but nondeterministic to debug/profile). */
+    * (replicated saltFactor×).
+    *
+    * Salt assignment must spread rows of the SAME hot key across salts,
+    * so it cannot be a function of the join key. With `saltBy` columns
+    * given (any row-identity columns — a primary key, an event id), the
+    * salt is a seeded hash of them: fully deterministic, independent of
+    * input partition layout (same guarantee [[Sampling]]'s mod-P hashing
+    * gives — property-tested under repartitioned inputs). Without
+    * `saltBy` it falls back to `rand(seed)`, which is deterministic only
+    * for a FIXED scan layout (Spark seeds rand per partition), not
+    * across layout changes — fine for spreading, weaker for debugging. */
   def salted(
       facts: DataFrame,
       dim: DataFrame,
       key: String,
       saltFactor: Int,
       joinType: String = "inner",
-      seed: Long = 0x5a17): DataFrame = {
-    val saltedFacts = facts.withColumn("__salt",
-      (rand(seed) * saltFactor).cast("int"))
+      seed: Long = 0x5a17,
+      saltBy: Seq[String] = Nil): DataFrame = {
+    val salt =
+      if (saltBy.nonEmpty)
+        pmod(xxhash64(lit(seed) +: saltBy.map(col): _*), lit(saltFactor)).cast("int")
+      else (rand(seed) * saltFactor).cast("int")
+    val saltedFacts = facts.withColumn("__salt", salt)
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedFacts.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
@@ -42,17 +54,24 @@ object SkewJoin {
   /** Salted aggregation for skewed group keys: partial aggregate on
     * (key, salt), then final aggregate on key. `partialAggs` build the
     * per-salt partials from input columns; `finalAggs` merge partials
-    * (e.g. sum of sums, sum of counts). */
+    * (e.g. sum of sums, sum of counts). `saltBy` as in [[salted]]:
+    * row-identity columns give a layout-independent deterministic salt. */
   def saltedAgg(
       df: DataFrame,
       key: Column,
       saltFactor: Int,
       partialAggs: Seq[Column],
       finalAggs: Seq[Column],
-      seed: Long = 0x5a17): DataFrame =
-    df.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
+      seed: Long = 0x5a17,
+      saltBy: Seq[String] = Nil): DataFrame = {
+    val salt =
+      if (saltBy.nonEmpty)
+        pmod(xxhash64(lit(seed) +: saltBy.map(col): _*), lit(saltFactor)).cast("int")
+      else (rand(seed) * saltFactor).cast("int")
+    df.withColumn("__salt", salt)
       .groupBy(key.as("key"), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(col("key"))
       .agg(finalAggs.head, finalAggs.tail: _*)
+  }
 }

@@ -68,10 +68,13 @@ object SchemaValidator {
   private def compatibleLeaf(file: DataType, declared: DataType): Boolean =
     (file, declared) match {
       case (a, b) if a == b => true
-      // widenings we document (float16->float, uint widenings) arrive as
-      // the widened type from Parquet already; allow int32->long reads.
+      // widenings we document (uint widenings) arrive as the widened
+      // type from Parquet already; allow int32->long reads.
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // fp16 physical layout: FLBA(2) surfaces as binary, declared float
+      // (TabularReader decodes; FieldSpec.dtypeMapping float16->Float)
+      case (BinaryType, FloatType) => true
       case _ => false
     }
 

@@ -52,10 +52,12 @@ object TabularReader {
       // as `event_id` again)
       restoreOrdAs: Option[String] = None,
       // row-range scan [rowStart, rowEnd) per file — the reference's
-      // `?start=&end=` URI semantics (data/tabular/parquet.cc:46-64),
-      // used for deterministic external sharding. Positions come from the
-      // scan's own _metadata.row_index (no sort, no global id pass).
-      // Parquet only: row_index is a Parquet-reader metadata column.
+      // `?start=&end=` URI semantics (data/tabular/parquet.cc:46-64, and
+      // the ORC Count/Seek analog, data/tabular/orc.cc:118-120), used
+      // for deterministic external sharding. Parquet positions come from
+      // the scan's own _metadata.row_index (no sort, no global id pass);
+      // ORC has no row_index metadata column, so positions come from a
+      // per-split row-offset pass (see orcRowRange).
       rowStart: Option[Long] = None,
       rowEnd: Option[Long] = None)
 
@@ -65,31 +67,51 @@ object TabularReader {
   def fromOrc(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
     read(spark, "orc", paths, opts)
 
+  /** CSV scan (the reference's CSV baseline path,
+    * benchmarks/data_benchmark_csv.py). CSV carries no footer schema, so
+    * the column types are declared up front — inference would read the
+    * data twice and guess. */
+  def fromCsv(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: StructType,
+      header: Boolean = true,
+      opts: Options = Options()): DataFrame =
+    read(spark, "csv", paths, opts, Some(schema), Map("header" -> header.toString))
+
   private def read(
       spark: SparkSession,
       format: String,
       paths: Seq[String],
-      opts: Options): DataFrame = {
+      opts: Options,
+      userSchema: Option[StructType] = None,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
     require(paths.nonEmpty, "no input paths")
     require(
-      format == "parquet" || (opts.rowStart.isEmpty && opts.rowEnd.isEmpty),
-      s"rowStart/rowEnd require the Parquet reader (_metadata.row_index is " +
-        s"Parquet-only); format '$format' does not support row-range scans")
+      format == "parquet" || format == "orc" || (opts.rowStart.isEmpty && opts.rowEnd.isEmpty),
+      s"rowStart/rowEnd require a footer-bearing columnar reader " +
+        s"(parquet or orc); format '$format' does not support row-range scans")
     val reader = spark.read
       .format(format)
+      .options(extraOptions)
       .option("ignoreCorruptFiles", opts.skipCorrupted.toString)
+    userSchema.foreach(reader.schema)
     val loaded = reader.load(paths: _*)
 
-    // row-range scan: filter on the scan's per-file row position — a
-    // narrow post-scan predicate over a generated metadata column, no
-    // sort and no monotonically_increasing_id pass
+    // row-range scan: filter on the scan's per-file row position. For
+    // parquet this is a narrow post-scan predicate over the generated
+    // _metadata.row_index column — no sort and no
+    // monotonically_increasing_id pass; ORC (no row_index column) goes
+    // through the per-split offset pass in orcRowRange.
     val raw = (opts.rowStart, opts.rowEnd) match {
       case (None, None) => loaded
-      case (s, e) =>
+      case (s, e) if format == "parquet" =>
         val idx = col("_metadata.row_index")
         val lower = s.map(idx >= _)
         val upper = e.map(idx < _)
         loaded.filter((lower ++ upper).reduce(_ && _))
+      case (s, e) =>
+        orcRowRange(spark, loaded, s.getOrElse(0L), e.getOrElse(Long.MaxValue))
     }
 
     val declared =
@@ -121,6 +143,64 @@ object TabularReader {
       base.as(f.name)
     }
     applyRestore(raw.select(cols: _*), opts)
+  }
+
+  /** ORC row-range [start, end) per file — the analog of the reference's
+    * ORC row-granular Count/Seek (data/tabular/orc.cc:118-120). ORC scans
+    * expose no `_metadata.row_index`, so per-file positions are derived
+    * in two passes:
+    *
+    *  1. a metadata-weight counting job — per-split row counts keyed by
+    *     (`_metadata.file_path`, `_metadata.file_block_start`), an empty
+    *     data projection the ORC reader answers from stripe metadata —
+    *     folded into per-split starting offsets within each file
+    *     (splits of a file are ordered by block start; this tiny
+    *     split->offset map is collected and broadcast);
+    *  2. the data read, where each partition assigns within-split row
+    *     numbers with a streaming counter (rows of a split arrive in
+    *     file order; a partition may pack several splits, so the counter
+    *     resets on every (file, block) change) and keeps only rows whose
+    *     `offset + local index` falls in [start, end).
+    *
+    * The construction is layout-independent — any split planning yields
+    * the same per-file row positions — and scales as one cheap metadata
+    * pass plus one narrow filtered scan; no sort, no global id, nothing
+    * single-partition. Note the counting job runs eagerly at plan-build
+    * time (the parquet path stays fully lazy). */
+  private def orcRowRange(
+      spark: SparkSession,
+      loaded: DataFrame,
+      start: Long,
+      end: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    val dataCols = loaded.columns.toSeq
+    val meta = loaded.select(
+      col("_metadata.file_path").as("__file") +:
+        col("_metadata.file_block_start").as("__block") +:
+        dataCols.map(col): _*)
+    val counts = meta.groupBy(col("__file"), col("__block")).count().collect()
+    val offsets: Map[(String, Long), Long] = counts.groupBy(_.getString(0)).toSeq.flatMap {
+      case (f, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        val starts = sorted.scanLeft(0L)(_ + _._2)
+        sorted.zip(starts).map { case ((b, _), off) => ((f, b), off) }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranged = meta.mapPartitions { it =>
+      var curF: String = null
+      var curB = Long.MinValue
+      var base = 0L
+      var n = 0L
+      it.filter { r =>
+        val f = r.getString(0)
+        val b = r.getLong(1)
+        if (f != curF || b != curB) { curF = f; curB = b; base = bc.value((f, b)); n = 0L }
+        val idx = base + n
+        n += 1
+        idx >= start && idx < end
+      }
+    }(org.apache.spark.sql.Encoders.row(meta.schema))
+    ranged.select(dataCols.map(col): _*)
   }
 
   /** Dedup restore at scan: gather each RestoreSpec's value list through
@@ -168,7 +248,10 @@ object TabularReader {
     val c0 = col(name)
     // cast only on a real type difference — nullability-only deltas in
     // (nested) arrays are not castable and don't need to be
-    val c = if (sameIgnoringNullability(fileType, f.dataType)) c0 else c0.cast(f.dataType)
+    val c =
+      if (isHalfLayout(fileType, f.dataType)) decodeHalf(c0, fileType)
+      else if (sameIgnoringNullability(fileType, f.dataType)) c0
+      else c0.cast(f.dataType)
     if (opts.toDense && (f.raggedRank == 1 || f.shape.length == 1))
       padToLength(c, f.shape.headOption, opts.denseDefault, f.leafType)
     else c
@@ -177,6 +260,24 @@ object TabularReader {
   private def sameIgnoringNullability(a: DataType, b: DataType): Boolean = (a, b) match {
     case (ArrayType(ea, _), ArrayType(eb, _)) => sameIgnoringNullability(ea, eb)
     case _ => a == b
+  }
+
+  /** float16 dtype mapping (FieldSpec.dtypeMapping): Parquet fp16 is
+    * FIXED_LEN_BYTE_ARRAY(2), which Spark's reader surfaces as binary
+    * (and REJECTS when the file carries the FLOAT16 logical annotation —
+    * `[PARQUET_TYPE_ILLEGAL]`, documented in [[TypedParquet]]); a binary
+    * file column declared FloatType is decoded as little-endian IEEE
+    * half via the native codegen'd [[graft.functions.expressions.HalfToFloat]]
+    * (reference: hybridbackend/common/arrow.cc:48-73). */
+  private def isHalfLayout(file: DataType, declared: DataType): Boolean = (file, declared) match {
+    case (BinaryType, FloatType) => true
+    case (ArrayType(ea, _), ArrayType(eb, _)) => isHalfLayout(ea, eb)
+    case _ => false
+  }
+
+  private def decodeHalf(c: Column, file: DataType): Column = file match {
+    case ArrayType(e, _) => transform(c, x => decodeHalf(x, e))
+    case _ => graft.functions.expressions.GraftExpressions.half_to_float(c)
   }
 
   private def resolveName(raw: DataFrame, name: String, ci: Boolean): String =

@@ -46,6 +46,35 @@ class ExpressionsSpec extends GraftSpec {
     assert(r.length === 5 && r.forall(row => row.getDouble(0) > 0))
   }
 
+  test("injected optimizer rule collapses nested idempotent normalizations") {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Lower}
+    def lowersIn(session: org.apache.spark.sql.SparkSession): Int = {
+      val docs = Tables.documents(session, sf)
+      docs.select(lower(lower(trim(trim(col("text"))))).as("t"))
+        .queryExecution.optimizedPlan
+        .expressions.map(_.collect { case l: Lower => l }.size).sum
+    }
+    // with GraftExtensions: one Lower (and one StringTrim) survive
+    assert(lowersIn(spark) === 1)
+    // the collapse comes from OUR injected rule (present in the session's
+    // optimizer), not a built-in Catalyst pass: applying the analyzed
+    // plan's Lower stack to the rule directly removes exactly one level
+    assert(spark.sessionState.optimizer.batches.flatMap(_.rules)
+      .exists(_.ruleName.endsWith("CollapseIdempotent")))
+    val analyzed = Tables.documents(spark, sf)
+      .select(lower(lower(col("text"))).as("t")).queryExecution.analyzed
+    val before = analyzed.expressions.map(_.collect { case l: Lower => l }.size).sum
+    val after = graft.plans.CollapseIdempotent(analyzed)
+      .expressions.map(_.collect { case l: Lower => l }.size).sum
+    assert(before === 2 && after === 1)
+    // array_distinct stacks collapse too (shingle pipelines produce them)
+    val dd = Tables.documents(spark, sf)
+      .select(array_distinct(array_distinct(split(col("text"), " "))).as("s"))
+      .queryExecution.optimizedPlan
+      .expressions.map(_.collect { case a: ArrayDistinct => a }.size).sum
+    assert(dd === 1)
+  }
+
   test("type errors are reported cleanly") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L), Seq(1.0, 2.0))).toDF("ints", "dbls")

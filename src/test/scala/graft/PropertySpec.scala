@@ -69,6 +69,37 @@ class PropertySpec extends GraftSpec {
     assert(salted.exceptAll(plain).count() === 0)
   }
 
+  test("property: hash salt is layout-invariant (same salt per row under any partitioning)") {
+    // the docstring's determinism claim: with saltBy row-identity columns,
+    // the event_id -> salt assignment must not depend on the scan layout
+    def saltsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.withColumn("__salt",
+        pmod(xxhash64(lit(0x5a17L), col("event_id")), lit(8)).cast("int"))
+        .select("event_id", "__salt")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val base = saltsOf(events)
+    samples(Gen.choose(1, 40), 4).foreach { n =>
+      assert(saltsOf(events.repartition(n)) === base, s"layout $n")
+    }
+    // and rows of one hot key really spread over multiple salts
+    val hot = events.groupBy("user_id").count().orderBy(col("count").desc)
+      .limit(1).collect().head.getLong(0)
+    val hotSalts = events.filter(col("user_id") === hot)
+      .select(pmod(xxhash64(lit(0x5a17L), col("event_id")), lit(8)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    assert(hotSalts.size > 1, s"hot key $hot not spread: $hotSalts")
+  }
+
+  test("salted join with saltBy equals the plain join under a changed layout") {
+    val dim = Tables.embeddings(spark, sf).select(col("vec_id").as("user_id"), col("label"))
+    val facts = events.select("event_id", "user_id")
+    val plain = facts.join(dim, Seq("user_id"), "inner")
+    val saltedRepart = SkewJoin.salted(
+      facts.repartition(7), dim, "user_id", 8, saltBy = Seq("event_id"))
+    assert(saltedRepart.count() === plain.count())
+    assert(saltedRepart.exceptAll(plain).count() === 0)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = events.groupBy(col("user_id").as("key"))
       .agg(count(lit(1)).as("n")).collect()

@@ -147,12 +147,63 @@ class SourcesSpec extends GraftSpec {
       === full.slice(10, 25).sorted)
   }
 
-  test("row-range on a non-parquet format fails fast with a clear message") {
+  test("ORC row-range returns exactly [start, end) of the file's physical rows") {
     val dir = Files.createTempDirectory("graft_rr_orc").toString + "/ev"
-    Tables.events(spark, sf).select("event_id").write.mode("overwrite").orc(dir)
+    // known physical order: one partition of ascending ids
+    import spark.implicits._
+    (0L until 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("overwrite").orc(dir)
+    val ranged = TabularReader.fromOrc(spark, Seq(dir),
+      TabularReader.Options(rowStart = Some(10L), rowEnd = Some(25L)))
+    assert(ranged.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (10L until 25L).toSeq)
+    // open-ended bounds
+    assert(TabularReader.fromOrc(spark, Seq(dir),
+      TabularReader.Options(rowStart = Some(490L))).count() === 10)
+    assert(TabularReader.fromOrc(spark, Seq(dir),
+      TabularReader.Options(rowEnd = Some(7L))).count() === 7)
+  }
+
+  test("ORC row-range survives multi-split scans (per-split offsets compose)") {
+    val dir = Files.createTempDirectory("graft_rr_orc_ms").toString + "/big"
+    import spark.implicits._
+    // small stripes so the file has many stripes a split can cut across
+    (0L until 20000L).map(i => (i, ("x" * 64) + i)).toDF("id", "payload")
+      .coalesce(1).write.mode("overwrite")
+      .option("orc.stripe.size", "65536").orc(dir)
+    val conf = spark.conf
+    val old = conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "65536") // force many splits
+      val ranged = TabularReader.fromOrc(spark, Seq(dir),
+        TabularReader.Options(rowStart = Some(4999L), rowEnd = Some(15003L)))
+      assert(ranged.select("id").collect().map(_.getLong(0)).sorted.toSeq
+        === (4999L until 15003L).toSeq)
+    } finally conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("ORC row-range applies per file (external-sharding semantics)") {
+    val dir = Files.createTempDirectory("graft_rr_orc_pf").toString
+    import spark.implicits._
+    (0L until 100L).map(i => Tuple1(i)).toDF("id")
+      .coalesce(1).write.mode("overwrite").orc(s"$dir/f1")
+    (1000L until 1100L).map(i => Tuple1(i)).toDF("id")
+      .coalesce(1).write.mode("overwrite").orc(s"$dir/f2")
+    val ranged = TabularReader.fromOrc(spark, Seq(s"$dir/f1", s"$dir/f2"),
+      TabularReader.Options(rowStart = Some(5L), rowEnd = Some(8L)))
+    // rows [5, 8) of EACH file, exactly as the parquet row_index path
+    assert(ranged.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(5L, 6L, 7L, 1005L, 1006L, 1007L))
+  }
+
+  test("row-range on a rowless format fails fast with a clear message") {
+    val dir = Files.createTempDirectory("graft_rr_csv").toString + "/ev"
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+    li.write.mode("overwrite").option("header", "true").csv(dir)
     val e = intercept[IllegalArgumentException] {
-      TabularReader.fromOrc(spark, Seq(dir), TabularReader.Options(rowStart = Some(5L)))
+      TabularReader.fromCsv(spark, Seq(dir), li.schema,
+        opts = TabularReader.Options(rowStart = Some(5L)))
     }
-    assert(e.getMessage.contains("Parquet"))
+    assert(e.getMessage.contains("row-range"))
   }
 }
