@@ -75,6 +75,31 @@ case class PolyHash(child: Expression, mult: Long = 31L) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Row-local 60-bit SimHash fingerprint over a token array — the whole
+  * per-document kernel (hash both families per token, per-bit majority
+  * vote) as ONE codegen'd call, replacing an explode + 60-aggregate
+  * groupBy with a narrow map: no exchange, state = one long per doc.
+  * (Reference computes fingerprints inside its dedup kernel the same
+  * row-local way; SURVEY §2.4.) */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sim_hash60 needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.simHash60(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.simHash60($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Decode IEEE binary16 stored as 2 little-endian bytes (the Parquet
   * FLOAT16 physical layout, which Spark's reader surfaces as binary) to
   * FloatType. Used by [[graft.sources.TabularReader]]'s float16 dtype
@@ -106,4 +131,5 @@ object GraftExpressions {
   def poly_hash(s: Column): Column = column(PolyHash(expression(s)))
   def poly_hash(s: Column, mult: Long): Column = column(PolyHash(expression(s), mult))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
+  def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
 }

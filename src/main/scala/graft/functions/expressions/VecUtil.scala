@@ -52,6 +52,35 @@ object VecUtil {
     h
   }
 
+  /** 60-bit SimHash fingerprint of a token array, one row-local pass:
+    * per token, hash = two independent mod-P families side by side
+    * (bits 0-29 from the *31 family, 30-59 from *131 — one mod-P value
+    * carries only 30 varying bits); fingerprint bit b is set when more
+    * than half the tokens have hash bit b set (2*ones > n, identical to
+    * the sign of the +-1 occurrence sum the aggregate formulation
+    * computes). Bit-for-bit equal to [[graft.operators.NearDup.simHashAgg]]
+    * — asserted in EquivalenceSpec — with no explode and no shuffle. */
+  def simHash60(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](60)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val h = polyHash(t, 31L) + (polyHash(t, 131L) << 30)
+        var b = 0
+        while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        total += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) { if (2 * counts(b) > total) fp |= 1L << b; b += 1 }
+    fp
+  }
+
   /** IEEE 754 binary16 (2 little-endian bytes, the Parquet FLOAT16
     * physical layout) -> binary32. Exact: every half value is a float.
     * Mirrors the reference's fp16 decode path

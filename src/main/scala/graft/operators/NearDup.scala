@@ -241,8 +241,26 @@ object NearDup {
     * token-hash bit b is set) is positive. The token hash places two
     * independent mod-P hash families side by side (bits 0-29 from the
     * *31 family, 30-59 from the *131 family) so all 60 bits genuinely
-    * vary. One explode + one groupBy with 60 sum-aggregates. */
-  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    * vary.
+    *
+    * Computed entirely row-locally by the native codegen'd
+    * [[graft.functions.expressions.SimHash60]] kernel — a narrow map
+    * over (doc, token-array), NO explode and NO shuffle: per-doc state
+    * is one long. The aggregate formulation ([[simHashAgg]]) is kept as
+    * the semantic spec; EquivalenceSpec asserts bit-identity. */
+  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame =
+    Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions.sim_hash60(tokenize(col("__text")))
+          .as("simhash"))
+
+  /** The explode + groupBy formulation of [[simHash]] (one shuffle of
+    * (doc, token-hash) pairs, 60 map-side-combinable sum aggregates) —
+    * the distributed-aggregation semantic spec the row-local kernel is
+    * verified against, and the shape to fall back to if a single row's
+    * token array ever exceeded executor memory (not a real corpus
+    * concern: 1M-token docs are ~MBs). */
+  def simHashAgg(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
       .select(col("doc_id"), explode(tokenize(col("__text"))).as("t"))
       .withColumn("h", polyHash(col("t")) + shiftleft(polyHash2(col("t")), 30))

@@ -67,6 +67,23 @@ class EquivalenceSpec extends GraftSpec {
     assert(got(3000L) === Nil)
   }
 
+  test("row-local SimHash kernel equals the aggregate formulation bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    val fast = graft.operators.NearDup.simHash(docs, col("doc_id"), col("text"))
+    val spec = graft.operators.NearDup.simHashAgg(docs, col("doc_id"), col("text"))
+    assert(fast.exceptAll(spec).count() === 0)
+    assert(spec.exceptAll(fast).count() === 0)
+    // and the kernel itself is a shuffle-free narrow map over the scan
+    // (simHash proper adds only the Parallelism floor's round-robin,
+    // which is a no-op at real scale)
+    val plan = docs.select(col("doc_id"),
+      graft.functions.expressions.GraftExpressions.sim_hash60(
+        graft.functions.TextFunctions.tokenize(col("text"))).as("simhash"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("simhash60") || plan.toLowerCase.contains("simhash"), plan)
+  }
+
   test("accuracy via expression equals direct computation on events") {
     val acc = events.agg(graft.functions.Metrics.accuracy(
       col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)
