@@ -20,9 +20,23 @@ object BenchBig {
     "join_orders_customer", "metric_gauc", "metric_gauc_sorted",
     "dedup_block_roundtrip")
 
+  /** The LLM-data-pipeline suite at corpus scale (dedup / ANN / text)
+    * over the replicated+perturbed documents/embeddings tables. */
+  val Llm: Seq[String] = Seq(
+    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs_full", "dedup_embedding_neardup",
+    "ann_topk_brute", "ann_topk_bucketed",
+    "text_stats", "text_quality", "text_langid", "text_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")
-    val names = if (args.length > 1) args(1).split(",").toSeq else Headline
+    val names =
+      if (args.length > 1) args(1) match {
+        case "headline" => Headline
+        case "llm" => Llm
+        case s => s.split(",").toSeq
+      }
+      else Headline
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 

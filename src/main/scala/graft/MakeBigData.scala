@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   * sizes, not 50× groups) while dim-join semantics are preserved
   * (foreign keys into copied dims are left unshifted).
   *
+  * The LLM-ops corpus tables get CONTENT perturbation on top of key
+  * shifting, for the same realism reason: an identical text copy would
+  * make every doc an exact/near duplicate of its N-1 replica siblings
+  * (near-dup pair count quadratic in N — nothing like a corpus that
+  * grew N×), so each replica suffixes every token with its replica tag
+  * (intra-replica shingle/df structure identical to the original corpus,
+  * cross-replica shingle overlap zero). Embedding replicas rotate the
+  * vector by `rep % dim` positions: norms and within-replica geometry
+  * preserved, cross-replica cosines decorrelated. Trade-off, documented:
+  * suffixed tokens no longer hit the English stopword list, so text
+  * quality/langid values differ from the originals (the per-token WORK —
+  * the thing benched — is identical).
+  *
   * Usage: runMain graft.MakeBigData [srcDir] [outDir] [replicas]
   */
 object MakeBigData {
@@ -22,14 +35,16 @@ object MakeBigData {
     val replicas = if (args.length > 2) args(2).toInt else 50
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
-    def replicate(name: String, shiftKeys: Seq[String], files: Int): Unit = {
+    def replicate(name: String, shiftKeys: Seq[String], files: Int,
+        perturb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
       val base = Tables(spark, src, name)
       val strides = shiftKeys.map(k => k -> (base.agg(max(col(k))).head.getLong(0) + 1L))
       val wide = base.crossJoin(spark.range(replicas).select(col("id").as("__rep")))
       val shifted = strides.foldLeft(wide) { case (df, (k, stride)) =>
         df.withColumn(k, col(k) + col("__rep") * stride)
-      }.drop("__rep")
-      shifted.repartition(files).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
+      perturb(shifted).drop("__rep")
+        .repartition(files).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[bigdata] $name x$replicas (${shiftKeys.mkString(",")} shifted) -> $files files")
     }
     def copy(name: String, files: Int): Unit = {
@@ -41,8 +56,23 @@ object MakeBigData {
     replicate("lineitem", Seq("l_orderkey"), 64)
     replicate("orders", Seq("o_orderkey"), 32)
     replicate("events", Seq("event_id", "user_id"), 32)
-    Seq("customer" -> 4, "part" -> 2, "supplier" -> 1, "nation" -> 1, "region" -> 1,
-      "documents" -> 2, "embeddings" -> 2).foreach { case (t, f) => copy(t, f) }
+    replicate("documents", Seq("doc_id"), 16, df =>
+      // replica 0 keeps the original text; others suffix every token
+      df.withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("__rep"))), " "))))
+    replicate("embeddings", Seq("vec_id"), 8, df => {
+      val d = size(col("embedding"))
+      val r = (col("__rep") % d).cast("int")
+      df.withColumn("embedding",
+        when(r === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), r + 1, d - r),
+            slice(col("embedding"), lit(1), r))))
+    })
+    Seq("customer" -> 4, "part" -> 2, "supplier" -> 1, "nation" -> 1, "region" -> 1)
+      .foreach { case (t, f) => copy(t, f) }
     spark.stop()
   }
 }

@@ -55,12 +55,19 @@ object OracleFragments {
     s"((((($key % $P + $P) % $P) * 104729 + $seed) % $P) * 104659 + 1) % $P"
   }
 
-  /** Exact-Jaccard verification over candidate pairs CTE `cand`. */
+  /** Exact-Jaccard verification over candidate pairs CTE `cand`,
+    * computed over HASHED shingle sets — mirrors the engine's
+    * [[graft.operators.NearDup.shingleHashSets]] (set similarity over
+    * mod-P gram hashes; any collision shrinks BOTH engines' sets
+    * identically, so the mirror is exact by construction). */
   def jaccardVerifySql(threshold: Double): String =
-    s"""j AS (SELECT doc_a, doc_b,
-       |  len(list_intersect(sa.shingles, sb.shingles)) AS shared,
-       |  len(sa.shingles) AS na, len(sb.shingles) AS nb
-       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+    s"""shh AS (SELECT doc_id,
+       |  list_distinct(list_transform(shingles, s -> ${polyHashSql("s")})) AS hsh
+       |  FROM sh),
+       |j AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(sa.hsh, sb.hsh)) AS shared,
+       |  len(sa.hsh) AS na, len(sb.hsh) AS nb
+       |  FROM cand JOIN shh sa ON sa.doc_id = doc_a JOIN shh sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, CAST(shared AS DOUBLE)/(na + nb - shared) AS jaccard
        |FROM j WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= $threshold""".stripMargin
 

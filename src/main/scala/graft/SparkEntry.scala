@@ -362,6 +362,15 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") < 2000),
         col("doc_id"), col("text"), maxHamming = 2)
     },
+    "dedup_simhash_pairs_full" -> { (s, d) =>
+      // the unbounded form: full-corpus banded pairs. At gate scale it
+      // covers the same 500 docs as the bounded query; at bench scale
+      // (replicated corpora) it is the one that actually scales with the
+      // data — the bounded variant above exists because the SYNTHETIC
+      // sf0.1 corpus's tiny vocabulary makes hamming<=2 pairs ~5% dense
+      val docs = Tables.documents(s, d)
+      NearDup.simHashNearDups(docs, col("doc_id"), col("text"), maxHamming = 2)
+    },
     "dedup_embedding_neardup" -> { (s, d) =>
       Ann.cosineNearDups(
         Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
@@ -491,7 +500,14 @@ object SparkEntry {
 
     // ---- reference-exact consecutive GAUC (gauc.cc:100-116) ------------
     "metric_gauc_consecutive" -> { (s, d) =>
-      Metrics.gaucConsecutive(Tables.events(s, d), col("event_id"), col("user_id"),
+      // run-detection needs a GLOBAL order (single-partition window by
+      // design — the documented reference-exact mode; gauc/gaucSorted
+      // are the scale paths), so the gate evaluates it on a bounded
+      // slice: a no-op at gate scale (sf0.01 has 10k events) that stops
+      // the one legitimately-serial mode from serializing a 100x bench
+      Metrics.gaucConsecutive(
+        Tables.events(s, d).filter(col("event_id") < 50000),
+        col("event_id"), col("user_id"),
         col("event_type") === "error", col("value"))
     },
 
@@ -932,6 +948,12 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+    "dedup_simhash_pairs_full" ->
+      s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits)}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "dedup_embedding_neardup" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(8)} AS bucket FROM nv)
@@ -1057,7 +1079,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT event_id AS o, user_id AS ind, value AS s,
         |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
-        |  FROM events),
+        |  FROM events WHERE event_id < 50000),
         |runs AS (
         |  SELECT *, CASE WHEN lag(ind) OVER (ORDER BY o) IS NULL
         |                   OR lag(ind) OVER (ORDER BY o) != ind THEN 1 ELSE 0 END AS isNew

@@ -100,6 +100,60 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused MinHash signature kernel: k permutation mins over the token
+  * n-grams of a document in one codegen'd call — no shingle strings, no
+  * per-permutation arrays, no interpreted higher-order functions. NULL
+  * when the doc has fewer than n tokens. See [[VecUtil.minHashSigs]]. */
+case class MinHashSigs(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  require(n > 0 && k > 0, s"minhash_sigs needs n > 0 and k > 0, got n=$n k=$k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sigs needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.minHashSigs(a.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.expressions.VecUtil.minHashSigs($a, $n, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct sorted n-gram shingle HASHES of a token array in one
+  * codegen'd call — the verify-side companion of [[MinHashSigs]]: set
+  * similarity is computed over mod-P gram hashes instead of gram
+  * strings (collision-tolerant by design, like MinHash itself; the
+  * oracle mirrors the hashing so both engines see identical sets).
+  * NULL when the doc has fewer than n tokens. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"shingle_hashes needs n > 0, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_hashes needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.shingleHashes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.expressions.VecUtil.shingleHashes($a, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Decode IEEE binary16 stored as 2 little-endian bytes (the Parquet
   * FLOAT16 physical layout, which Spark's reader surfaces as binary) to
   * FloatType. Used by [[graft.sources.TabularReader]]'s float16 dtype
@@ -132,4 +186,8 @@ object GraftExpressions {
   def poly_hash(s: Column, mult: Long): Column = column(PolyHash(expression(s), mult))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
+  def minhash_sigs(tokens: Column, n: Int, k: Int): Column =
+    column(MinHashSigs(expression(tokens), n, k))
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    column(ShingleHashes(expression(tokens), n))
 }

@@ -52,6 +52,118 @@ object VecUtil {
     h
   }
 
+  /** MinHash permutation constants: a_i, b_i < P, deterministic (the
+    * single source; NearDup and the oracle SQL both read these). */
+  def permA(i: Int): Long = (104729L * (i + 1)) % P
+  def permB(i: Int): Long = (104659L * (i + 1)) % P
+
+  /** k MinHash signature values over the token n-grams of a document,
+    * one row-local pass — the fused form of shingle + polyHash + k
+    * permutation mins. Identical values to the column formulation
+    * (array_distinct(shingles) -> polyHash -> k array_min passes,
+    * [[graft.operators.NearDup.minHashSignaturesCols]]) because a min
+    * over the n-gram multiset equals the min over the distinct set.
+    *
+    * The n-gram hash is built incrementally from per-token hashes
+    * without materializing the joined string: polyHash of
+    * "t1 t2 ... tn" = fold of (h * 31^steps(t_j) + polyHash(t_j)) with
+    * an (h*31 + 32) space step between tokens — algebraically equal to
+    * hashing the concatenated string, asserted in EquivalenceSpec.
+    * Returns null when the doc has fewer than n tokens (the
+    * shingle-set formulation drops those docs). */
+  def minHashSigs(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val t = tokens.numElements()
+    if (t < n) return null
+    val th = new Array[Long](t) // polyHash per token
+    val tp = new Array[Long](t) // 31^steps per token
+    var i = 0
+    while (i < t) {
+      val s = tokens.getUTF8String(i)
+      th(i) = polyHash(s, 31L)
+      tp(i) = pow31(s)
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var g = 0
+    while (g <= t - n) {
+      var h = 0L
+      var j = g
+      while (j < g + n) {
+        if (j > g) h = (h * 31 + 32) % P // ' ' separator
+        h = (h * tp(j) + th(j)) % P
+        j += 1
+      }
+      var x = 0
+      while (x < k) {
+        val v = (h * permA(x) + permB(x)) % P
+        if (v < mins(x)) mins(x) = v
+        x += 1
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Distinct, sorted n-gram shingle hashes of a token array — the
+    * row-local fused form of shingle-string building + polyHash +
+    * array_distinct (same incremental gram hash as [[minHashSigs]]).
+    * Null when the doc has fewer than n tokens. */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val t = tokens.numElements()
+    if (t < n) return null
+    val th = new Array[Long](t)
+    val tp = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      val s = tokens.getUTF8String(i)
+      th(i) = polyHash(s, 31L)
+      tp(i) = pow31(s)
+      i += 1
+    }
+    val hs = new Array[Long](t - n + 1)
+    var g = 0
+    while (g <= t - n) {
+      var h = 0L
+      var j = g
+      while (j < g + n) {
+        if (j > g) h = (h * 31 + 32) % P
+        h = (h * tp(j) + th(j)) % P
+        j += 1
+      }
+      hs(g) = h
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < hs.length) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** 31^steps(s) mod P, where steps is the number of fold steps
+    * [[polyHash]] takes for `s` (bytes on the ASCII fast path,
+    * codepoints otherwise). */
+  private def pow31(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    val steps = if (ascii) nb else s.toString.codePointCount(0, s.toString.length)
+    var r = 1L
+    var b = 31L
+    var e = steps
+    while (e > 0) {
+      if ((e & 1) == 1) r = r * b % P
+      b = b * b % P
+      e >>= 1
+    }
+    r
+  }
+
   /** 60-bit SimHash fingerprint of a token array, one row-local pass:
     * per token, hash = two independent mod-P families side by side
     * (bits 0-29 from the *31 family, 30-59 from *131 — one mod-P value

@@ -28,6 +28,19 @@ object NearDup {
         array_distinct(shingles(tokenize(col("__text")), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
+  /** (id, shingles: distinct sorted n-gram HASHES) via the fused native
+    * kernel — same doc set as [[shingleSets]], ~10x cheaper (no string
+    * materialization, no interpreted HOFs). Set similarity over mod-P
+    * gram hashes is collision-tolerant by construction (as MinHash
+    * itself is); the oracle hashes its gram strings with the same fold,
+    * so both engines always see identical sets. */
+  def shingleHashSets(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions
+          .shingle_hashes(tokenize(col("__text")), n).as("shingles"))
+      .filter(col("shingles").isNotNull)
+
   // ---- exact -----------------------------------------------------------
 
   /** Exact duplicate groups by full text: (text groups with count and
@@ -103,16 +116,36 @@ object NearDup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** Permutation constants for MinHash: a_i, b_i < P, deterministic. */
-  def permA(i: Int): Long = (104729L * (i + 1)) % P
-  def permB(i: Int): Long = (104659L * (i + 1)) % P
+  /** Permutation constants for MinHash: a_i, b_i < P, deterministic
+    * (canonical definition lives next to the fused kernel). */
+  def permA(i: Int): Long = graft.functions.expressions.VecUtil.permA(i)
+  def permB(i: Int): Long = graft.functions.expressions.VecUtil.permB(i)
 
-  /** MinHash signatures: (doc_id, m0..m{k-1}) — min over shingles of
-    * (a_i * polyHash(s) + b_i) mod P per permutation. Computed entirely
-    * row-locally (hash the shingle array once, then k array_min passes)
-    * — NO shuffle: the explode+groupBy formulation moves every
-    * (doc, shingle) pair through an exchange, this moves nothing. */
-  def minHashSignatures(sets: DataFrame, k: Int = 16): DataFrame = {
+  /** MinHash signatures from raw token arrays: (doc_id, m0..m{k-1}) —
+    * min over n-gram shingles of (a_i * polyHash(shingle) + b_i) mod P
+    * per permutation, computed by the fused native kernel
+    * ([[graft.functions.expressions.MinHashSigs]]): one codegen'd pass
+    * per doc, no shingle strings materialized, NO shuffle. Docs with
+    * fewer than n tokens yield no signature (kernel returns null) —
+    * same doc set as the shingle-set formulation. */
+  def minHashSignatures(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 16): DataFrame = {
+    val sig = Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions
+          .minhash_sigs(tokenize(col("__text")), n, k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+  }
+
+  /** The column-expression formulation of [[minHashSignatures]] over
+    * pre-built shingle sets (hash the shingle array, then k
+    * array_min(transform) passes) — kept as the semantic spec the fused
+    * kernel is verified against (EquivalenceSpec: bit-identical). Its
+    * higher-order functions evaluate interpreted, so the kernel form is
+    * ~10x cheaper per doc at corpus scale. */
+  def minHashSignaturesCols(sets: DataFrame, k: Int = 16): DataFrame = {
     val withHashes = sets.select(col("doc_id"),
       transform(col("shingles"), s => polyHash(s)).as("hs"))
     val mins = (0 until k).map(i =>
@@ -186,14 +219,16 @@ object NearDup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
-    * candidate pairs -> exact-Jaccard verification. */
+    * candidate pairs -> exact-Jaccard verification. Signatures come from
+    * the fused kernel (no shingle strings); the string shingle sets are
+    * built only for the final exact-Jaccard pass over the (small)
+    * candidate pair set. */
   def minHashNearDups(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    // no cache: every reuse of `sets` is a narrow scan+shingle pass, so
+    // no cache: every reuse is a narrow scan + fused-kernel pass, so
     // recomputation is cheaper than a materialization barrier
-    val sets = shingleSets(docs, id, text, n)
-    val cand = lshCandidates(minHashSignatures(sets, k), bands, k / bands)
-    verifyJaccard(cand, sets, threshold)
+    val cand = lshCandidates(minHashSignatures(docs, id, text, n, k), bands, k / bands)
+    verifyJaccard(cand, shingleHashSets(docs, id, text, n), threshold)
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -26,9 +26,15 @@ object Rebatch {
 
   /** Partition layout of ~`batchSize` rows per partition — for sinks
     * that consume per-partition (e.g. Arrow batches to an ML framework;
-    * the distributed analog of rebatch). */
-  def partitionsOf(df: DataFrame, batchSize: Int): DataFrame = {
-    val n = math.max(1L, (df.count() + batchSize - 1) / batchSize)
+    * the distributed analog of rebatch). Sizing needs the row count:
+    * pass `rowCount` when the caller already knows it (a metastore
+    * count, a previous action) to skip the extra counting job this
+    * otherwise runs — at the consumer boundary that one cheap
+    * count-only pass (column-pruned to zero data columns) is the price
+    * of exact batch layout. */
+  def partitionsOf(df: DataFrame, batchSize: Int, rowCount: Option[Long] = None): DataFrame = {
+    val rows = rowCount.getOrElse(df.count())
+    val n = math.max(1L, (rows + batchSize - 1) / batchSize)
     df.repartition(n.toInt)
   }
 }

@@ -84,6 +84,30 @@ class EquivalenceSpec extends GraftSpec {
     assert(plan.contains("simhash60") || plan.toLowerCase.contains("simhash"), plan)
   }
 
+  test("fused MinHash kernel equals the column formulation bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    val sets = graft.operators.NearDup.shingleSets(docs, col("doc_id"), col("text"), 3)
+    val spec = graft.operators.NearDup.minHashSignaturesCols(sets, 16)
+    val fast = graft.operators.NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+    assert(fast.exceptAll(spec).count() === 0)
+    assert(spec.exceptAll(fast).count() === 0)
+    // incremental n-gram hash == polyHash of the joined string, with
+    // varying token lengths across the gram
+    import spark.implicits._
+    val P = graft.functions.TextFunctions.P
+    val grams = Seq("alpha bb c", "bb c dddd", "c dddd ee")
+    val hs = grams.toDF("g")
+      .select(graft.functions.TextFunctions.polyHash(col("g")).as("h"))
+      .collect().map(_.getLong(0))
+    val expect = hs.map(h =>
+      (h * graft.operators.NearDup.permA(0) + graft.operators.NearDup.permB(0)) % P).min
+    val got = Seq("alpha bb c dddd ee").toDF("text")
+      .select(element_at(graft.functions.expressions.GraftExpressions
+        .minhash_sigs(split(col("text"), " "), 3, 1), 1).as("m"))
+      .collect().head.getLong(0)
+    assert(got === expect)
+  }
+
   test("accuracy via expression equals direct computation on events") {
     val acc = events.agg(graft.functions.Metrics.accuracy(
       col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)

@@ -106,10 +106,10 @@ class NearDupSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(hot === cold)
     val lshCold = NearDup.lshCandidates(
-      NearDup.minHashSignatures(NearDup.shingleSets(docs, col("doc_id"), col("text")), 16), 4, 4)
+      NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshHot = NearDup.lshCandidates(
-      NearDup.minHashSignatures(NearDup.shingleSets(docs, col("doc_id"), col("text")), 16), 4, 4,
+      NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4, 4,
       maxBucket = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshHot === lshCold)
