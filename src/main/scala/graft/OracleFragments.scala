@@ -29,11 +29,16 @@ object OracleFragments {
        |  FROM tok WHERE len(toks) >= $n)""".stripMargin
 
   /** Count-based Jaccard with a document-frequency cap, mirroring
-    * NearDup.jaccardPairs(dfCap): shingles with df > cap are dropped
-    * before the self-join, and set sizes count capped shingles only.
-    * Expects the `sh` CTE from [[shingleCtes]]. */
+    * NearDup.jaccardPairs(dfCap): shingles travel as mod-P hashes
+    * (mirroring shingleHashSets — collisions shrink both engines' sets
+    * identically), shingles with df > cap are dropped before the
+    * self-join, and set sizes count capped shingles only. Expects the
+    * `sh` CTE from [[shingleCtes]]. */
   def cappedJaccardSql(cap: Int, threshold: Double): String =
-    s"""ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    s"""shh AS (SELECT doc_id,
+       |  list_distinct(list_transform(shingles, g -> ${polyHashSql("g")})) AS hsh
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hsh) AS s FROM shh),
        |exf AS (SELECT doc_id, s FROM (
        |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex) t
        |  WHERE df <= $cap),

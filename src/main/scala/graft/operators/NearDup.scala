@@ -68,10 +68,16 @@ object NearDup {
     * over the capped shingle space (set sizes count capped shingles
     * too, so the metric stays a true Jaccard of the reduced sets). The
     * df comes from a count window over the shingle key — one shuffle
-    * that the self-join immediately reuses (same partitioning). */
+    * that the self-join immediately reuses (same partitioning).
+    *
+    * Shingles travel as mod-P HASHES (the fused [[shingleHashSets]]
+    * kernel): the exploded rows, the df window and the self-join all
+    * key on 8-byte longs instead of n-gram strings — collision-tolerant
+    * set similarity (as MinHash itself), mirrored hash-for-hash by the
+    * oracle so both engines always see identical sets. */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5, dfCap: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleSets(docs, id, text, n)
+    val sets = shingleHashSets(docs, id, text, n)
     val ex0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
     val ex =
       if (dfCap == Int.MaxValue) ex0
