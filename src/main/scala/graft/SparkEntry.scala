@@ -598,6 +598,29 @@ object SparkEntry {
       s.table(name)
     },
 
+    // ---- stream-static enrichment join (streaming embedding lookup) ----
+    "stream_enrich_join" -> { (s, d) =>
+      // real readStream (2 files -> 2 micro-batches) left-joined per
+      // batch against the broadcast embeddings dim — the streaming form
+      // of lookup_join; result must equal the batch join exactly
+      val dir = GateFixtures.dir("stream_enrich", d) { target =>
+        Tables.events(s, d).select("event_id", "user_id")
+          .repartition(2).write.mode("overwrite").parquet(target)
+      }
+      val schema = s.read.parquet(dir).schema
+      val name = "gate_enrich_" + math.abs(dir.hashCode)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingOps.enrich(
+          StreamingOps.fileStream(s, dir, schema),
+          Tables.embeddings(s, d), "user_id", "vec_id", Seq("label"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(name)
+    },
+
     // ---- dedup restore at the scan (reference deduplicate/dataset.py) --
     "scan_dedup_restore" -> { (s, d) =>
       // stage a block-compressed fixture, then restore it at parse time
@@ -1170,6 +1193,9 @@ object SparkEntry {
         |FROM o""".stripMargin,
     "stream_dedup_ids" ->
       "SELECT DISTINCT event_id FROM events",
+    "stream_enrich_join" ->
+      """SELECT event_id, user_id, label
+        |FROM events LEFT JOIN embeddings ON user_id = vec_id""".stripMargin,
     "ann_topk_multiprobe" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),

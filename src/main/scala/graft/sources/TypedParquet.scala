@@ -117,6 +117,55 @@ object TypedParquet {
     def write(path: String): Unit = writeUInt64(path, N, bits)
   }
 
+  /** `id: int64, i8: int8, u8: uint8, u16: uint16, u32: uint32` —
+    * the small/unsigned integer physical types (INT32 storage with
+    * INT(bits, signed) annotations) the reference reads natively
+    * (docs/data.md:23-27). Values exercise the full ranges, including
+    * u32 above Int.MaxValue. */
+  def writeSmallInts(path: String, n: Long): Unit = {
+    val schema = Types.buildMessage()
+      .required(INT64).named("id")
+      .required(INT32).as(LogicalTypeAnnotation.intType(8, true)).named("i8")
+      .required(INT32).as(LogicalTypeAnnotation.intType(8, false)).named("u8")
+      .required(INT32).as(LogicalTypeAnnotation.intType(16, false)).named("u16")
+      .required(INT32).as(LogicalTypeAnnotation.intType(32, false)).named("u32")
+      .named("smallint_fixture")
+    write(path, schema) { (g, i) =>
+      g.newGroup()
+        .append("id", i)
+        .append("i8", ((i % 256) - 128).toInt)
+        .append("u8", (i % 256).toInt)
+        .append("u16", (i % 65536).toInt)
+        // raw INT32 bits; as unsigned this is 2^32 - 1 - (i % 2^31)
+        .append("u32", (-1 - (i % Int.MaxValue)).toInt)
+    }(n)
+  }
+
+  /** `id: int64, halves: list<fp16>` — ragged list of unannotated
+    * FLBA(2) halves (surfaces as array<binary>; TabularReader's float16
+    * mapping decodes element-wise). Row i holds i % 4 elements. */
+  def writeFloat16List(path: String, n: Long, halfOf: (Long, Int) => Float): Unit = {
+    val schema = Types.buildMessage()
+      .required(INT64).named("id")
+      .optionalList().element(
+        Types.required(FIXED_LEN_BYTE_ARRAY).length(2).named("element"))
+      .named("halves")
+      .named("fp16_list_fixture")
+    write(path, schema) { (g, i) =>
+      val row = g.newGroup().append("id", i)
+      val len = (i % 4).toInt
+      if (len > 0) {
+        val list = row.addGroup("halves")
+        (0 until len).foreach { j =>
+          val bits = floatToHalfBits(halfOf(i, j))
+          list.addGroup("list").append("element",
+            Binary.fromConstantByteArray(Array((bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte)))
+        }
+      }
+      row
+    }(n)
+  }
+
   /** `id: int64, u: uint64` with u = unsigned(id) given as RAW 64 bits
     * (so values above Long.MaxValue are expressible: bits = v - 2^64). */
   def writeUInt64(path: String, n: Long, bitsOf: Long => Long): Unit = {

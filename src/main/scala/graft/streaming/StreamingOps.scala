@@ -36,6 +36,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
   }
 
+  /** Stream–static enrichment join: each micro-batch of the stream is
+    * joined against a (small, broadcastable) static dimension — the
+    * streaming form of the embedding-lookup left join
+    * ([[graft.operators.EmbeddingLookup.lookup]]; reference
+    * embedding/sharding.py:168-205). The dimension is re-read per
+    * micro-batch by Spark's stream-static join machinery; broadcast
+    * keeps it off the shuffle path. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, payload: Seq[String]): DataFrame = {
+    val d = dim.select((dimKey +: payload).map(col): _*)
+    stream.join(broadcast(d), stream(streamKey) === d(dimKey), "left")
+      .drop(d(dimKey))
+  }
+
   /** Stateful streaming exact-dedup on a key: emit a row the first time
     * its key is seen, drop re-occurrences across micro-batches — the
     * streaming form of `dropDuplicates` with explicit keyed state. */

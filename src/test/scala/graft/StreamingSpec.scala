@@ -48,6 +48,26 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch lookup join") {
+    val dir = Files.createTempDirectory("graft_stream_enrich").toString
+    val facts = Tables.events(spark, sf).select("event_id", "user_id")
+    facts.repartition(2).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val dim = Tables.embeddings(spark, sf)
+    val q = StreamingOps.enrich(
+      StreamingOps.fileStream(spark, dir, schema), dim, "user_id", "vec_id", Seq("label"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+      val batch = graft.operators.EmbeddingLookup.lookup(
+        facts, "user_id", dim, "vec_id", Seq("label"))
+        .select("event_id", "user_id", "label")
+      assert(streamed.count() === batch.count())
+      assert(streamed.select("event_id", "user_id", "label").exceptAll(batch).count() === 0)
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits each key exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup").toString

@@ -83,6 +83,45 @@ class TypedParquetSpec extends GraftSpec {
       assert(got(i) === base.add(java.math.BigInteger.valueOf(i.toLong))))
   }
 
+  test("small/unsigned ints read with the documented widenings, values intact") {
+    val dir = Files.createTempDirectory("graft_smallint").toString
+    TypedParquet.writeSmallInts(s"$dir/s.parquet", 300)
+    val df = spark.read.parquet(s"$dir/s.parquet")
+    // what Spark's reader ACTUALLY does with INT(bits, signed) annotations
+    // (pins FieldSpec.dtypeMapping: int8->Byte, uint8->Short, uint32->Long)
+    assert(df.schema("i8").dataType === ByteType)
+    assert(df.schema("u8").dataType === ShortType)
+    assert(df.schema("u16").dataType === IntegerType)
+    assert(df.schema("u32").dataType === LongType)
+    val r = df.filter(col("id") === 200).collect().head
+    assert(r.getByte(1) === ((200 % 256) - 128).toByte)
+    assert(r.getShort(2) === (200 % 256).toShort)
+    assert(r.getInt(3) === 200 % 65536)
+    // unsigned read of raw bits -1-200: 2^32 - 201 — above Int.MaxValue
+    assert(r.getLong(4) === 4294967296L - 201L)
+    // and TabularReader enforces the declared mapping end-to-end
+    val tr = TabularReader.fromParquet(spark, Seq(s"$dir/s.parquet"),
+      TabularReader.Options(fields = Seq(
+        FieldSpec("id", LongType), FieldSpec("u8", ShortType), FieldSpec("u32", LongType))))
+    assert(tr.schema.fields.map(_.dataType).toSeq === Seq(LongType, ShortType, LongType))
+    assert(tr.count() === 300)
+  }
+
+  test("list<fp16> reads as array<float> through the ragged dtype mapping") {
+    val dir = Files.createTempDirectory("graft_fp16_list").toString
+    TypedParquet.writeFloat16List(s"$dir/l.parquet", 100, (i, j) => (i % 50) + j / 2.0f)
+    val df = TabularReader.fromParquet(spark, Seq(s"$dir/l.parquet"),
+      TabularReader.Options(fields = Seq(
+        FieldSpec("id", LongType), FieldSpec("halves", FloatType, raggedRank = 1))))
+    assert(df.schema("halves").dataType.asInstanceOf[ArrayType].elementType === FloatType)
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) Nil else r.getSeq[Float](1).toList)).toMap
+    (0L until 100L).foreach { i =>
+      val want = (0 until (i % 4).toInt).map(j => (i % 50) + j / 2.0f).toList
+      assert(got(i) === want, s"row $i")
+    }
+  }
+
   test("fromCsv with a declared schema reproduces the parquet rows") {
     val dir = Files.createTempDirectory("graft_csv_tr").toString + "/ev"
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
