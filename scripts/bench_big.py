@@ -36,6 +36,7 @@ HEADLINE = [
 LLM = [
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs_full", "dedup_embedding_neardup",
+    "dedup_embedding_neardup_wide",
     "ann_topk_brute", "ann_topk_bucketed",
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
 ]

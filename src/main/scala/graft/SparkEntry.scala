@@ -377,6 +377,16 @@ object SparkEntry {
         threshold = 0.3, bits = 8)
     },
 
+    "dedup_embedding_neardup_wide" -> { (s, d) =>
+      // the scale knob demonstrated: 12 sign bits -> 4096 buckets. Within-
+      // bucket pair volume shrinks ~16x vs bits=8 (recall trades away
+      // cross-bucket pairs); at 400k vectors this is the setting that
+      // keeps the all-pairs block per bucket dense-BLAS-sized
+      Ann.cosineNearDups(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.3, bits = 12)
+    },
+
     // ---- similarity search ---------------------------------------------
     "ann_topk_brute" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -980,6 +990,14 @@ object SparkEntry {
     "dedup_embedding_neardup" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(8)} AS bucket FROM nv)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |    ${OracleFragments.cosineSql("a", "c")} AS cosine
+         |  FROM bkt a JOIN bkt c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |WHERE cosine >= 0.3""".stripMargin,
+    "dedup_embedding_neardup_wide" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(12)} AS bucket FROM nv)
          |SELECT * FROM (
          |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
          |    ${OracleFragments.cosineSql("a", "c")} AS cosine
