@@ -41,6 +41,12 @@ LLM = [
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
 ]
 
+# SINGLE-SOURCE WARNING: these constants mirror the Scala side
+# (TextFunctions.P, PolyHash mults 31/131, the <<30 two-family packing,
+# NearDup.SimHashBits=60, and simHashNearDups' maxHamming=2 -> 3 bands
+# of 20 bits). They are duplicated here because this dev script cannot
+# import Scala; if any of those change, update these overrides or the
+# DuckDB side silently benches a different query than the engine runs.
 P = 1000000007
 
 

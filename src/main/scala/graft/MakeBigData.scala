@@ -64,12 +64,27 @@ object MakeBigData {
             transform(split(col("text"), " "),
               t => concat(t, lit("_"), col("__rep"))), " "))))
     replicate("embeddings", Seq("vec_id"), 8, df => {
+      // per-replica orthogonal transform: rotate by rep % dim, then
+      // sign-flip half-blocks by bit pattern of rep / dim. Rotation
+      // alone aliases once replicas exceed dim (rep and rep+dim would
+      // get identical vectors — exact cross-replica duplicates); the
+      // flip block extends distinctness to 4*dim replicas (256 at
+      // dim 64 — covers x200). Both steps are orthogonal maps, so
+      // norms and all within-replica cosines are exactly preserved.
       val d = size(col("embedding"))
       val r = (col("__rep") % d).cast("int")
-      df.withColumn("embedding",
+      val b = floor(col("__rep") / d).cast("int")
+      val rotated =
         when(r === 0, col("embedding")).otherwise(
           concat(slice(col("embedding"), r + 1, d - r),
-            slice(col("embedding"), lit(1), r))))
+            slice(col("embedding"), lit(1), r)))
+      df.withColumn("embedding",
+        transform(rotated, (x, i) => {
+          val firstHalf = i < d / 2
+          val flip = (b.bitwiseAND(1) === 1 && firstHalf) ||
+            (b.bitwiseAND(2) === 2 && !firstHalf)
+          when(flip, -x).otherwise(x)
+        }))
     })
     Seq("customer" -> 4, "part" -> 2, "supplier" -> 1, "nation" -> 1, "region" -> 1)
       .foreach { case (t, f) => copy(t, f) }

@@ -767,6 +767,16 @@ object SparkEntry {
     "q1_pricing_summary_cents" -> oracleSqlBase("q1_pricing_summary"),
     "metric_gauc_sorted" -> oracleSqlBase("metric_gauc"))
 
+  /** Shared brute-force hamming<=2 oracle for the bounded and full
+    * simhash-pairs gates (one template, one place to change). */
+  private def simHashPairsOracle(docFilter: String): String =
+    s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits).replace(
+           "FROM documents", s"FROM documents$docFilter")}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -975,18 +985,8 @@ object SparkEntry {
     "dedup_simhash_pairs" ->
       // brute-force hamming definition: the banded engine pipeline must
       // reproduce it exactly (pigeonhole recall guarantee)
-      s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits).replace(
-             "FROM documents", "FROM documents WHERE doc_id < 2000")}
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
-    "dedup_simhash_pairs_full" ->
-      s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits)}
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+      simHashPairsOracle(" WHERE doc_id < 2000"),
+    "dedup_simhash_pairs_full" -> simHashPairsOracle(""),
     "dedup_embedding_neardup" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(8)} AS bucket FROM nv)

@@ -152,7 +152,9 @@ object VecUtil {
     var ascii = true
     var i = 0
     while (ascii && i < nb) { if (s.getByte(i) < 0) ascii = false; i += 1 }
-    val steps = if (ascii) nb else s.toString.codePointCount(0, s.toString.length)
+    val steps =
+      if (ascii) nb
+      else { val str = s.toString; str.codePointCount(0, str.length) }
     var r = 1L
     var b = 31L
     var e = steps

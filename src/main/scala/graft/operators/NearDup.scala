@@ -294,6 +294,9 @@ object NearDup {
       .select(col("doc_id"),
         graft.functions.expressions.GraftExpressions.sim_hash60(tokenize(col("__text")))
           .as("simhash"))
+      // null text -> null fingerprint; the aggregate spec (and oracle)
+      // drop such docs at the explode, so the kernel form must too
+      .filter(col("simhash").isNotNull)
 
   /** The explode + groupBy formulation of [[simHash]] (one shuffle of
     * (doc, token-hash) pairs, 60 map-side-combinable sum aggregates) —

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** The salt expression both operators use: a seeded hash of the
+    * row-identity columns when given (fully deterministic, independent
+    * of input partition layout — property-tested), else `rand(seed)`
+    * (deterministic only for a fixed scan layout). Exposed so tests
+    * exercise the production formula, not a copy. */
+  def saltColumn(saltBy: Seq[String], saltFactor: Int, seed: Long): Column =
+    if (saltBy.nonEmpty)
+      pmod(xxhash64(lit(seed) +: saltBy.map(col): _*), lit(saltFactor)).cast("int")
+    else (rand(seed) * saltFactor).cast("int")
+
   /** Salted inner/left equi-join: `facts` (skewed, large) ⋈ `dim`
     * (replicated saltFactor×).
     *
@@ -41,11 +51,7 @@ object SkewJoin {
       joinType: String = "inner",
       seed: Long = 0x5a17,
       saltBy: Seq[String] = Nil): DataFrame = {
-    val salt =
-      if (saltBy.nonEmpty)
-        pmod(xxhash64(lit(seed) +: saltBy.map(col): _*), lit(saltFactor)).cast("int")
-      else (rand(seed) * saltFactor).cast("int")
-    val saltedFacts = facts.withColumn("__salt", salt)
+    val saltedFacts = facts.withColumn("__salt", saltColumn(saltBy, saltFactor, seed))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedFacts.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
@@ -64,11 +70,7 @@ object SkewJoin {
       finalAggs: Seq[Column],
       seed: Long = 0x5a17,
       saltBy: Seq[String] = Nil): DataFrame = {
-    val salt =
-      if (saltBy.nonEmpty)
-        pmod(xxhash64(lit(seed) +: saltBy.map(col): _*), lit(saltFactor)).cast("int")
-      else (rand(seed) * saltFactor).cast("int")
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", saltColumn(saltBy, saltFactor, seed))
       .groupBy(key.as("key"), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(col("key"))

@@ -81,7 +81,9 @@ class EquivalenceSpec extends GraftSpec {
         graft.functions.TextFunctions.tokenize(col("text"))).as("simhash"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
-    assert(plan.contains("simhash60") || plan.toLowerCase.contains("simhash"), plan)
+    // "simhash60" is the expression's prettyName — the column alias
+    // alone ("simhash") must not satisfy this
+    assert(plan.toLowerCase.contains("simhash60"), plan)
   }
 
   test("fused MinHash kernel equals the column formulation bit-for-bit") {

@@ -73,8 +73,7 @@ class PropertySpec extends GraftSpec {
     // the docstring's determinism claim: with saltBy row-identity columns,
     // the event_id -> salt assignment must not depend on the scan layout
     def saltsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
-      df.withColumn("__salt",
-        pmod(xxhash64(lit(0x5a17L), col("event_id")), lit(8)).cast("int"))
+      df.withColumn("__salt", SkewJoin.saltColumn(Seq("event_id"), 8, 0x5a17))
         .select("event_id", "__salt")
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val base = saltsOf(events)
@@ -85,7 +84,7 @@ class PropertySpec extends GraftSpec {
     val hot = events.groupBy("user_id").count().orderBy(col("count").desc)
       .limit(1).collect().head.getLong(0)
     val hotSalts = events.filter(col("user_id") === hot)
-      .select(pmod(xxhash64(lit(0x5a17L), col("event_id")), lit(8)).cast("int"))
+      .select(SkewJoin.saltColumn(Seq("event_id"), 8, 0x5a17))
       .collect().map(_.getInt(0)).toSet
     assert(hotSalts.size > 1, s"hot key $hot not spread: $hotSalts")
   }
