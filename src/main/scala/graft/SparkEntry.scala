@@ -608,6 +608,19 @@ object SparkEntry {
       s.table(name)
     },
 
+    // ---- ZSTD sink round-trip (reference SNAPPY/ZSTD sink options) -----
+    "scan_zstd_roundtrip" -> { (s, d) =>
+      // events written through TabularWriter with ZSTD, read back — the
+      // codec path of the sink surface (SNAPPY is exercised by every
+      // other staged fixture)
+      val dir = GateFixtures.dir("zstd", d) { target =>
+        TabularWriter.toParquet(Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+          target, compression = "zstd")
+      }
+      TabularReader.fromParquet(s, Seq(dir))
+    },
+
     // ---- stream-static enrichment join (streaming embedding lookup) ----
     "stream_enrich_join" -> { (s, d) =>
       // real readStream (2 files -> 2 micro-batches) left-joined per
@@ -1170,6 +1183,8 @@ object SparkEntry {
         |    s -> CAST(round(CAST(s.v AS DOUBLE) * 1000000) AS BIGINT)), ','), '') AS recent_vals
         |FROM e c JOIN h USING (user_id) WHERE c.event_type = 'purchase'""".stripMargin,
     "scan_orc_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "scan_zstd_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     "scan_dedup_restore" ->
       "SELECT event_id, event_type FROM events",
