@@ -26,7 +26,7 @@ private[graft] object GateFixtures {
       target
     })
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, BlockDedup, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, Sampling, Sessionize, SkewJoin}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, Sessionize, SkewJoin}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TypedParquet}
@@ -761,6 +761,93 @@ object SparkEntry {
           col("pos1").cast("long").as("pos1"), col("value").as("token"))
     },
 
+    // ---- as-of / range joins (time-series superset) --------------------
+    "asof_join_attribution" -> { (s, d) =>
+      // each event attributed to the user's most recent purchase at or
+      // before it (AsofJoin: one exchange + one sort, never a range join)
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("ts"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsofJoin.backward(ev, purchases, Seq("user_id"), "ts", "ts",
+        joinType = "inner", matchedAs = "m")
+        .select(col("event_id"), col("m.event_id").as("purchase_id"),
+          (unix_micros(col("ts")) - unix_micros(col("m.ts"))).as("micros_since"))
+    },
+    "asof_join_forward" -> { (s, d) =>
+      // the forward direction: each event's NEXT purchase (>= ts)
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("ts"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsofJoin.forward(ev, purchases, Seq("user_id"), "ts", "ts",
+        joinType = "inner", matchedAs = "m")
+        .select(col("event_id"), col("m.event_id").as("next_purchase_id"))
+    },
+    "range_join_purchase_window" -> { (s, d) =>
+      // keyless interval join: views landing in the hour before ANY
+      // purchase, binned to an equi-join (RangeJoin — no nested loop),
+      // then aggregated per purchase; zero-view purchases kept via the
+      // final left join
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("lo"), col("ts").as("hi"))
+      val pairs = RangeJoin.pointsInIntervals(
+        views, purchases, "v_ts", "lo", "hi", binWidthMicros = 3600L * 1000000L)
+      val agg = pairs.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view"))
+      purchases.select(col("purchase_id")).join(agg, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"), col("first_view"))
+    },
+
+    // ---- benchmark contamination / repetition quality ------------------
+    "text_contamination" -> { (s, d) =>
+      // benchmark slice = every 20th doc; the training side's shingles
+      // are checked against the (broadcast) benchmark shingle universe
+      val docs = Tables.documents(s, d)
+      Contamination.overlap(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        col("doc_id"), col("text"), n = 3)
+    },
+    "text_repetition" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(size(TextFunctions.tokenize(col("text"))) >= 2)
+        .select(col("doc_id"),
+          TextFunctions.dupTokenFraction(col("text")).as("dup_token_frac"),
+          TextFunctions.topBigramFraction(col("text")).as("top_bigram_frac"))
+    },
+
+    // ---- bucketed co-located join (persistent partition_by_modulo) -----
+    "join_bucketed_colocated" -> { (s, d) =>
+      // both sides pre-shuffled into 8 buckets on the join key at WRITE
+      // time, so the repeated join plans with no exchange (BucketingSpec
+      // asserts the plan shape) — the durable co-location answer at
+      // 100 TB. Tables staged once per (session, data dir).
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (ot, ct) = (s"b_orders$tag", s"b_customer$tag")
+      if (!s.catalog.tableExists(ot)) {
+        // the warehouse dir outlives the JVM but the in-memory catalog
+        // doesn't: clear any stale location or saveAsTable refuses CREATE
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        Seq(ot, ct).foreach(t =>
+          GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, t)))
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+        Tables.customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      }
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"))
+    },
+
     // ---- multimodal binary plumbing ------------------------------------
     "multimodal_features" -> { (s, d) =>
       val packed = Multimodal.packBinary(
@@ -1257,5 +1344,52 @@ object SparkEntry {
         |    list_filter(string_to_array(substr(text,1,8),''), c -> len(c) > 0),
         |    c -> CAST(round(CAST(ascii(c) / 255.0 AS DOUBLE) * 1000000) AS BIGINT)), ',') AS features
         |FROM documents""".stripMargin,
+    "asof_join_attribution" ->
+      """SELECT e.event_id, p.event_id AS purchase_id,
+        |  epoch_us(e.ts) - epoch_us(p.ts) AS micros_since
+        |FROM events e ASOF JOIN (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "asof_join_forward" ->
+      """SELECT e.event_id, p.event_id AS next_purchase_id
+        |FROM events e ASOF JOIN (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
+    "range_join_purchase_window" ->
+      """WITH v AS (SELECT event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, v.view_id FROM p JOIN v
+        |  ON v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts),
+        |a AS (SELECT purchase_id, count(*) AS n, min(view_id) AS fv FROM j GROUP BY 1)
+        |SELECT p.purchase_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_views,
+        |  a.fv AS first_view
+        |FROM p LEFT JOIN a USING (purchase_id)""".stripMargin,
+    "text_contamination" ->
+      s"""WITH ${OracleFragments.shingleCtes(3)},
+         |shh AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, g -> ${OracleFragments.polyHashSql("g")})) AS hsh
+         |  FROM sh),
+         |bench AS (SELECT DISTINCT unnest(hsh) AS s FROM shh WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id, CAST(len(hsh) AS BIGINT) AS tot, unnest(hsh) AS s
+         |  FROM shh WHERE doc_id % 20 <> 0),
+         |hits AS (SELECT tr.doc_id, tr.tot, count(*) AS hit
+         |  FROM tr JOIN bench USING (s) GROUP BY 1, 2)
+         |SELECT doc_id, hit, tot, CAST(hit AS DOUBLE) / tot AS contamination
+         |FROM hits""".stripMargin,
+    "text_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |bg AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+         |  list_transform(range(1, len(toks)),
+         |    i -> ${OracleFragments.polyHashSql("array_to_string(toks[i:i+1], ' ')")}) AS bgh
+         |  FROM tok WHERE len(toks) >= 2),
+         |e AS (SELECT doc_id, n, nd, CAST(len(bgh) AS BIGINT) AS nb, unnest(bgh) AS h FROM bg),
+         |c AS (SELECT doc_id, n, nd, nb, h, count(*) AS c FROM e GROUP BY 1, 2, 3, 4, 5)
+         |SELECT doc_id, CAST(n - nd AS DOUBLE) / n AS dup_token_frac,
+         |  CAST(max(c) AS DOUBLE) / nb AS top_bigram_frac
+         |FROM c GROUP BY doc_id, n, nd, nb""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
   )
 }

@@ -88,4 +88,36 @@ object TextFunctions {
 
   /** Document fingerprint: rolling hash of the whole text. */
   def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Fraction of token occurrences that are repeats of an earlier token:
+    * (n - n_distinct) / n. Gopher-style repetition signal, row-local. */
+  def dupTokenFraction(text: Column): Column = {
+    val t = tokenize(text)
+    (size(t) - size(array_distinct(t))).cast("double") / size(t).cast("double")
+  }
+
+  /** Fraction of all bigram occurrences taken by the single most
+    * frequent bigram — the other Gopher-style repetition signal
+    * (boilerplate/spam text repeats one phrase).
+    *
+    * Computed entirely row-locally: bigrams hash to mod-P longs
+    * (collisions merge counts identically in any engine mirroring the
+    * hash), the hash array is sorted, and one `aggregate` fold finds the
+    * longest equal-run — no explode, no shuffle, stays in codegen. NULL
+    * for docs with fewer than 2 tokens. */
+  def topBigramFraction(text: Column): Column = {
+    val bg = sort_array(transform(shingles(tokenize(text), 2), g => polyHash(g)))
+    // fold state: (prev hash, current run, best run); hashes are in
+    // [0, P) so -1 can never extend a run off the initial state
+    val best = aggregate(bg,
+      struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(bg) > 0, best.cast("double") / size(bg).cast("double"))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: points × intervals with `lo <= ts < hi`,
+  * without the nested-loop plan Spark produces for a bare inequality
+  * join (BroadcastNestedLoopJoin — O(|points|·|intervals|) compares).
+  *
+  * Standard bin trick: time is cut into fixed-width bins; each point
+  * lands in exactly ONE bin, each interval is replicated into every bin
+  * it overlaps (bounded — intervals must have bounded length relative
+  * to `binWidthMicros`), and the join becomes an EQUI-join on the bin
+  * id plus the residual range predicate. Because the point side carries
+  * one bin per row, every qualifying pair meets in exactly one bin — no
+  * post-join dedup. Shuffle cost = |points| + (bins/interval)·|intervals|,
+  * hash-partitioned like any equi-join; AQE skew-split applies if one
+  * bin is hot.
+  *
+  * Pick `binWidthMicros` ≈ the typical interval length: each interval
+  * then expands to ≤ 2 bins. The per-row `assert_true` guard enforces
+  * the documented fanout bound (`maxBinsPerInterval`) at execution time
+  * — a mis-sized bin width fails loudly instead of exploding the
+  * shuffle.
+  */
+object RangeJoin {
+
+  /** Join `points` (timestamp column `pointTs`) to `intervals`
+    * (timestamp columns `lo`, `hi`; `lo <= ts < hi`), optionally also
+    * equi-keyed on `keys` (columns present on both sides). Output: all
+    * point columns + the interval columns not in `keys` (callers keep
+    * the non-key names disjoint). Empty intervals (`hi <= lo`) are
+    * dropped — they can match nothing. */
+  def pointsInIntervals(points: DataFrame, intervals: DataFrame,
+      pointTs: String, lo: String, hi: String, binWidthMicros: Long,
+      keys: Seq[String] = Nil, maxBinsPerInterval: Int = 64): DataFrame = {
+    require(binWidthMicros > 0, "binWidthMicros must be positive")
+    // integer `div`, not floor(double /): epoch-micros magnitudes sit
+    // close enough to 2^53 that double division can mis-floor a bin edge
+    val p = points.withColumn("__bin",
+      expr(s"unix_micros($pointTs) div $binWidthMicros"))
+    // hi is exclusive, so the last bin an interval can reach is the one
+    // holding hi - 1µs (timestamps are µs-granular)
+    val loBin = expr(s"unix_micros($lo) div $binWidthMicros")
+    val hiBin = expr(s"(unix_micros($hi) - 1) div $binWidthMicros")
+    val iv = intervals
+      .filter(col(hi) > col(lo)) // sequence(a,b) DESCENDS for a > b
+      .withColumn("__chk", assert_true(hiBin - loBin < maxBinsPerInterval,
+        lit(s"range join: interval spans >= $maxBinsPerInterval bins; " +
+          "raise binWidthMicros or maxBinsPerInterval")))
+      .withColumn("__bin", explode(sequence(loBin, hiBin)))
+      .drop("__chk")
+    val cond = keys.map(k => p(k) === iv(k))
+      .foldLeft(p("__bin") === iv("__bin") &&
+        col(pointTs) >= col(lo) && col(pointTs) < col(hi))(_ && _)
+    keys.foldLeft(p.join(iv, cond))((df, k) => df.drop(iv(k))).drop("__bin")
+  }
+}
