@@ -148,6 +148,22 @@ object OracleFragments {
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
        |FROM p QUALIFY rn <= $k""".stripMargin
 
+  /** Connected components over a `pairs(doc_a, doc_b, ...)` CTE by
+    * reachability closure (names: edges, nodes, reach, comp); the whole
+    * query must open with `WITH RECURSIVE`. Mirrors
+    * [[graft.operators.DedupClusters.connectedComponents]]: `component`
+    * = minimum id reachable in the undirected closure, which for a
+    * symmetric edge set is exactly the component's minimum id. */
+  val connectedComponentsCtes: String =
+    """edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
   /** Sign bucket over the first `bits` dims of double vector `v`. */
   def signBucketSql(bits: Int): String =
     (0 until bits).map(k => s"(CASE WHEN v[${k + 1}] > 0 THEN ${1L << k} ELSE 0 END)")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, Sessionize, SkewJoin}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, Sessionize, SkewJoin}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TypedParquet}
@@ -350,6 +350,22 @@ object SparkEntry {
     "dedup_minhash_lsh" -> { (s, d) =>
       NearDup.minHashNearDups(Tables.documents(s, d), col("doc_id"), col("text"),
         n = 3, k = 16, bands = 4, threshold = 0.5)
+    },
+    "dedup_cluster_components" -> { (s, d) =>
+      // pairs -> transitive duplicate clusters (large-star/small-star CC)
+      val pairs = NearDup.minHashNearDups(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3, k = 16, bands = 4, threshold = 0.5)
+      DedupClusters.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+    },
+    "dedup_corpus_canonical" -> { (s, d) =>
+      // the full corpus-dedup pipeline: detect pairs -> cluster -> keep
+      // one (min-id) representative per cluster
+      val docs = Tables.documents(s, d)
+      val pairs = NearDup.minHashNearDups(docs, col("doc_id"), col("text"),
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      DedupClusters.canonicalize(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        col("doc_id"), pairs, col("doc_a"), col("doc_b"))
     },
     "dedup_simhash" -> { (s, d) =>
       NearDup.simHash(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -867,6 +883,14 @@ object SparkEntry {
     "q1_pricing_summary_cents" -> oracleSqlBase("q1_pricing_summary"),
     "metric_gauc_sorted" -> oracleSqlBase("metric_gauc"))
 
+  /** MinHash+LSH near-dup pair oracle — shared by the pair gate and the
+    * two clustering gates built on its pair set. */
+  private def minHashLshOracle: String =
+    s"""WITH ${OracleFragments.shingleCtes(3)},
+       |${OracleFragments.minHashSigSql(16)},
+       |${OracleFragments.lshCandidateSql(4, 4)},
+       |${OracleFragments.jaccardVerifySql(0.5)}""".stripMargin
+
   /** Shared brute-force hamming<=2 oracle for the bounded and full
     * simhash-pairs gates (one template, one place to change). */
   private def simHashPairsOracle(docFilter: String): String =
@@ -1074,11 +1098,20 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH ${OracleFragments.shingleCtes(3)},
          |${OracleFragments.cappedJaccardSql(20, 0.5)}""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH ${OracleFragments.shingleCtes(3)},
-         |${OracleFragments.minHashSigSql(16)},
-         |${OracleFragments.lshCandidateSql(4, 4)},
-         |${OracleFragments.jaccardVerifySql(0.5)}""".stripMargin,
+    "dedup_minhash_lsh" -> minHashLshOracle,
+    "dedup_cluster_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minHashLshOracle
+         |),
+         |${OracleFragments.connectedComponentsCtes}
+         |SELECT id, component FROM comp""".stripMargin,
+    "dedup_corpus_canonical" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minHashLshOracle
+         |),
+         |${OracleFragments.connectedComponentsCtes}
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits)}
          |SELECT doc_id, simhash FROM fp""".stripMargin,

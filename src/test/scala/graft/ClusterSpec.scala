@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{DedupClusters, NearDup}
+import org.apache.spark.sql.functions._
+
+/** DedupClusters (large-star/small-star connected components) against a
+  * brute-force union-find, on adversarial graph shapes. */
+class ClusterSpec extends GraftSpec {
+
+  /** Reference union-find: map each node to its component's min id. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    DedupClusters.connectedComponents(edges.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain graph (worst case for label propagation) resolves in log rounds") {
+    // path 0-1-2-...-199: one component rooted at 0
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got.size === 200)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("random graph matches brute-force union-find") {
+    // deterministic pseudo-random edges over a 300-node id space
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(250)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccOf(edges) === bruteComponents(edges))
+  }
+
+  test("cliques, reversed/duplicated edges, and self-loops") {
+    val clique = for { a <- 10L to 14L; b <- 10L to 14L if a != b } yield (a, b)
+    val edges = clique ++ Seq((5L, 3L), (3L, 5L), (3L, 5L), (7L, 7L))
+    val got = ccOf(edges)
+    assert((10L to 14L).forall(got(_) == 10L))
+    assert(got(5L) === 3L && got(3L) === 3L)
+    assert(got(7L) === 7L) // self-loop-only node is its own singleton
+  }
+
+  test("result is invariant to input partition layout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val one = ccOf(edges)
+    val repart = DedupClusters.connectedComponents(
+      edges.toDF("a", "b").repartition(13), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart === one)
+  }
+
+  test("canonicalize keeps exactly the representatives plus unpaired docs") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = DedupClusters.canonicalize(docs, col("id"), pairs, col("a"), col("b"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // clusters {1,2,3} -> keep 1; {10,11} -> keep 10; everything else kept
+    assert(kept === (0L until 20L).toSet -- Set(2L, 3L, 11L))
+  }
+
+  test("end-to-end corpus dedup: canonical corpus has no surviving pair") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = NearDup.minHashNearDups(docs, col("doc_id"), col("text"),
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+    val canon = DedupClusters.canonicalize(docs, col("doc_id"), pairs,
+      col("doc_a"), col("doc_b"))
+    // re-detecting over the canonical corpus finds no pair: every
+    // cluster collapsed to one survivor
+    val residual = NearDup.minHashNearDups(canon, col("doc_id"), col("text"),
+      n = 3, k = 16, bands = 4, threshold = 0.5).count()
+    assert(residual === 0L)
+  }
+}
