@@ -35,10 +35,12 @@ HEADLINE = [
 ]
 LLM = [
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "dedup_simhash", "dedup_simhash_pairs_full", "dedup_embedding_neardup",
     "dedup_embedding_neardup_wide",
     "ann_topk_brute", "ann_topk_bucketed",
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
+    "text_tfidf_topk", "text_quality_filter",
 ]
 
 # SINGLE-SOURCE WARNING: these constants mirror the Scala side
@@ -94,6 +96,24 @@ BIG_SQL_OVERRIDES = {
     "dedup_simhash_pairs_full": simhash_pairs_banded(),
 }
 
+# dedup_cluster_components' gate oracle nests the full MinHash pair
+# pipeline inside a recursive CTE; DuckDB re-evaluates non-materialized
+# CTEs referenced from the recursive member EVERY iteration (~4x the
+# whole pair detection). An honest DuckDB user materializes the pair set
+# first, so the bench times a setup statement + the closure together
+# (same total work the Spark side times in one query).
+CC_SETUP = "CREATE OR REPLACE TEMP TABLE pairs AS\n{pairs_sql}"
+CC_CLOSURE = """WITH RECURSIVE
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT id, component FROM comp"""
+
 
 def main():
     big_dir, oracle_path = sys.argv[1:3]
@@ -112,10 +132,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     out = {}
     for name in names:
-        sql = BIG_SQL_OVERRIDES[name] if name in BIG_SQL_OVERRIDES else oracle[name]
-        wrapped = f"SELECT sum(hash(t)::DOUBLE) FROM ({sql}) t"
-        con.sql(wrapped).fetchall()  # warm
-        best = min(timed(con, wrapped) for _ in range(reps))
+        if name == "dedup_cluster_components":
+            setup = CC_SETUP.format(pairs_sql=oracle["dedup_minhash_lsh"])
+            wrapped = f"SELECT sum(hash(t)::DOUBLE) FROM ({CC_CLOSURE}) t"
+            con.execute(setup)
+            con.sql(wrapped).fetchall()  # warm
+            best = min(timed_multi(con, [setup, wrapped]) for _ in range(reps))
+        else:
+            sql = BIG_SQL_OVERRIDES[name] if name in BIG_SQL_OVERRIDES else oracle[name]
+            wrapped = f"SELECT sum(hash(t)::DOUBLE) FROM ({sql}) t"
+            con.sql(wrapped).fetchall()  # warm
+            best = min(timed(con, wrapped) for _ in range(reps))
         out[name] = round(best, 3)
         print(f"[duck] {name}: {out[name]}s", file=sys.stderr)
     print(json.dumps({"queries": out, "sf": big_dir}))
@@ -124,6 +151,14 @@ def main():
 def timed(con, sql):
     t0 = time.time()
     con.sql(sql).fetchall()
+    return time.time() - t0
+
+
+def timed_multi(con, stmts):
+    t0 = time.time()
+    for s in stmts[:-1]:
+        con.execute(s)
+    con.sql(stmts[-1]).fetchall()
     return time.time() - t0
 
 

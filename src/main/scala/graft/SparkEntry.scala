@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, Sessionize, SkewJoin}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, Sessionize, SkewJoin, TermStats}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TypedParquet}
@@ -332,6 +332,15 @@ object SparkEntry {
       Tables.documents(s, d).select(
         col("doc_id"), TextFunctions.languageId(col("text")).as("lang_pred"))
     },
+    "text_tfidf_topk" -> { (s, d) =>
+      TermStats.tfIdfTopTerms(Tables.documents(s, d), col("doc_id"), col("text"), k = 5)
+    },
+    "text_quality_filter" -> { (s, d) =>
+      // corpus-quantile curation cut: drop the worst quartile
+      TermStats.qualityFilter(
+        Tables.documents(s, d).select("doc_id", "text"), col("text"), 0.25)
+        .select("doc_id", "quality")
+    },
     "text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -598,6 +607,42 @@ object SparkEntry {
     },
 
     // ---- real Structured Streaming through the gate --------------------
+    "stream_minhash_dedup" -> { (s, d) =>
+      // streaming content dedup: docs arrive in doc_id order across a
+      // micro-batch boundary; a doc is dropped iff any of its LSH band
+      // buckets was already claimed by an earlier doc. Two ordered
+      // files -> 2 micro-batches (bucket state must carry across).
+      val dir = GateFixtures.dir("stream_lsh", d) { target =>
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        def stage(part: DataFrame, name: String, age: Long): Unit = {
+          val tmp = target + "_" + name
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val src = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(target, name + ".parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(src.toPath, dst.toPath)
+          // arrival order must equal doc_id order: FileStreamSource
+          // schedules by modification time, so age the first half more
+          dst.setLastModified(System.currentTimeMillis() - age)
+          GateFixtures.deleteRecursively(new java.io.File(tmp).toPath)
+        }
+        stage(docs.where(col("doc_id") < 250), "b0", 120000L)
+        stage(docs.where(col("doc_id") >= 250), "b1", 60000L)
+      }
+      val schema = s.read.parquet(dir).schema
+      val name = "gate_lsh_dedup_" + math.abs(dir.hashCode)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingOps.lshStreamClaims(s,
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir))
+          .toDF("doc_id", "preceded")
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      StreamingOps.lshStreamSurvivors(s.table(name))
+    },
     "stream_dedup_ids" -> { (s, d) =>
       import s.implicits._
       val dir = GateFixtures.dir("stream", d) { target =>
@@ -883,6 +928,15 @@ object SparkEntry {
     "q1_pricing_summary_cents" -> oracleSqlBase("q1_pricing_summary"),
     "metric_gauc_sorted" -> oracleSqlBase("metric_gauc"))
 
+  /** Quality-score SQL expression over a `t(doc_id, toks)` CTE —
+    * mirrors TextFunctions.qualityScore; shared by the score and
+    * quantile-filter gates. */
+  private def qualityExprSql: String =
+    s"""(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+       |  + (CAST(len(list_filter(toks, x -> x IN ${OracleFragments.stopwordListSql})) AS DOUBLE)
+       |     / CAST(len(toks) AS DOUBLE)) * 0.3
+       |  + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3""".stripMargin
+
   /** MinHash+LSH near-dup pair oracle — shared by the pair gate and the
     * two clustering gates built on its pair set. */
   private def minHashLshOracle: String =
@@ -1079,12 +1133,24 @@ object SparkEntry {
          |FROM t""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
-         |SELECT doc_id,
-         |  (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
-         |  + (CAST(len(list_filter(toks, x -> x IN ${OracleFragments.stopwordListSql})) AS DOUBLE)
-         |     / CAST(len(toks) AS DOUBLE)) * 0.3
-         |  + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.3 AS quality
+         |SELECT doc_id, $qualityExprSql AS quality
          |FROM t""".stripMargin,
+    "text_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, round($qualityExprSql, 9) AS quality FROM t),
+         |thr AS (SELECT round(quantile_cont(quality, 0.25), 9) AS thr FROM q)
+         |SELECT doc_id, quality FROM q CROSS JOIN thr WHERE quality >= thr""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term AS term,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n)
+        |SELECT doc_id, term, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        |FROM scored QUALIFY rn <= 5""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN len(list_filter(string_split(text,' '),
@@ -1346,6 +1412,15 @@ object SparkEntry {
         |FROM o""".stripMargin,
     "stream_dedup_ids" ->
       "SELECT DISTINCT event_id FROM events",
+    "stream_minhash_dedup" ->
+      // batch mirror of the streaming claim semantics: kept docs = those
+      // never preceded in ANY of their band buckets by a smaller doc_id
+      s"""WITH ${OracleFragments.shingleCtes(3)},
+         |${OracleFragments.minHashSigSql(16)},
+         |${OracleFragments.lshCandidateSql(4, 4)},
+         |pre AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id)
+         |SELECT doc_id FROM sig WHERE doc_id NOT IN (SELECT doc_id FROM pre)""".stripMargin,
     "stream_enrich_join" ->
       """SELECT event_id, user_id, label
         |FROM events LEFT JOIN embeddings ON user_id = vec_id""".stripMargin,

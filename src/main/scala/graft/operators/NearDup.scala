@@ -163,6 +163,16 @@ object NearDup {
   private def bandHash(cols: Seq[Column]): Column =
     cols.foldLeft(lit(0L))((acc, m) => (acc * 31 + m) % P)
 
+  /** Each doc's LSH band-bucket claims: (doc_id, band, bh) — one row per
+    * band. Works on batch and streaming signature frames (narrow). */
+  def bandTuples(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          bandHash((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))).as("bh"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+
   /** Default per-bucket materialization bound for [[bucketPairs]]. */
   val DefaultMaxBucket = 1024
 
@@ -212,12 +222,7 @@ object NearDup {
     * materializes more than `maxBucket` rows in one array. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          bandHash((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))).as("bh"))
-      }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val banded = bandTuples(sig, bands, rowsPerBand)
     bucketPairs(banded, Seq("band", "bh"), struct(col("doc_id")), maxBucket)
       .select(col("a").getField("doc_id").as("doc_a"),
         col("b").getField("doc_id").as("doc_b"))

@@ -44,6 +44,10 @@ object Parallelism {
   }
 
   def ensure(df: DataFrame, min: Int): DataFrame = {
+    // streaming frames: parallelism is the source's per-micro-batch
+    // concern (and .rdd/.inputFiles are illegal on a stream) — pass
+    // through so narrow kernels compose onto readStream pipelines
+    if (df.isStreaming) return df
     val files = df.inputFiles
     val parts =
       if (files.nonEmpty) estimateScanPartitions(df, files)

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics for training-data curation: TF-IDF
+  * keyterm extraction and corpus-quantile quality filtering.
+  *
+  * Scale design: everything reduces to exploded-token aggregates that
+  * combine map-side (term counts), one pre-aggregated equi-join on the
+  * term (both sides already collapsed to one row per key — never a
+  * token-level join), and a per-doc window for top-k. The corpus-wide
+  * scalars (doc count, quality quantile) travel as broadcast one-row
+  * frames, keeping the plan fully lazy — no driver-side collect.
+  */
+object TermStats {
+
+  /** Top-k terms per document by TF-IDF (idf = ln(N/df), raw tf).
+    * Deterministic tie-break: equal scores order by term ascending.
+    * Scores are rounded to 9 decimals so an external oracle's libm can
+    * reproduce them bit-for-bit.
+    *
+    * @return (doc_id, term, tfidf, rn) with rn in 1..k
+    */
+  def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column, k: Int,
+      broadcastDf: Boolean = true): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val toks = Parallelism.ensureDefault(base)
+      .select(col("doc_id"), explode(TextFunctions.tokenize(col("__text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df per term, derived from tf. The `when` with no otherwise is
+    // nullable-as-far-as-the-optimizer-knows (tf >= 1 always holds, but
+    // it cannot prove that), which stops the count from collapsing to
+    // count(*) and the tf column from being pruned — so this branch's
+    // shuffle canonicalizes identically to the join side's and AQE
+    // dedupes them (ReusedExchange): the corpus is exploded and
+    // shuffled ONCE. A plain count(*) here re-derives a distinct-agg
+    // subplan from the scan and doubles the heavy work.
+    val dfAgg = tf.groupBy("term")
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+    // vocabulary grows sublinearly with the corpus (hundreds of
+    // thousands of terms broadcast in single-digit MBs), so the df side
+    // broadcasts by default and the big tf side never reshuffles by
+    // term; pass broadcastDf=false for pathological vocabularies
+    // (token = hash/id) to fall back to a shuffle join.
+    val dfTerm = if (broadcastDf) broadcast(dfAgg) else dfAgg
+    // corpus size from the NARROW doc frame (every doc tokenizes to >= 1
+    // term, so this equals distinct-doc-count over the exploded tokens
+    // without a third scan+explode branch)
+    val nDocs = base.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(dfTerm, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Documents whose quality score clears the corpus `quantile` — the
+    * standard "drop the worst q%" curation cut. The threshold is an
+    * exact interpolated percentile computed in one distributed
+    * aggregate and broadcast back; score and threshold are rounded to 9
+    * decimals before comparing so the boundary is engine-invariant.
+    *
+    * @return input rows that survive, plus their rounded `quality`
+    */
+  def qualityFilter(docs: DataFrame, text: Column, quantile: Double): DataFrame = {
+    val scored = docs.withColumn("quality",
+      round(TextFunctions.qualityScore(text), 9))
+    val thr = scored.agg(
+      round(expr(s"percentile(quality, $quantile)"), 9).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality") >= col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -50,6 +50,51 @@ object StreamingOps {
       .drop(d(dimKey))
   }
 
+  /** Streaming MinHash-LSH content dedup, stage 1: per-(doc, band
+    * bucket) precedence verdicts. The crawl-ingest shape: documents
+    * stream in (arrival order = doc_id order) and each must be checked
+    * against EVERYTHING seen so far without re-reading the corpus.
+    *
+    * State is one long per occupied bucket (the minimum claimant id) —
+    * at 100 TB that is bounded by distinct buckets, not documents, and
+    * lives in the checkpointable state store. A document is a duplicate
+    * iff ANY of its `bands` buckets was already claimed by a smaller-id
+    * document (prior micro-batch via state, same micro-batch via the
+    * sorted group); reduce verdicts with [[lshStreamSurvivors]] —
+    * batch-local per doc, so it composes in `foreachBatch` or over the
+    * collected sink table without a second stateful operator.
+    *
+    * Same LSH family/layout as [[graft.operators.NearDup.lshCandidates]]
+    * (candidate-level recall; the batch pipeline's exact-Jaccard verify
+    * has no streaming analog without retaining full shingle state —
+    * bucket-grain dedup is the standard streaming trade-off, documented).
+    */
+  def lshStreamClaims(spark: SparkSession, docs: DataFrame,
+      n: Int = 3, k: Int = 16, bands: Int = 4): Dataset[(Long, Boolean)] = {
+    import spark.implicits._
+    import graft.operators.NearDup
+    val sig = NearDup.minHashSignatures(docs, col("doc_id"), col("text"), n, k)
+    NearDup.bandTuples(sig, bands, k / bands)
+      .select(col("band").cast("int"), col("bh").cast("long"), col("doc_id").cast("long"))
+      .as[(Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._3).toArray.sorted
+          val prior = state.getOption.getOrElse(Long.MaxValue)
+          state.update(math.min(prior, ids(0)))
+          ids.iterator.map(d => (d, d > prior || d > ids(0)))
+      }
+  }
+
+  /** Stage 2 of [[lshStreamClaims]]: reduce bucket verdicts to the kept
+    * document set (docs with no preceded bucket). */
+  def lshStreamSurvivors(claims: DataFrame): DataFrame =
+    claims.toDF("doc_id", "preceded")
+      .groupBy("doc_id").agg(max(col("preceded")).as("dup"))
+      .where(!col("dup")).select("doc_id")
+
   /** Stateful streaming exact-dedup on a key: emit a row the first time
     * its key is seen, drop re-occurrences across micro-batches — the
     * streaming form of `dropDuplicates` with explicit keyed state. */

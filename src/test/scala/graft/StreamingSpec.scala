@@ -85,4 +85,45 @@ class StreamingSpec extends GraftSpec {
       assert(got === Seq(1L, 2L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("streaming LSH dedup equals the batch precedence semantics across batches") {
+    import graft.operators.NearDup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // two ordered files, ordered mtimes: arrival order == doc_id order
+    val dir = Files.createTempDirectory("graft_stream_lsh").toString
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, age: Long): Unit = {
+      val tmp = dir + "_" + name
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name + ".parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+    }
+    stage(docs.where(col("doc_id") < 250), "b0", 120000L)
+    stage(docs.where(col("doc_id") >= 250), "b1", 60000L)
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingOps.lshStreamClaims(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir))
+      .toDF("doc_id", "preceded")
+      .writeStream.outputMode("append").format("memory").queryName("lsh_claims").start()
+    val kept =
+      try {
+        q.processAllAvailable()
+        StreamingOps.lshStreamSurvivors(spark.table("lsh_claims"))
+          .collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+
+    // batch mirror: doc kept iff no smaller doc_id shares any band bucket
+    val bt = NearDup.bandTuples(
+      NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 16), 4, 4)
+    val preceded = bt.as("a").join(bt.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet -- preceded
+    assert(kept === expected)
+    assert(kept.nonEmpty && preceded.nonEmpty) // both classes exercised
+  }
 }
