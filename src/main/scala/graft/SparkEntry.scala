@@ -682,6 +682,35 @@ object SparkEntry {
       TabularReader.fromParquet(s, Seq(dir))
     },
 
+    "sink_compacted_roundtrip" -> { (s, d) =>
+      // small-files compaction: events scattered into 64 tiny files,
+      // compacted back to ~target-sized files, read round-trip. The
+      // compaction must be a pure rewrite (same rows, fewer files).
+      val dir = GateFixtures.dir("compact", d) { target =>
+        val scattered = target + "_scattered"
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .repartition(64).write.parquet(scattered)
+        TabularWriter.compact(s, scattered, target, targetBytes = 8L * 1024 * 1024)
+        GateFixtures.deleteRecursively(new java.io.File(scattered).toPath)
+      }
+      TabularReader.fromParquet(s, Seq(dir))
+    },
+    "scan_partitioned_pruned" -> { (s, d) =>
+      // hive-layout partitioned write + partition-pruned read: the
+      // filter never opens non-matching partition directories
+      // (PartitionFilters plan proof in PruningSpec)
+      val dir = GateFixtures.dir("hivepart", d) { target =>
+        TabularWriter.toPartitioned(
+          Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("value"), col("event_type")),
+          target, Seq("event_type"))
+      }
+      s.read.parquet(dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    },
+
     // ---- stream-static enrichment join (streaming embedding lookup) ----
     "stream_enrich_join" -> { (s, d) =>
       // real readStream (2 files -> 2 micro-batches) left-joined per
@@ -1372,6 +1401,11 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, value FROM events",
     "scan_zstd_roundtrip" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "sink_compacted_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "scan_partitioned_pruned" ->
+      """SELECT event_id, user_id, value, event_type
+        |FROM events WHERE event_type = 'click'""".stripMargin,
     "scan_dedup_restore" ->
       "SELECT event_id, event_type FROM events",
     "scan_row_range" ->

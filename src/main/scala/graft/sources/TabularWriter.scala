@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Columnar sinks — the reference writes Parquet with pyarrow
   * (SNAPPY/ZSTD, dictionary encoding; reference:
@@ -21,4 +22,41 @@ object TabularWriter {
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .option("compression", compression)
       .orc(path)
+
+  /** Hive-layout partitioned write: one directory tree level per
+    * partition column, so downstream reads with partition-key
+    * predicates plan `PartitionFilters` and never open non-matching
+    * files (asserted in PruningSpec). */
+  def toPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      compression: String = "snappy"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. The chronic 100 TB operational problem
+    * — streaming ingest and fine-grained partitioning produce file
+    * counts that swamp scan planning (one task + one open per tiny
+    * file); compaction restores the scan-side economics. File count =
+    * ceil(current bytes / target) from the source's actual on-disk
+    * size. `shuffle=false` (default) coalesces — a narrow rewrite that
+    * never moves rows between executors but inherits any source skew;
+    * `shuffle=true` round-robins for even output sizes at the cost of
+    * one exchange. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      targetBytes: Long = 128L * 1024 * 1024, shuffle: Boolean = false,
+      compression: String = "snappy"): Unit = {
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // data files only — _SUCCESS markers and .crc checksums don't scan
+    val bytes = fs.listStatus(src).iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+    val files = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val df = spark.read.parquet(srcDir)
+    val sized = if (shuffle) df.repartition(files) else df.coalesce(files)
+    toParquet(sized, dstDir, compression)
+  }
 }

@@ -25,6 +25,26 @@ class PruningSpec extends GraftSpec {
       s"scanned files outside the pruned partition: $scanned")
   }
 
+  test("compaction rewrites to the computed file count with identical rows") {
+    import graft.sources.TabularWriter
+    val root = Files.createTempDirectory("graft_compact").toString
+    val scattered = root + "/scattered"
+    val compacted = root + "/compacted"
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    src.repartition(48).write.parquet(scattered)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(scattered) === 48)
+    val target = 4L * 1024 * 1024
+    TabularWriter.compact(spark, scattered, compacted, targetBytes = target)
+    val bytes = new java.io.File(scattered).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val expected = math.max(1, ((bytes + target - 1) / target).toInt)
+    assert(parquetFiles(compacted) === expected)
+    val back = spark.read.parquet(compacted)
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+  }
+
   test("multi-probe ANN recall dominates single-probe") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
