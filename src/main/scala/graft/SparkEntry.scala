@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{Metrics, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, Sessionize, SkewJoin, TermStats}
+import graft.functions.{Metrics, Sketches, TextFunctions}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TypedParquet}
@@ -830,6 +830,61 @@ object SparkEntry {
         Map("click" -> 0.25, "view" -> 0.5), seed = 7L)
         .select(col("event_id"), col("event_type"))
     },
+    "sample_per_group" -> { (s, d) =>
+      // deterministic reservoir: exactly 50 events per event_type,
+      // chosen by smallest portable key hash — layout-invariant,
+      // downward-consistent eval-set sampling
+      Sampling.perGroupSample(Tables.events(s, d), col("event_type"),
+        col("event_id"), k = 50, seed = 13L)
+        .select(col("event_id"), col("event_type"), col("sample_rank"))
+    },
+    "sketch_kmv_distinct" -> { (s, d) =>
+      // portable KMV cardinality sketch over event users: O(k) state,
+      // TakeOrderedAndProject top-k of an 8-byte hash — the estimate is
+      // reproduced bit-for-bit by the oracle from the same hash
+      Sketches.kmvDistinct(Tables.events(s, d), col("user_id"), k = 64, seed = 11L)
+    },
+
+    // ---- LLM training-data prep: packing / chunking / redaction --------
+    "pack_sequences" -> { (s, d) =>
+      // contiguous token-budget packing in corpus order: distributed
+      // two-phase prefix sum (range-bucketed windows + broadcast bucket
+      // offsets) — no global window (PlanShapeSpec guards)
+      SeqPack.packContiguous(Tables.documents(s, d), col("doc_id"),
+        TextFunctions.tokenCount(col("text")), budget = 512L)
+        .select(col("k").as("doc_id"), col("n_tokens"), col("chunk_id"))
+    },
+    "pack_manifest" -> { (s, d) =>
+      // chunk-level rollup the downstream tokenizer/writer consumes
+      SeqPack.chunkManifest(
+        SeqPack.packContiguous(Tables.documents(s, d), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), budget = 512L))
+    },
+    "text_chunk_overlap" -> { (s, d) =>
+      // overlapping token windows (W=32, stride=24) for embedding/RAG
+      // prep; final window clamps to cover the tail. Row-local explode,
+      // no shuffle.
+      val spans = TextFunctions.chunkSpans(size(col("toks")), window = 32, stride = 24)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokenize(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), explode(spans).as("span"))
+        .select(col("doc_id"),
+          col("span.chunk_idx").cast("long").as("chunk_idx"),
+          col("span.chunk_start").cast("long").as("chunk_start"),
+          array_join(slice(col("toks"), col("span.chunk_start"), lit(32)), " ").as("chunk_text"))
+    },
+    "text_redact_pii" -> { (s, d) =>
+      // the corpus has no PII, so the gate injects synthetic
+      // email/phone/IP spans (a pure function of doc_id, mirrored in
+      // the oracle) and verifies the scrub end-to-end
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-01"), col("doc_id").cast("string"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 end"))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.redactPii(aug).as("redacted"),
+        regexp_count(aug, lit(TextFunctions.EmailRe)).cast("long").as("n_emails"))
+    },
 
     // ---- nested-ragged (rank-2) scan -------------------------------------
     "scan_ragged_nested" -> { (s, d) =>
@@ -1434,6 +1489,58 @@ object SparkEntry {
          |WHERE CAST((${OracleFragments.modPHashSql("event_id", 7L)}) % 1000000 AS DOUBLE)
          |  < (CASE WHEN event_type = 'click' THEN 0.25
          |          WHEN event_type = 'view' THEN 0.5 ELSE 1.0 END) * 1000000.0""".stripMargin,
+    "sample_per_group" ->
+      s"""SELECT event_id, event_type, sample_rank FROM (
+         |  SELECT event_id, event_type,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${OracleFragments.modPHashSql("event_id", 13L)}, event_id) AS BIGINT)
+         |      AS sample_rank
+         |  FROM events) t WHERE sample_rank <= 50""".stripMargin,
+    "sketch_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${OracleFragments.modPHashSql("user_id", 11L)} AS h FROM events),
+         |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes_kept, MAX(h) AS hk FROM k)
+         |SELECT CASE WHEN n_hashes_kept < 64 THEN CAST(n_hashes_kept AS DOUBLE)
+         |       ELSE 63.0 * ${TextFunctions.P} / hk END AS kmv_estimate, n_hashes_kept
+         |FROM s""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cumb // 512 AS chunk_id FROM c""".stripMargin,
+    "pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        |  FROM t)
+        |SELECT cumb // 512 AS chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin,
+    "text_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, len(toks) AS n,
+        |  1 + CAST(ceil(GREATEST(0, len(toks) - 32) / 24.0) AS BIGINT) AS n_chunks FROM t),
+        |e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS i FROM p),
+        |c AS (SELECT doc_id, i, LEAST(i*24 + 1, GREATEST(1, n - 31)) AS st, toks FROM e)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(st AS BIGINT) AS chunk_start,
+        |  array_to_string(toks[st:st+31], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    "text_redact_pii" ->
+      s"""WITH a AS (SELECT doc_id, text || ' contact user' || doc_id
+         |  || '@example.com or +1-555-01' || doc_id
+         |  || ' ip 10.0.' || (doc_id % 256) || '.7 end' AS aug FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(aug, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_emails
+         |FROM a""".stripMargin,
     "scan_ragged_nested" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |ch AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT)),

@@ -89,6 +89,41 @@ object TextFunctions {
   /** Document fingerprint: rolling hash of the whole text. */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** Overlapping token-window chunks for embedding/RAG prep: windows of
+    * `window` tokens every `stride` tokens, with the final window
+    * clamped so the document tail is always covered (never a chunk
+    * shorter than `window` unless the whole document is shorter).
+    * Returns `array<struct<chunk_idx:int, chunk_start:int>>` — the
+    * chunk count is `1 + ceil(max(0, n - window) / stride)` and
+    * `chunk_start` is 1-based (the `slice` convention). Row-local,
+    * codegen'd, no shuffle; callers explode + `slice` to materialize
+    * chunk text (see the `text_chunk_overlap` gate). */
+  def chunkSpans(nTokens: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkSpans: need 0 < stride <= window, got window=$window stride=$stride")
+    val lastStart = greatest(lit(1), nTokens - window + 1)
+    val nChunks = lit(1) +
+      ceil(greatest(lit(0), nTokens - window).cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("chunk_idx"), least(i * stride + 1, lastStart).as("chunk_start")))
+  }
+
+  /** PII redaction: replace emails, phone-like digit runs, and IPv4
+    * addresses with typed placeholder tags. The patterns are kept to
+    * the regex subset shared by Java regex and RE2 (no backrefs, no
+    * lookaround) so external engines can mirror the scrub
+    * bit-for-bit. Order matters: IPv4 before phones (an IP is a
+    * digit-punct run a loose phone pattern would half-eat). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?\\(?[0-9][0-9()./ -]{6,}[0-9]"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
   /** Fraction of token occurrences that are repeats of an earlier token:
     * (n - n_distinct) / n. Gopher-style repetition signal, row-local. */
   def dupTokenFraction(text: Column): Column = {

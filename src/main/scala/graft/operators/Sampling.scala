@@ -56,6 +56,23 @@ object Sampling {
     df.filter(pmod(xxhash64(key, lit(seed)), lit(1000000L)).cast("double") < frac * 1e6)
   }
 
+  /** Exactly-k-per-group sample: within each `group`, keep the k rows
+    * with the smallest portable key hash (ties broken by the key
+    * itself, so the sample is total-ordered and layout-invariant).
+    * Hash-ordering makes this a *deterministic reservoir*: every row
+    * wins with equal probability, the same rows win on every run and
+    * any partitioning, and the sample is downward-consistent (the k=10
+    * sample is a superset of the k=5 sample — useful for growing eval
+    * sets without resampling). One shuffle on the group key; the window
+    * is per-group, never global. */
+  def perGroupSample(df: DataFrame, group: Column, key: Column, k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"perGroupSample: k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(modPHash(key, seed), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Negative downsampling for binary labels: keep all positives, a
     * fraction of negatives — the standard CTR-data imbalance fix. */
   def downsampleNegatives(df: DataFrame, label: Column, key: Column,

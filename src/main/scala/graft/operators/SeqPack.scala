@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data prep: assign documents to
+  * fixed token-budget training chunks. The industry-standard contiguous
+  * ("streaming") packing — documents in a deterministic corpus order,
+  * a chunk boundary every `budget` cumulative tokens — so the chunk id
+  * is a pure function of the running token count:
+  * `chunk_id = floor(tokens_before / budget)`.
+  *
+  * Why contiguous rather than first-fit-decreasing bin packing: FFD is
+  * inherently sequential (every placement depends on the fill state of
+  * all open bins) and cannot be expressed as a distributed dataflow
+  * without serializing on the driver; contiguous packing wastes at most
+  * one document's tokens per boundary (negligible at corpus scale, where
+  * budget >> median doc length after long-doc splitting) and is fully
+  * shuffle-parallel. Reference-class systems make the same call for
+  * exactly this reason.
+  *
+  * The running sum is the classic distributed prefix-sum (same design as
+  * [[graft.functions.Metrics.aucExact]]'s two-phase ranks): range-bucket
+  * the order key, window WITHIN buckets only, add per-bucket starting
+  * offsets from a broadcast theta-join over the tiny bucket-totals
+  * table. No single-partition window anywhere — the plan scales with
+  * executors (PlanShapeSpec guards the no-global-window property).
+  */
+object SeqPack {
+
+  /** Per-document chunk assignment: one row per input row with columns
+    * (`<orderKey name kept as-is>`, n_tokens, chunk_id).
+    *
+    * @param df       corpus, one row per document
+    * @param orderKey numeric column defining the (total) corpus order;
+    *                 values must be unique — ties would make
+    *                 `tokens_before` ambiguous
+    * @param tokens   per-document token count (any numeric expression)
+    * @param budget   tokens per training chunk
+    * @param buckets  prefix-sum fan-out (each bucket's window sees
+    *                 ~rows/buckets rows; raise for bigger corpora)
+    */
+  def packContiguous(df: DataFrame, orderKey: Column, tokens: Column,
+      budget: Long, buckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"packContiguous: budget must be positive, got $budget")
+    val base = df.select(orderKey.as("k"), tokens.cast("long").as("n_tokens"))
+    // order-preserving range bucket over [lo, hi] of the key domain; the
+    // 1-row stats frame rides along via broadcast so the plan stays lazy
+    val stats = base.agg(min(col("k").cast("double")).as("__lo"),
+      max(col("k").cast("double")).as("__hi"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("bkt",
+        when(col("__hi") <= col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("k").cast("double") - col("__lo"))
+              / (col("__hi") - col("__lo")) * buckets),
+            lit(buckets - 1L))))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("k"))
+    val inBucket = bucketed.withColumn("cumIn",
+      coalesce(sum(col("n_tokens")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bktTotals = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bktTok"))
+    val offsets = bktTotals.as("x")
+      .join(bktTotals.as("z"), col("z.bkt") < col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("z.bktTok")), lit(0L)).as("bktOffset"))
+    inBucket.join(broadcast(offsets), "bkt")
+      .withColumn("tokens_before", col("bktOffset") + col("cumIn"))
+      // floor(nonneg long / pos long) — integer division, no double
+      .withColumn("chunk_id", (col("tokens_before") - pmod(col("tokens_before"), lit(budget))) / budget)
+      .select(col("k"), col("n_tokens"), col("chunk_id").cast("long").as("chunk_id"))
+  }
+
+  /** Chunk-level rollup of [[packContiguous]]: docs and tokens per
+    * chunk — the manifest a downstream tokenizer/writer consumes. */
+  def chunkManifest(packed: DataFrame): DataFrame =
+    packed.groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{Sketches, TextFunctions}
+import graft.operators.{Sampling, SeqPack}
+import org.apache.spark.sql.functions._
+
+/** Semantics + scale invariants of the LLM training-data prep ops:
+  * sequence packing, overlap chunking, per-group sampling, KMV
+  * cardinality sketch, PII redaction. */
+class LlmPrepSpec extends GraftSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("packContiguous: chunk ids are the running-sum buckets and layout-invariant") {
+    val packed = SeqPack.packContiguous(docs, col("doc_id"),
+      TextFunctions.tokenCount(col("text")), budget = 256L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // oracle: sequential scan in key order
+    var cum = 0L
+    packed.foreach { case (_, n, chunk) =>
+      assert(chunk === cum / 256L)
+      cum += n
+    }
+    // chunk ids start at 0 and never decrease in corpus order
+    val ids = packed.map(_._3)
+    assert(ids.head === 0L)
+    assert(ids.zip(ids.tail).forall { case (a, b) => b >= a })
+    // layout invariance: a repartitioned input packs identically
+    val re = SeqPack.packContiguous(docs.repartition(13), col("doc_id"),
+      TextFunctions.tokenCount(col("text")), budget = 256L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re === packed)
+  }
+
+  test("packContiguous: every chunk but the last reaches the budget boundary") {
+    val manifest = SeqPack.chunkManifest(
+      SeqPack.packContiguous(docs, col("doc_id"),
+        TextFunctions.tokenCount(col("text")), budget = 256L))
+      .orderBy("chunk_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val maxDoc = docs.select(max(TextFunctions.tokenCount(col("text")))).head().getInt(0)
+    // contiguous packing: a chunk closes when cum crosses its boundary,
+    // so every non-final chunk holds within (budget - maxDoc, budget + maxDoc)
+    manifest.dropRight(1).foreach { case (id, tok) =>
+      assert(tok > 256 - maxDoc && tok < 256 + maxDoc, s"chunk $id: $tok tokens")
+    }
+  }
+
+  test("chunkSpans: full coverage, stride spacing, tail clamp") {
+    val rows = docs.select(size(TextFunctions.tokenize(col("text"))).as("n"),
+        TextFunctions.chunkSpans(size(TextFunctions.tokenize(col("text"))), 32, 24).as("spans"))
+      .collect().map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1)))
+    rows.foreach { case (n, spans) =>
+      val starts = spans.map(_.getInt(1))
+      assert(starts.head === 1)
+      // consecutive chunk indexes from 0
+      assert(spans.map(_.getInt(0)) === spans.indices)
+      // every token position covered by at least one [start, start+31] window
+      val covered = starts.flatMap(s => s until math.min(s + 32, n + 1)).toSet
+      assert(covered === (1 to n).toSet, s"n=$n starts=$starts")
+      // stride spacing except the clamped tail
+      starts.zip(starts.tail).dropRight(1).foreach { case (a, b) => assert(b - a === 24) }
+      // tail clamp: last window ends exactly at n (unless doc shorter than window)
+      if (n >= 32) assert(starts.last === n - 31) else assert(starts === Seq(1))
+    }
+  }
+
+  test("perGroupSample: exact-k per group, downward-consistent, layout-invariant") {
+    val ev = Tables.events(spark, sf)
+    val k10 = Sampling.perGroupSample(ev, col("event_type"), col("event_id"), 10, 99L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val k5 = Sampling.perGroupSample(ev, col("event_type"), col("event_id"), 5, 99L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(k5.subsetOf(k10), "k=5 sample must be a subset of k=10")
+    val counts = Sampling.perGroupSample(ev, col("event_type"), col("event_id"), 10, 99L)
+      .groupBy("event_type").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 10L))
+    val re = Sampling.perGroupSample(ev.repartition(17), col("event_type"), col("event_id"), 10, 99L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(re === k10)
+  }
+
+  test("kmvDistinct: exact below k, within 2/sqrt(k) above k") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    // k above the cardinality -> exact branch
+    val exactRow = Sketches.kmvDistinct(ev, col("user_id"), k = 100000, seed = 3L).head()
+    assert(exactRow.getDouble(0) === exact.toDouble)
+    // k below -> estimator branch, standard KMV error envelope (~1/sqrt(k))
+    val est = Sketches.kmvDistinct(ev, col("user_id"), k = 32, seed = 3L).head().getDouble(0)
+    val relErr = math.abs(est - exact) / exact
+    assert(relErr < 2.0 / math.sqrt(32), s"exact=$exact est=$est relErr=$relErr")
+  }
+
+  test("redactPii scrubs emails, phones, IPs and leaves clean text alone") {
+    import spark.implicits._
+    val cases = Seq(
+      ("mail me at jo.doe+x@corp.example.org today", "mail me at <EMAIL> today"),
+      ("call +1-555-0101 or (202) 555-0199 now", "call <PHONE> or <PHONE> now"),
+      ("host 192.168.0.12 responded", "host <IP> responded"),
+      ("all clean words here", "all clean words here"),
+      ("a@b.co 10.0.0.1 555-123-4567", "<EMAIL> <IP> <PHONE>"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.redactPii(col("t"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g === want) }
+  }
+}

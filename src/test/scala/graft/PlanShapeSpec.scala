@@ -4,6 +4,8 @@ package graft
   * (pushdown, broadcast, partial aggregation, distributed top-k, no
   * cartesian products) asserted against the actual planned queries so a
   * future refactor can't silently trade them away. */
+import org.apache.spark.sql.functions._
+
 class PlanShapeSpec extends GraftSpec {
 
   private def plan(name: String): String =
@@ -40,6 +42,37 @@ class PlanShapeSpec extends GraftSpec {
   test("projection-only scan reads only the projected columns") {
     val p = plan("scan_projection_defaults")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's runtime-filter rule injects a bloom filter built from the
+    // selective (dim) side into the fact-side scan — the 100 TB shuffle
+    // -join analogue of broadcast-join pruning. Defaults gate it behind
+    // multi-GB thresholds, so drop them for a local proof that OUR query
+    // shapes let the rule fire (a non-deterministic expression or a
+    // missing equi-key would silently disable it).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "8GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sf)
+      val urgent = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a bloom runtime filter on the lineitem scan side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 
   test("no gated query plans an unpartitioned ordered window (scale-killer guard)") {
