@@ -66,15 +66,21 @@ object OracleFragments {
     * mod-P gram hashes; any collision shrinks BOTH engines' sets
     * identically, so the mirror is exact by construction). */
   def jaccardVerifySql(threshold: Double): String =
+    s"""$jaccardJoinCtes
+       |SELECT doc_a, doc_b, CAST(shared AS DOUBLE)/(na + nb - shared) AS jaccard
+       |FROM j WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= $threshold""".stripMargin
+
+  /** Just the CTE prefix of [[jaccardVerifySql]] (names: shh, j), for
+    * oracles whose final select is something other than the pair list
+    * (e.g. the ingest-novelty anti-join). */
+  val jaccardJoinCtes: String =
     s"""shh AS (SELECT doc_id,
        |  list_distinct(list_transform(shingles, s -> ${polyHashSql("s")})) AS hsh
        |  FROM sh),
        |j AS (SELECT doc_a, doc_b,
        |  len(list_intersect(sa.hsh, sb.hsh)) AS shared,
        |  len(sa.hsh) AS na, len(sb.hsh) AS nb
-       |  FROM cand JOIN shh sa ON sa.doc_id = doc_a JOIN shh sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, CAST(shared AS DOUBLE)/(na + nb - shared) AS jaccard
-       |FROM j WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= $threshold""".stripMargin
+       |  FROM cand JOIN shh sa ON sa.doc_id = doc_a JOIN shh sb ON sb.doc_id = doc_b)""".stripMargin
 
   /** MinHash signature CTE: min over shingle hashes per permutation. */
   def minHashSigSql(k: Int): String = {
@@ -87,19 +93,36 @@ object OracleFragments {
        |  FROM hs GROUP BY doc_id)""".stripMargin
   }
 
-  /** Band-bucket candidate pairs from `sig`. */
-  def lshCandidateSql(bands: Int, rowsPerBand: Int): String = {
+  /** The per-doc band-bucket CTE (name: bands) from `sig`. */
+  def lshBandsCte(bands: Int, rowsPerBand: Int): String = {
     def fold(cols: Seq[String]): String =
       cols.foldLeft("CAST(0 AS BIGINT)")((acc, m) => s"(($acc)*31 + $m) % $P")
     val bandSelects = (0 until bands).map { j =>
       val cols = (0 until rowsPerBand).map(r => s"m${j * rowsPerBand + r}")
       s"SELECT doc_id, $j AS band, ${fold(cols)} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""bands AS ($bandSelects),
+    s"bands AS ($bandSelects)"
+  }
+
+  /** Band-bucket candidate pairs from `sig`. */
+  def lshCandidateSql(bands: Int, rowsPerBand: Int): String =
+    s"""${lshBandsCte(bands, rowsPerBand)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
-  }
+
+  /** Cross-corpus band candidates, mirroring
+    * [[graft.operators.NearDup.lshCrossCandidates]]: side membership is
+    * expressed as predicates over the band rows (`a` = new side, `b` =
+    * corpus side) since the oracle derives both sides from the one
+    * `documents` table. */
+  def lshCrossCandidateSql(bands: Int, rowsPerBand: Int,
+      newPred: String, corpusPred: String): String =
+    s"""${lshBandsCte(bands, rowsPerBand)},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh
+       |  WHERE ($newPred) AND ($corpusPred))""".stripMargin
 
   /** SimHash fingerprint CTEs (names: tokh, bits, fp). Token hash =
     * two independent mod-P families side by side (bits 0-29 / 30-59),

@@ -360,6 +360,26 @@ object SparkEntry {
       NearDup.minHashNearDups(Tables.documents(s, d), col("doc_id"), col("text"),
         n = 3, k = 16, bands = 4, threshold = 0.5)
     },
+    "dedup_incremental_pairs" -> { (s, d) =>
+      // incremental-ingestion dedup: a 1-in-5 "arriving batch" matched
+      // against the remaining 4/5 "canonical corpus" — new-vs-corpus
+      // band join only, never corpus-vs-corpus
+      val docs = Tables.documents(s, d)
+      NearDup.minHashNearDupsAgainst(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("doc_id"), col("text"), n = 3, k = 16, bands = 4, threshold = 0.5)
+    },
+    "dedup_ingest_novel" -> { (s, d) =>
+      // the ingest filter: new-batch docs that survive (near-dup nothing
+      // in the corpus) — what actually gets appended
+      val docs = Tables.documents(s, d)
+      NearDup.ingestNovel(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("doc_id"), col("text"), n = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_id"), col("source"))
+    },
     "dedup_cluster_components" -> { (s, d) =>
       // pairs -> transitive duplicate clusters (large-star/small-star CC)
       val pairs = NearDup.minHashNearDups(Tables.documents(s, d),
@@ -844,6 +864,14 @@ object SparkEntry {
       // reproduced bit-for-bit by the oracle from the same hash
       Sketches.kmvDistinct(Tables.events(s, d), col("user_id"), k = 64, seed = 11L)
     },
+    "sample_mixture" -> { (s, d) =>
+      // data-mixing recipe: resample three sources to exact 50/30/20
+      // proportions (largest feasible N, per-stratum hash reservoirs)
+      Sampling.rebalanceToMix(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), seed = 21L)
+    },
 
     // ---- LLM training-data prep: packing / chunking / redaction --------
     "pack_sequences" -> { (s, d) =>
@@ -1028,6 +1056,18 @@ object SparkEntry {
        |${OracleFragments.minHashSigSql(16)},
        |${OracleFragments.lshCandidateSql(4, 4)},
        |${OracleFragments.jaccardVerifySql(0.5)}""".stripMargin
+
+  /** Cross-corpus (incremental-ingestion) MinHash oracle: same CTEs as
+    * [[minHashLshOracle]] but candidates pair the 1-in-5 "new batch"
+    * against the 4-in-5 "corpus" only; `finalSelect` picks the pair list
+    * or the novelty anti-join over the shared `j` CTE. */
+  private def incrementalDedupOracle(finalSelect: String): String =
+    s"""WITH ${OracleFragments.shingleCtes(3)},
+       |${OracleFragments.minHashSigSql(16)},
+       |${OracleFragments.lshCrossCandidateSql(4, 4,
+          "a.doc_id % 5 = 0", "b.doc_id % 5 <> 0")},
+       |${OracleFragments.jaccardJoinCtes}
+       |$finalSelect""".stripMargin
 
   /** Shared brute-force hamming<=2 oracle for the bounded and full
     * simhash-pairs gates (one template, one place to change). */
@@ -1249,6 +1289,12 @@ object SparkEntry {
       s"""WITH ${OracleFragments.shingleCtes(3)},
          |${OracleFragments.cappedJaccardSql(20, 0.5)}""".stripMargin,
     "dedup_minhash_lsh" -> minHashLshOracle,
+    "dedup_incremental_pairs" -> incrementalDedupOracle(
+      "SELECT doc_a, doc_b, CAST(shared AS DOUBLE)/(na + nb - shared) AS jaccard\n" +
+        "FROM j WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= 0.5"),
+    "dedup_ingest_novel" -> incrementalDedupOracle(
+      "SELECT doc_id, source FROM documents WHERE doc_id % 5 = 0 AND doc_id NOT IN\n" +
+        "  (SELECT doc_a FROM j WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= 0.5)"),
     "dedup_cluster_components" ->
       s"""WITH RECURSIVE pairs AS (
          |$minHashLshOracle
@@ -1503,6 +1549,20 @@ object SparkEntry {
          |SELECT CASE WHEN n_hashes_kept < 64 THEN CAST(n_hashes_kept AS DOUBLE)
          |       ELSE 63.0 * ${TextFunctions.P} / hk END AS kmv_estimate, n_hashes_kept
          |FROM s""".stripMargin,
+    "sample_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 0.5 WHEN source = 'src1' THEN 0.3
+         |         WHEN source = 'src2' THEN 0.2 END AS sh
+         |  FROM documents WHERE source IN ('src0','src1','src2')),
+         |c AS (SELECT source, COUNT(*) AS cnt, MAX(sh) AS sh FROM d GROUP BY source),
+         |n AS (SELECT MIN(cnt / sh) AS N FROM c),
+         |q AS (SELECT source, CAST(FLOOR(sh * N) AS BIGINT) AS quota
+         |  FROM c CROSS JOIN n),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${OracleFragments.modPHashSql("doc_id", 21L)}, doc_id) AS rn
+         |  FROM d)
+         |SELECT r.doc_id, r.source FROM r JOIN q ON r.source = q.source
+         |WHERE rn <= quota""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),

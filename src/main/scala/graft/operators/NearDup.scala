@@ -108,9 +108,16 @@ object NearDup {
     * against the shingle arrays + an array_intersect per pair. For
     * candidate sets comparable to the corpus itself, use the count-based
     * path inside [[jaccardPairs]] instead (arrays never travel). */
-  def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+  def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardBetween(cand, sets, sets, threshold)
+
+  /** [[verifyJaccard]] with distinct shingle-set frames for the two pair
+    * sides (cross-corpus candidates: doc_a from one corpus, doc_b from
+    * another). */
+  def verifyJaccardBetween(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = setsA.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = setsB.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -240,6 +247,54 @@ object NearDup {
     // recomputation is cheaper than a materialization barrier
     val cand = lshCandidates(minHashSignatures(docs, id, text, n, k), bands, k / bands)
     verifyJaccard(cand, shingleHashSets(docs, id, text, n), threshold)
+  }
+
+  // ---- incremental (cross-corpus) dedup --------------------------------
+
+  /** Cross-corpus LSH candidates: (new doc, corpus doc) sharing any band
+    * bucket. A plain equi-join on (band, bucket) — unlike the
+    * within-corpus case there is no a<b self-pairing to bound, and the
+    * output IS the candidate set, so fanout equals true candidate
+    * volume; hot boilerplate buckets are AQE skew-join territory, and
+    * the dfCap analogue at this layer is dropping buckets whose corpus
+    * side exceeds a bound before the join (not needed at gate scale). */
+  def lshCrossCandidates(sigNew: DataFrame, sigCorpus: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    bandTuples(sigNew, bands, rowsPerBand).as("n")
+      .join(bandTuples(sigCorpus, bands, rowsPerBand).as("c"), Seq("band", "bh"))
+      .select(col("n.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Incremental-ingestion dedup: near-dup matches of `newDocs` against
+    * an existing `corpus` — the standard shape for continuously ingested
+    * training data (dedupe each arriving batch against the canonical
+    * corpus without ever re-pairing the corpus with itself). Returns
+    * (doc_a = new id, doc_b = corpus id, jaccard >= threshold).
+    *
+    * Cost scales with |new| x (bucket collision rate), NOT |corpus|²:
+    * the corpus side contributes signatures (narrow, no shuffle) and one
+    * equi-join; at 100 TB the corpus band table is the thing to persist
+    * between ingests (it is a pure column function of the corpus, so an
+    * incremental pipeline appends new bands to it as batches commit). */
+  def minHashNearDupsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      id: Column, text: Column, n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = lshCrossCandidates(
+      minHashSignatures(newDocs, id, text, n, k),
+      minHashSignatures(corpus, id, text, n, k), bands, k / bands)
+    verifyJaccardBetween(cand,
+      shingleHashSets(newDocs, id, text, n),
+      shingleHashSets(corpus, id, text, n), threshold)
+  }
+
+  /** The ingest filter built on [[minHashNearDupsAgainst]]: rows of
+    * `newDocs` that near-duplicate nothing in `corpus` (left-anti on the
+    * matched new-side ids) — what actually gets appended. */
+  def ingestNovel(newDocs: DataFrame, corpus: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val matched = minHashNearDupsAgainst(newDocs, corpus, id, text, n, k, bands, threshold)
+      .select(col("doc_a")).distinct()
+    newDocs.join(matched, id === col("doc_a"), "left_anti")
   }
 
   // ---- SimHash ---------------------------------------------------------

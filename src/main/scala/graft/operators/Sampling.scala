@@ -73,6 +73,43 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Data-mixture resampling: subsample the corpus so the kept rows hit
+    * target per-stratum proportions EXACTLY (up to floor rounding) —
+    * the "data mixing" step of LLM corpus assembly (rebalance web/books/
+    * code sources to a training recipe). Strata not in `shares` are
+    * dropped.
+    *
+    * The output size is the largest N with `share_s * N <= count_s` for
+    * every stratum (no stratum can be oversampled — this op never
+    * duplicates rows), i.e. `N = min_s(count_s / share_s)`; each stratum
+    * then keeps its `floor(share_s * N)` smallest-hash rows, so the
+    * sample is deterministic, layout-invariant and downward-consistent
+    * (same reservoir contract as [[perGroupSample]]).
+    *
+    * Plan: one groupBy for the ≤|strata|-row count table, quotas derived
+    * lazily and broadcast back, one per-stratum window. No collect —
+    * the whole recipe is a single lazy plan. */
+  def rebalanceToMix(df: DataFrame, stratum: Column, key: Column,
+      shares: Map[String, Double], seed: Long): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(s => s > 0),
+      "rebalanceToMix: shares must be positive")
+    val shareCol = shares.foldLeft(lit(null).cast("double")) { case (acc, (v, f)) =>
+      when(stratum === v, lit(f)).otherwise(acc)
+    }
+    val tagged = df.withColumn("__share", shareCol).filter(col("__share").isNotNull)
+    val counts = tagged.groupBy(stratum.as("__s"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__share")).as("__sh"))
+    val total = counts.agg(min(col("__cnt").cast("double") / col("__sh")).as("__N"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .select(col("__s"), floor(col("__sh") * col("__N")).cast("long").as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(modPHash(key, seed), key)
+    tagged.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), stratum === col("__s"))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__share", "__s", "__quota", "__rn")
+  }
+
   /** Negative downsampling for binary labels: keep all positives, a
     * fraction of negatives — the standard CTR-data imbalance fix. */
   def downsampleNegatives(df: DataFrame, label: Column, key: Column,

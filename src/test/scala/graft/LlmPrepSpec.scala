@@ -91,6 +91,45 @@ class LlmPrepSpec extends GraftSpec {
     assert(relErr < 2.0 / math.sqrt(32), s"exact=$exact est=$est relErr=$relErr")
   }
 
+  test("incremental dedup equals the full-corpus pair set restricted to cross-split pairs") {
+    import graft.operators.NearDup
+    val newB = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val corp = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val cross = NearDup.minHashNearDupsAgainst(newB, corp, col("doc_id"), col("text"))
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val full = NearDup.minHashNearDups(docs, col("doc_id"), col("text"))
+      .collect().map(r => Set(r.getLong(0), r.getLong(1)))
+      .filter(p => p.count(_ % 5 == 0) == 1).toSet
+    assert(cross === full)
+    // and the ingest filter is exactly new-minus-matched
+    val novel = NearDup.ingestNovel(newB, corp, col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val newIds = newB.select("doc_id").collect().map(_.getLong(0)).toSet
+    val matchedNew = cross.flatMap(_.filter(_ % 5 == 0))
+    assert(novel === newIds -- matchedNew)
+  }
+
+  test("rebalanceToMix hits the target proportions exactly (floor rounding)") {
+    import graft.operators.Sampling
+    val shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val mixed = Sampling.rebalanceToMix(docs.select(col("doc_id"), col("source")),
+      col("source"), col("doc_id"), shares, seed = 5L)
+    val got = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = docs.filter(col("source").isin(shares.keys.toSeq: _*))
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = shares.map { case (s, f) => counts(s) / f }.min
+    shares.foreach { case (s, f) =>
+      assert(got(s) === math.floor(f * n).toLong, s"stratum $s")
+    }
+    // layout invariance
+    val re = Sampling.rebalanceToMix(
+      docs.select(col("doc_id"), col("source")).repartition(11),
+      col("source"), col("doc_id"), shares, seed = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re === mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("redactPii scrubs emails, phones, IPs and leaves clean text alone") {
     import spark.implicits._
     val cases = Seq(
