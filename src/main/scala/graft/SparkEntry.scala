@@ -335,6 +335,15 @@ object SparkEntry {
     "text_tfidf_topk" -> { (s, d) =>
       TermStats.tfIdfTopTerms(Tables.documents(s, d), col("doc_id"), col("text"), k = 5)
     },
+    "text_vocab_topn" -> { (s, d) =>
+      // vocabulary build: corpus-wide term frequencies, top-100 with a
+      // deterministic tie-break — explode + map-side-combinable count +
+      // TakeOrderedAndProject (per-partition top-k, only fragments travel)
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokenize(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(100)
+    },
     "text_quality_filter" -> { (s, d) =>
       // corpus-quantile curation cut: drop the worst quartile
       TermStats.qualityFilter(
@@ -480,6 +489,20 @@ object SparkEntry {
       val e = Tables.events(s, d).withColumn("tsec", col("ts").cast("long"))
       Sessionize.sessionCounts(e, col("user_id"),
         col("tsec"), struct(col("tsec"), col("event_id")), gapSeconds = 1800L)
+    },
+    "session_window_agg" -> { (s, d) =>
+      // native session windows (the construct that runs unchanged under
+      // Structured Streaming with a watermark): per-user 30-min-gap
+      // sessions with start/end bounds. ts truncated to whole seconds so
+      // the gap comparison is mirrored exactly by the second-granularity
+      // oracle.
+      Tables.events(s, d)
+        .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
+        .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("session_window.end").cast("long").as("session_end"), col("n"))
     },
 
     // ---- set operations (reference §2.9, superset) ---------------------
@@ -1356,6 +1379,24 @@ object SparkEntry {
         |    (PARTITION BY user_id ORDER BY tsec, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)""".stripMargin,
+    "text_vocab_topn" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY n DESC, term LIMIT 100""".stripMargin,
+    "session_window_agg" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
+        |s AS (SELECT user_id, event_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w >= 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |g AS (SELECT user_id, tsec,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s)
+        |SELECT user_id, MIN(tsec) AS session_start, MAX(tsec) + 1800 AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g GROUP BY user_id, sess""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
