@@ -753,6 +753,19 @@ object SparkEntry {
         .where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     },
+    "scan_sorted_layout" -> { (s, d) =>
+      // sort-clustered layout for a high-cardinality key: each file
+      // covers a disjoint user_id range (footer-stat disjointness proved
+      // in PruningSpec), so this range predicate prunes whole files
+      val dir = GateFixtures.dir("rangesorted", d) { target =>
+        TabularWriter.toRangeSorted(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          target, Seq("user_id"), numFiles = 8)
+      }
+      s.read.parquet(dir)
+        .where(col("user_id") >= 40 && col("user_id") < 80)
+        .select(col("event_id"), col("user_id"), col("value"))
+    },
 
     // ---- stream-static enrichment join (streaming embedding lookup) ----
     "stream_enrich_join" -> { (s, d) =>
@@ -1548,6 +1561,9 @@ object SparkEntry {
     "scan_partitioned_pruned" ->
       """SELECT event_id, user_id, value, event_type
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "scan_sorted_layout" ->
+      """SELECT event_id, user_id, value
+        |FROM events WHERE user_id >= 40 AND user_id < 80""".stripMargin,
     "scan_dedup_restore" ->
       "SELECT event_id, event_type FROM events",
     "scan_row_range" ->

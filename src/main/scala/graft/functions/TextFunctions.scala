@@ -22,7 +22,10 @@ object TextFunctions {
   /** Whitespace tokenization (the corpus is single-space separated). */
   def tokenize(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokenize(text))
+  /** `size(tokenize(text))` without materializing the token array —
+    * native byte-scan kernel ([[expressions.TokenCount]]); identical
+    * value for every input (EquivalenceSpec). */
+  def tokenCount(text: Column): Column = expressions.GraftExpressions.token_count(text)
 
   /** Count of regex-tokenizer matches — the BPE-ish alternative counter
     * (non-overlapping `[a-z]+` word runs). */

@@ -75,6 +75,30 @@ case class PolyHash(child: Expression, mult: Long = 31L) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Token count of a space-separated string WITHOUT materializing the
+  * token array — byte-scan for 0x20, exactly `size(split(s, " "))` for
+  * every input. Replaces the split in count-only pipelines (sequence
+  * packing, manifests, length stats), whose cost is otherwise dominated
+  * by the array allocation split performs. */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_count needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.tokenCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.tokenCount($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Row-local 60-bit SimHash fingerprint over a token array — the whole
   * per-document kernel (hash both families per token, per-bit majority
   * vote) as ONE codegen'd call, replacing an explode + 60-aggregate
@@ -184,6 +208,7 @@ object GraftExpressions {
   def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def poly_hash(s: Column): Column = column(PolyHash(expression(s)))
   def poly_hash(s: Column, mult: Long): Column = column(PolyHash(expression(s), mult))
+  def token_count(s: Column): Column = column(TokenCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
   def minhash_sigs(tokens: Column, n: Int, k: Int): Column =

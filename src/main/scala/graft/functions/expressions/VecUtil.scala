@@ -31,6 +31,23 @@ object VecUtil {
 
   private val P = 1000000007L
 
+  /** Token count of a space-separated string under `split(s, " ")`
+    * semantics — count of 0x20 bytes + 1 (split keeps empty tokens, so
+    * the identity is exact for every input, including "" and runs of
+    * spaces). Byte scan is UTF-8-safe: 0x20 never occurs inside a
+    * multi-byte sequence. No array materialization — this is what makes
+    * token counting ~decode-speed instead of split-speed. */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 1
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Polynomial rolling hash h = (h*mult + codepoint) mod P over a UTF-8
     * string. ASCII fast path reads bytes directly; non-ASCII falls back
     * to a codepoint loop (same value the per-char `ascii()` fold

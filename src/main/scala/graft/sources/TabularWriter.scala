@@ -34,6 +34,22 @@ object TabularWriter {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Sort-clustered layout: range-partition the rows on `sortCols` and
+    * sort within each output file, so every file (and every row group
+    * inside it) covers a DISJOINT key range. Parquet footers then carry
+    * tight min/max stats and a range predicate prunes whole files/row
+    * groups at scan time — the sorted-layout analogue of hive
+    * partitioning for high-cardinality or continuous keys, where a
+    * directory per value is infeasible. PruningSpec proves the
+    * disjointness from the written footers. */
+  def toRangeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int, compression: String = "snappy"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").option("compression", compression).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. The chronic 100 TB operational problem
     * — streaming ingest and fine-grained partitioning produce file

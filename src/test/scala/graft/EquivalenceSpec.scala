@@ -110,6 +110,19 @@ class EquivalenceSpec extends GraftSpec {
     assert(got === expect)
   }
 
+  test("native token_count equals size(split) on the corpus and edge strings") {
+    import spark.implicits._
+    import graft.functions.expressions.GraftExpressions.token_count
+    val docs = Tables.documents(spark, sf)
+    val mismatch = docs.filter(
+      token_count(col("text")) =!= size(split(col("text"), " "))).count()
+    assert(mismatch === 0L)
+    val edges = Seq("", " ", "  ", "a", "a b", "a  b", " a b ", "héllo wörld ",
+      "emoji 😀 tail").toDF("t")
+    val bad = edges.filter(token_count(col("t")) =!= size(split(col("t"), " "))).count()
+    assert(bad === 0L)
+  }
+
   test("accuracy via expression equals direct computation on events") {
     val acc = events.agg(graft.functions.Metrics.accuracy(
       col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)

@@ -25,6 +25,41 @@ class PruningSpec extends GraftSpec {
       s"scanned files outside the pruned partition: $scanned")
   }
 
+  test("range-sorted layout writes files with disjoint key ranges (footer proof)") {
+    import graft.sources.TabularWriter
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_rangesort").toString + "/ev"
+    TabularWriter.toRangeSorted(
+      Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value")),
+      dir, Seq("user_id"), numFiles = 6)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "need multiple files to prove disjointness")
+    // every row group of every file carries user_id min/max stats; the
+    // per-file [min, max] intervals must be pairwise disjoint — the
+    // property that lets a range predicate prune whole files
+    val ranges = files.map { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.getPath), conf))
+      try {
+        val idx = rd.getFooter.getFileMetaData.getSchema.getFieldIndex("user_id")
+        val stats = rd.getFooter.getBlocks.asScala.map(_.getColumns.get(idx).getStatistics)
+        assert(stats.forall(s => s != null && !s.isEmpty), s"${f.getName}: missing stats")
+        (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+          stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+      } finally rd.close()
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file key ranges: hi=$hi lo2=$lo2")
+    }
+    // and the scan still pushes the range predicate down
+    val plan = spark.read.parquet(dir).where(col("user_id") >= 40 && col("user_id") < 80)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(user_id,40)"))
+  }
+
   test("compaction rewrites to the computed file count with identical rows") {
     import graft.sources.TabularWriter
     val root = Files.createTempDirectory("graft_compact").toString
