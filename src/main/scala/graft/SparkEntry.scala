@@ -947,7 +947,8 @@ object SparkEntry {
         lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 end"))
       Tables.documents(s, d).select(col("doc_id"),
         TextFunctions.redactPii(aug).as("redacted"),
-        regexp_count(aug, lit(TextFunctions.EmailRe)).cast("long").as("n_emails"))
+        graft.functions.expressions.GraftExpressions.email_count(aug)
+          .cast("long").as("n_emails"))
     },
 
     // ---- nested-ragged (rank-2) scan -------------------------------------

@@ -121,7 +121,15 @@ object TextFunctions {
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val PhoneRe = "\\+?\\(?[0-9][0-9()./ -]{6,}[0-9]"
 
-  def redactPii(text: Column): Column = {
+  /** Native byte-scanner kernel ([[expressions.RedactPii]]); the regex
+    * chain [[redactPiiRegex]] is its semantic spec (EquivalenceSpec
+    * fuzz-verifies bit-identity). */
+  def redactPii(text: Column): Column = expressions.GraftExpressions.redact_pii(text)
+
+  /** The three-pass regex formulation the kernel replicates — order
+    * matters (see above), and both `java.util.regex` and RE2 agree on
+    * these patterns, which is what keeps the DuckDB oracle exact. */
+  def redactPiiRegex(text: Column): Column = {
     val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
     val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
     regexp_replace(noIp, PhoneRe, "<PHONE>")

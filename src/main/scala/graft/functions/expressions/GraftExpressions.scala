@@ -99,6 +99,52 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PII redaction (emails, then IPv4, then phone-like runs → typed tags)
+  * as one codegen'd byte-scanner call — semantically identical to the
+  * three-`regexp_replace` chain it replaces (EquivalenceSpec fuzzes the
+  * two against each other), ~10x cheaper: `java.util.regex` re-enters
+  * its NFA machinery per start position, the scanner is three linear
+  * passes with constant-time class tests. */
+case class RedactPii(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"redact_pii needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.redactPii(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.redactPii($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Count of non-overlapping email matches — the native mirror of
+  * `regexp_count(s, EmailRe)`, sharing [[RedactPii]]'s matcher. */
+case class EmailCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"email_count needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.emailCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.emailCount($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Row-local 60-bit SimHash fingerprint over a token array — the whole
   * per-document kernel (hash both families per token, per-bit majority
   * vote) as ONE codegen'd call, replacing an explode + 60-aggregate
@@ -209,6 +255,8 @@ object GraftExpressions {
   def poly_hash(s: Column): Column = column(PolyHash(expression(s)))
   def poly_hash(s: Column, mult: Long): Column = column(PolyHash(expression(s), mult))
   def token_count(s: Column): Column = column(TokenCount(expression(s)))
+  def redact_pii(s: Column): Column = column(RedactPii(expression(s)))
+  def email_count(s: Column): Column = column(EmailCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
   def minhash_sigs(tokens: Column, n: Int, k: Int): Column =

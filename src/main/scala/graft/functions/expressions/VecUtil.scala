@@ -242,6 +242,141 @@ object VecUtil {
     java.lang.Float.intBitsToFloat(f)
   }
 
+  // ---- PII redaction scanner -------------------------------------------
+  // Hand-rolled byte matchers replicating EXACTLY the three-pass regex
+  // chain of TextFunctions.redactPii (java.util.regex and RE2 agree on
+  // these patterns; EquivalenceSpec fuzzes the kernel against the regex
+  // formulation). Byte-wise scanning is UTF-8-safe: every class char is
+  // ASCII and multi-byte sequences never contain ASCII bytes.
+
+  private def isDigitB(b: Byte): Boolean = b >= '0' && b <= '9'
+  private def isAlphaB(b: Byte): Boolean = b >= 'a' && b <= 'z'
+  // [a-z0-9._%+-]
+  private def isLocalB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  // [a-z0-9.-]
+  private def isDomainB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '-'
+  // [0-9()./ -]
+  private def isPhoneBodyB(b: Byte): Boolean =
+    isDigitB(b) || b == '(' || b == ')' || b == '.' || b == '/' || b == ' ' || b == '-'
+
+  /** Match end (exclusive) of `[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}`
+    * anchored at `p`, or -1. Mirrors greedy-with-backtrack: maximal
+    * local run must land on '@'; the final dot is the LAST dot in the
+    * maximal domain run with >= 2 letters after it. */
+  private def matchEmail(b: Array[Byte], p: Int): Int = {
+    val n = b.length
+    if (!isLocalB(b(p))) return -1
+    var q = p
+    while (q < n && isLocalB(b(q))) q += 1
+    if (q >= n || b(q) != '@') return -1
+    val r0 = q + 1
+    var r = r0
+    while (r < n && isDomainB(b(r))) r += 1
+    if (r == r0) return -1
+    var d = r - 1
+    while (d >= r0 + 1) {
+      if (b(d) == '.') {
+        var e = d + 1
+        while (e < n && isAlphaB(b(e))) e += 1
+        if (e - (d + 1) >= 2) return e
+      }
+      d -= 1
+    }
+    -1
+  }
+
+  /** Match end of `([0-9]{1,3}\.){3}[0-9]{1,3}` at `p`, or -1. A group's
+    * digit run longer than 3 can never land on its dot (backtrack puts a
+    * digit where the dot must be), so runs of 1-3 followed by '.' are
+    * the only shapes; the final octet greedily takes up to 3 digits. */
+  private def matchIpv4(b: Array[Byte], p: Int): Int = {
+    val n = b.length
+    var i = p
+    var g = 0
+    while (g < 3) {
+      var l = 0
+      while (i + l < n && isDigitB(b(i + l))) l += 1
+      if (l == 0 || l > 3 || i + l >= n || b(i + l) != '.') return -1
+      i += l + 1
+      g += 1
+    }
+    var l = 0
+    while (i + l < n && isDigitB(b(i + l))) l += 1
+    if (l == 0) -1 else i + math.min(l, 3)
+  }
+
+  /** Match end of `\+?\(?[0-9][0-9()./ -]{6,}[0-9]` at `p`, or -1. The
+    * body is the maximal body-class run after the first digit; the final
+    * digit is the last digit inside it at distance >= 7 (6 body chars +
+    * the closing digit). Shorter optional prefixes need no retry: they
+    * put a non-digit under `[0-9]` and fail identically. */
+  private def matchPhone(b: Array[Byte], p: Int): Int = {
+    val n = b.length
+    var i = p
+    if (b(i) == '+') i += 1
+    if (i < n && b(i) == '(') i += 1
+    if (i >= n || !isDigitB(b(i))) return -1
+    val d0 = i
+    var e = d0 + 1
+    while (e < n && isPhoneBodyB(b(e))) e += 1
+    var j = e - 1
+    while (j >= d0 + 7 && !isDigitB(b(j))) j -= 1
+    if (j >= d0 + 7 && isDigitB(b(j))) j + 1 else -1
+  }
+
+  private def redactPass(in: Array[Byte], tag: Array[Byte],
+      matcher: (Array[Byte], Int) => Int): Array[Byte] = {
+    var p = 0
+    var out: java.io.ByteArrayOutputStream = null
+    val n = in.length
+    while (p < n) {
+      val e = matcher(in, p)
+      if (e >= 0) {
+        if (out == null) { // allocate lazily: clean strings copy nothing
+          out = new java.io.ByteArrayOutputStream(n)
+          out.write(in, 0, p)
+        }
+        out.write(tag, 0, tag.length)
+        p = e
+      } else {
+        if (out != null) out.write(in(p))
+        p += 1
+      }
+    }
+    if (out == null) in else out.toByteArray
+  }
+
+  private val EmailTag = "<EMAIL>".getBytes("UTF-8")
+  private val IpTag = "<IP>".getBytes("UTF-8")
+  private val PhoneTag = "<PHONE>".getBytes("UTF-8")
+
+  /** Non-overlapping email matches (the `regexp_count(s, EmailRe)`
+    * mirror, same matcher as the redaction pass). */
+  def emailCount(s: UTF8String): Int = {
+    val b = s.getBytes
+    val n = b.length
+    var p = 0
+    var c = 0
+    while (p < n) {
+      val e = matchEmail(b, p)
+      if (e >= 0) { c += 1; p = e } else p += 1
+    }
+    c
+  }
+
+  /** Three sequential redaction passes (email, IPv4, phone — same order
+    * and same find/replace semantics as the regex chain it replaces). */
+  def redactPii(s: UTF8String): UTF8String = {
+    val pass1 = redactPass(s.getBytes, EmailTag, matchEmail)
+    val pass2 = redactPass(pass1, IpTag, matchIpv4)
+    val pass3 = redactPass(pass2, PhoneTag, matchPhone)
+    // buffers are never mutated after construction, so wrapping a
+    // passed-through array (no matches) is safe
+    UTF8String.fromBytes(pass3)
+  }
+
   private def polyHashSlow(s: UTF8String, mult: Long): Long = {
     val str = s.toString
     var h = 0L

@@ -123,6 +123,31 @@ class EquivalenceSpec extends GraftSpec {
     assert(bad === 0L)
   }
 
+  test("native redact_pii kernel equals the regex chain on corpus + adversarial fuzz") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf)
+    val aug = concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+      lit("@ex.co +1-555-01"), col("doc_id").cast("string"),
+      lit(" 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+    assert(docs.filter(
+      TextFunctions.redactPii(aug) =!= TextFunctions.redactPiiRegex(aug)).count() === 0L)
+    // adversarial fuzz: dense in class-boundary chars so matches and
+    // near-misses are frequent
+    val alphabet = "ab1@.( )-+/%_<>9.0c@@..".toCharArray
+    val rnd = new scala.util.Random(4242)
+    val fuzz = (1 to 20000).map { _ =>
+      val len = rnd.nextInt(40)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.toDF("t")
+    val bad = fuzz.filter(
+      TextFunctions.redactPii(col("t")) =!= TextFunctions.redactPiiRegex(col("t"))
+        || graft.functions.expressions.GraftExpressions.email_count(col("t"))
+          =!= regexp_count(col("t"), lit(TextFunctions.EmailRe)))
+    val badRows = bad.collect()
+    assert(badRows.isEmpty, s"kernel/regex divergence on: ${badRows.take(5).mkString(", ")}")
+  }
+
   test("accuracy via expression equals direct computation on events") {
     val acc = events.agg(graft.functions.Metrics.accuracy(
       col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)
