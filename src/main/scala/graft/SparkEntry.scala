@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TypedParquet}
@@ -909,6 +909,30 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), seed = 21L)
     },
 
+    // ---- profiling / snapshot maintenance ------------------------------
+    "profile_summary" -> { (s, d) =>
+      // one-pass per-column data-quality profile (exact-DECIMAL means)
+      Profile.summary(Tables.events(s, d), Seq("event_id", "user_id", "value"))
+    },
+    "profile_histogram" -> { (s, d) =>
+      // 20-bin equi-width histogram of event values over the observed
+      // range; range derived lazily and broadcast, never collected
+      Profile.histogram(Tables.events(s, d), col("value"), bins = 20)
+    },
+    "upsert_merge" -> { (s, d) =>
+      // SCD-1 snapshot merge: every 10th event re-arrives mutated, every
+      // 17th re-arrives under a fresh key; updates win wholesale
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val updates = base.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("event_id"), col("user_id"),
+          lit("updated").as("event_type"), (col("value") * 2).as("value"))
+        .unionAll(base.filter(pmod(col("event_id"), lit(17)) === 0)
+          .select((col("event_id") + 10000000L).as("event_id"), col("user_id"),
+            lit("new").as("event_type"), col("value")))
+      Upsert.merge(base, updates, Seq("event_id"))
+    },
+
     // ---- LLM training-data prep: packing / chunking / redaction --------
     "pack_sequences" -> { (s, d) =>
       // contiguous token-budget packing in corpus order: distributed
@@ -1607,6 +1631,45 @@ object SparkEntry {
          |SELECT CASE WHEN n_hashes_kept < 64 THEN CAST(n_hashes_kept AS DOUBLE)
          |       ELSE 63.0 * ${TextFunctions.P} / hk END AS kmv_estimate, n_hashes_kept
          |FROM s""".stripMargin,
+    "profile_summary" ->
+      """SELECT 'event_id' AS "column", COUNT(*) AS n,
+        |  COUNT(*) - COUNT(event_id) AS n_null,
+        |  CAST(MIN(event_id) AS DOUBLE) AS min, CAST(MAX(event_id) AS DOUBLE) AS max,
+        |  CAST(SUM(CAST(event_id AS DECIMAL(30,10))) AS DOUBLE) / COUNT(event_id) AS mean
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+        |  CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+        |  CAST(SUM(CAST(user_id AS DECIMAL(30,10))) AS DOUBLE) / COUNT(user_id)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+        |  CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(value)
+        |FROM events""".stripMargin,
+    "profile_histogram" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |s AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+        |binned AS (SELECT CASE WHEN hi <= lo THEN 0
+        |    ELSE LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 20) AS BIGINT), 19) END AS bin,
+        |  lo AS glo, hi AS ghi FROM v CROSS JOIN s)
+        |SELECT bin, glo + bin * (ghi - glo) / 20 AS lo,
+        |  glo + (bin + 1) * (ghi - glo) / 20 AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM binned GROUP BY bin, glo, ghi""".stripMargin,
+    "upsert_merge" ->
+      """WITH b AS (SELECT event_id, user_id, event_type, value FROM events),
+        |u AS (SELECT event_id, user_id, 'updated' AS event_type, value * 2 AS value
+        |    FROM b WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, 'new', value
+        |    FROM b WHERE event_id % 17 = 0)
+        |SELECT COALESCE(u.event_id, b.event_id) AS event_id,
+        |  CASE WHEN u.event_id IS NOT NULL THEN u.user_id ELSE b.user_id END AS user_id,
+        |  CASE WHEN u.event_id IS NOT NULL THEN u.event_type ELSE b.event_type END AS event_type,
+        |  CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE b.value END AS value
+        |FROM b FULL OUTER JOIN u ON b.event_id = u.event_id""".stripMargin,
     "sample_mixture" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    CASE WHEN source = 'src0' THEN 0.5 WHEN source = 'src1' THEN 0.3

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus/table profiling — the data-quality pass a training pipeline
+  * runs before committing a snapshot: per-column summaries and value
+  * histograms. Everything is a single aggregation pass (map-side
+  * combinable), deterministic to the bit (means accumulate in DECIMAL
+  * and cast to DOUBLE at the end — the same float discipline as the
+  * metric suite), so an external engine reproduces the profile exactly.
+  */
+object Profile {
+
+  /** One row per requested column: (column, n, n_null, min, max, mean).
+    * min/max/mean as DOUBLE; mean is exact-DECIMAL-accumulated. All
+    * columns profile in ONE aggregate over one scan (no per-column
+    * passes), then unpivot to rows via a literal stack. */
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nn_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        // exact DECIMAL sum, then ONE double division — decimal/int
+        // division scale rules differ across engines, double division
+        // of the same exact sum does not
+        (sum(col(c).cast("decimal(30,10)")).cast("double") / count(col(c)))
+          .as(s"__mean_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n"),
+        col(s"__nn_$c").as("n_null"), col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"), col(s"__mean_$c").as("mean"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets over the
+    * observed [min, max] (derived lazily, broadcast back — no collect),
+    * top bucket closed. Returns (bin, lo, hi, n) rows for non-empty
+    * bins. The bucket arithmetic is plain double math mirrored by the
+    * oracle. */
+  def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins > 0, s"histogram: bins must be positive, got $bins")
+    val v = df.select(value.cast("double").as("v")).filter(col("v").isNotNull && !isnan(col("v")))
+    val stats = v.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    v.crossJoin(broadcast(stats))
+      .withColumn("bin",
+        when(col("__hi") <= col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo")) * bins),
+            lit(bins - 1L))))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__lo")).as("__lo"), min(col("__hi")).as("__hi"))
+      .select(col("bin"),
+        (col("__lo") + col("bin") * (col("__hi") - col("__lo")) / bins).as("lo"),
+        (col("__lo") + (col("bin") + 1) * (col("__hi") - col("__lo")) / bins).as("hi"),
+        col("n"))
+  }
+}

@@ -130,6 +130,29 @@ class LlmPrepSpec extends GraftSpec {
     assert(re === mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("upsert replaces rows wholesale: NULLs in an update overwrite base values") {
+    import graft.operators.Upsert
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, null.asInstanceOf[String], 99.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = Upsert.merge(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got === Array((1L, "a", 10.0), (2L, null, 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("profile summary counts nulls and keeps exact means") {
+    import graft.operators.Profile
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, null), (3L, 6.0), (null, 4.0)).toDF("a", "b")
+    val rows = Profile.summary(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(rows("a") === ((4L, 1L, 2.0)))   // mean of 1,2,3
+    assert(rows("b") === ((4L, 1L, 4.0)))   // mean of 2,6,4
+  }
+
   test("redactPii scrubs emails, phones, IPs and leaves clean text alone") {
     import spark.implicits._
     val cases = Seq(
