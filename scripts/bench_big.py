@@ -35,12 +35,14 @@ HEADLINE = [
 ]
 LLM = [
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_cluster_components",
+    "dedup_cluster_components", "dedup_incremental_pairs",
     "dedup_simhash", "dedup_simhash_pairs_full", "dedup_embedding_neardup",
     "dedup_embedding_neardup_wide",
     "ann_topk_brute", "ann_topk_bucketed",
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf_topk", "text_quality_filter",
+    "text_chunk_overlap", "text_redact_pii", "text_vocab_topn",
+    "pack_sequences", "sample_mixture",
 ]
 
 # SINGLE-SOURCE WARNING: these constants mirror the Scala side

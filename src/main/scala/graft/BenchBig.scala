@@ -24,12 +24,14 @@ object BenchBig {
     * over the replicated+perturbed documents/embeddings tables. */
   val Llm: Seq[String] = Seq(
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_cluster_components",
+    "dedup_cluster_components", "dedup_incremental_pairs",
     "dedup_simhash", "dedup_simhash_pairs_full", "dedup_embedding_neardup",
     "dedup_embedding_neardup_wide",
     "ann_topk_brute", "ann_topk_bucketed",
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
-    "text_tfidf_topk", "text_quality_filter")
+    "text_tfidf_topk", "text_quality_filter",
+    "text_chunk_overlap", "text_redact_pii", "text_vocab_topn",
+    "pack_sequences", "sample_mixture")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")

@@ -21,7 +21,12 @@ object Upsert {
     require(keys.nonEmpty, "merge: need at least one key column")
     require(base.columns.toSeq == updates.columns.toSeq,
       s"merge: schemas differ: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
-    val u = updates.withColumn("__upd", lit(true)).as("u")
+    // SHUFFLE_HASH on the updates side: the delta is normally a small
+    // fraction of the snapshot, so building its hash table beats
+    // sort-merge's full sort of BOTH sides (Spark supports full-outer
+    // shuffled-hash since 3.1); falls back to SMJ when the hint can't
+    // apply. 2.3 s -> measured win at x200 (PERF.md).
+    val u = updates.withColumn("__upd", lit(true)).hint("SHUFFLE_HASH").as("u")
     val b = base.as("b")
     val cond = keys.map(k => col(s"u.$k") <=> col(s"b.$k")).reduce(_ && _)
     val merged = u.join(b, cond, "full_outer")

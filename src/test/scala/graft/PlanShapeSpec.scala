@@ -35,8 +35,18 @@ class PlanShapeSpec extends GraftSpec {
   }
 
   test("near-dup pipelines plan no cartesian product") {
-    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_neardup")
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_neardup",
+      "dedup_incremental_pairs", "dedup_ingest_novel")
       .foreach { q => assert(!plan(q).contains("CartesianProduct"), q) }
+  }
+
+  test("KMV sketch plans the distributed top-k, not a global sort") {
+    assert(plan("sketch_kmv_distinct").contains("TakeOrderedAndProject"))
+  }
+
+  test("upsert merges with one equi-join, no cartesian") {
+    val p = plan("upsert_merge")
+    assert(p.contains("FullOuter") && !p.contains("CartesianProduct"))
   }
 
   test("projection-only scan reads only the projected columns") {
