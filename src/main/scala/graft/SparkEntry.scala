@@ -753,6 +753,33 @@ object SparkEntry {
         .where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     },
+    "scan_multifile_union" -> { (s, d) =>
+      // multi-path composition (reference: dataset over a file LIST):
+      // events split across two directory trees, one read — Spark's
+      // multi-path load plans ONE scan over both file sets
+      val root = GateFixtures.dir("multifile", d) { target =>
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        e.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(target + "/even")
+        e.filter(pmod(col("event_id"), lit(2)) =!= 0).write.parquet(target + "/odd")
+      }
+      TabularReader.fromParquet(s, Seq(root + "/even", root + "/odd"))
+    },
+    "scan_corrupt_skip" -> { (s, d) =>
+      // corrupt-data skip (reference dataset.cc:263-267): a junk file
+      // sits inside the directory; skipCorrupted reads past it and
+      // yields exactly the intact rows
+      val dir = GateFixtures.dir("corrupt", d) { target =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.parquet(target)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(target, "part-junk.parquet"),
+          Array.fill[Byte](4096)(0x5A))
+      }
+      TabularReader.fromParquet(s, Seq(dir),
+        TabularReader.Options(skipCorrupted = true))
+    },
     "scan_sorted_layout" -> { (s, d) =>
       // sort-clustered layout for a high-cardinality key: each file
       // covers a disjoint user_id range (footer-stat disjointness proved
@@ -1589,6 +1616,10 @@ object SparkEntry {
     "scan_sorted_layout" ->
       """SELECT event_id, user_id, value
         |FROM events WHERE user_id >= 40 AND user_id < 80""".stripMargin,
+    "scan_multifile_union" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "scan_corrupt_skip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "scan_dedup_restore" ->
       "SELECT event_id, event_type FROM events",
     "scan_row_range" ->
