@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * One shuffle (full-outer hash join on the key); row precedence is an
   * indicator column, not per-column coalesce, so NULLs inside an update
-  * row correctly overwrite non-NULL base values. At warehouse scale
+  * row correctly overwrite non-NULL base values. Keys must be unique
+  * within each input (standard MERGE precondition — a duplicate update
+  * key would fan out the join rather than pick a winner; dedupe the
+  * delta first, e.g. `perGroupSample(k=1)` or a max-timestamp window,
+  * when ingesting raw change streams). At warehouse scale
   * this is the operation formats like Delta/Iceberg run under `MERGE
   * INTO`; expressed here as a pure dataframe transform so any sink can
   * materialize the result.
