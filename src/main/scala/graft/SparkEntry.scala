@@ -492,10 +492,13 @@ object SparkEntry {
     },
     "session_window_agg" -> { (s, d) =>
       // native session windows (the construct that runs unchanged under
-      // Structured Streaming with a watermark): per-user 30-min-gap
-      // sessions with start/end bounds. ts truncated to whole seconds so
-      // the gap comparison is mirrored exactly by the second-granularity
-      // oracle.
+      // Structured Streaming with a watermark — StreamingSpec proves
+      // streaming==batch): per-user 30-min-gap sessions with start/end
+      // bounds. ts truncated to whole seconds so the gap comparison is
+      // mirrored exactly by the second-granularity oracle; the window is
+      // GAP-INCLUSIVE (an event exactly `gap` after the previous one
+      // still merges — verified against a real 1800 s gap at sf0.1), so
+      // the oracle's new-session predicate is diff > gap, not >=.
       Tables.events(s, d)
         .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
         .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
@@ -1452,7 +1455,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
         |s AS (SELECT user_id, event_id, tsec,
-        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w >= 1800
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
         |       THEN 1 ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
         |g AS (SELECT user_id, tsec,

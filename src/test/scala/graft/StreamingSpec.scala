@@ -28,6 +28,33 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the batch session_window result") {
+    val batchEvents = Tables.events(spark, sf)
+    val dir = Files.createTempDirectory("graft_stream_sess").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"), col("n"))
+
+    val q = sessions(StreamingOps.fileStream(spark, dir, schema, maxFilesPerTrigger = 2))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_win").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = sessions(spark.read.parquet(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming metric aggregation (MeanAggregator) equals the batch value") {
     // the reference's metrics are streaming accumulate+merge
     // (metrics/mean.py) — the same typed Aggregator runs unchanged on a
