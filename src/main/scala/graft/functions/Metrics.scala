@@ -63,10 +63,7 @@ object Metrics {
     val stats = perScore.agg(min(col("s")).as("__lo"), max(col("s")).as("__hi"))
     val bucketed = perScore.crossJoin(broadcast(stats))
       .withColumn("bkt",
-        when(col("__hi") <= col("__lo"), lit(0L))
-          .otherwise(least(
-            floor((col("s") - col("__lo")) / (col("__hi") - col("__lo")) * buckets),
-            lit(buckets - 1L))))
+        graft.operators.Buckets.rangeBucket(col("s"), col("__lo"), col("__hi"), buckets))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("s"))
     val inBucket = bucketed.withColumn("cumIn",
       coalesce(sum(col("cnt")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -48,11 +48,7 @@ object Profile {
     val v = df.select(value.cast("double").as("v")).filter(col("v").isNotNull && !isnan(col("v")))
     val stats = v.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
     v.crossJoin(broadcast(stats))
-      .withColumn("bin",
-        when(col("__hi") <= col("__lo"), lit(0L))
-          .otherwise(least(
-            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo")) * bins),
-            lit(bins - 1L))))
+      .withColumn("bin", Buckets.rangeBucket(col("v"), col("__lo"), col("__hi"), bins))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),

@@ -97,10 +97,22 @@ object Sampling {
       when(stratum === v, lit(f)).otherwise(acc)
     }
     val tagged = df.withColumn("__share", shareCol).filter(col("__share").isNotNull)
-    val counts = tagged.groupBy(stratum.as("__s"))
-      .agg(count(lit(1)).as("__cnt"), max(col("__share")).as("__sh"))
-    val total = counts.agg(min(col("__cnt").cast("double") / col("__sh")).as("__N"))
-    val quotas = counts.crossJoin(broadcast(total))
+    // N is the min over the RECIPE's strata, not just those present in
+    // the data: a recipe stratum with zero rows makes the mixture
+    // infeasible (N = 0, empty output) rather than silently delivering
+    // renormalized proportions of the remaining strata. The literal
+    // share list left-joins the observed counts so absent strata
+    // contribute cnt = 0.
+    val shareRows = shares.toSeq.map { case (v, f) =>
+      struct(lit(v).as("__s"), lit(f).as("__sh"))
+    }
+    val shareDf = df.sparkSession.range(1)
+      .select(explode(array(shareRows: _*)).as("e")).select(col("e.*"))
+    val counts = tagged.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__cnt"))
+    val byShare = shareDf.join(counts, Seq("__s"), "left")
+      .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
+    val total = byShare.agg(min(col("__cnt").cast("double") / col("__sh")).as("__N"))
+    val quotas = byShare.crossJoin(broadcast(total))
       .select(col("__s"), floor(col("__sh") * col("__N")).cast("long").as("__quota"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(modPHash(key, seed), key)

@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object SeqPack {
 
-  /** Per-document chunk assignment: one row per input row with columns
-    * (`<orderKey name kept as-is>`, n_tokens, chunk_id).
+  /** Per-document chunk assignment: one output row per input row with a
+    * non-null order key, with columns (k = the order key, n_tokens,
+    * chunk_id). Rows whose `orderKey` is NULL are EXCLUDED up front — a
+    * null key has no position in a total order, so packing semantics are
+    * undefined for it (callers wanting them must assign keys first).
     *
     * @param df       corpus, one row per document
     * @param orderKey numeric column defining the (total) corpus order;
@@ -45,17 +48,14 @@ object SeqPack {
       budget: Long, buckets: Int = 1024): DataFrame = {
     require(budget > 0, s"packContiguous: budget must be positive, got $budget")
     val base = df.select(orderKey.as("k"), tokens.cast("long").as("n_tokens"))
+      .filter(col("k").isNotNull)
     // order-preserving range bucket over [lo, hi] of the key domain; the
     // 1-row stats frame rides along via broadcast so the plan stays lazy
     val stats = base.agg(min(col("k").cast("double")).as("__lo"),
       max(col("k").cast("double")).as("__hi"))
     val bucketed = base.crossJoin(broadcast(stats))
       .withColumn("bkt",
-        when(col("__hi") <= col("__lo"), lit(0L))
-          .otherwise(least(
-            floor((col("k").cast("double") - col("__lo"))
-              / (col("__hi") - col("__lo")) * buckets),
-            lit(buckets - 1L))))
+        Buckets.rangeBucket(col("k").cast("double"), col("__lo"), col("__hi"), buckets))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("k"))
     val inBucket = bucketed.withColumn("cumIn",
       coalesce(sum(col("n_tokens")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -66,8 +66,9 @@ object SeqPack {
       .agg(coalesce(sum(col("z.bktTok")), lit(0L)).as("bktOffset"))
     inBucket.join(broadcast(offsets), "bkt")
       .withColumn("tokens_before", col("bktOffset") + col("cumIn"))
-      // floor(nonneg long / pos long) — integer division, no double
-      .withColumn("chunk_id", (col("tokens_before") - pmod(col("tokens_before"), lit(budget))) / budget)
+      // true integer division (IntegralDivide) — exact for ALL long
+      // token counts, not just those under double's 2^53 mantissa
+      .withColumn("chunk_id", expr(s"tokens_before div $budget"))
       .select(col("k"), col("n_tokens"), col("chunk_id").cast("long").as("chunk_id"))
   }
 

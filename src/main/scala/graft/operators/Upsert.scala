@@ -32,7 +32,9 @@ object Upsert {
     // apply. 2.3 s -> measured win at x200 (PERF.md).
     val u = updates.withColumn("__upd", lit(true)).hint("SHUFFLE_HASH").as("u")
     val b = base.as("b")
-    val cond = keys.map(k => col(s"u.$k") <=> col(s"b.$k")).reduce(_ && _)
+    // plain equality, NOT <=>: SQL MERGE never matches NULL keys, so a
+    // NULL-keyed update appends rather than replacing a NULL-keyed base row
+    val cond = keys.map(k => col(s"u.$k") === col(s"b.$k")).reduce(_ && _)
     val merged = u.join(b, cond, "full_outer")
     val out = base.columns.map { c =>
       if (keys.contains(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)

@@ -65,14 +65,27 @@ object TabularWriter {
       compression: String = "snappy"): Unit = {
     val src = new Path(srcDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // data files only — _SUCCESS markers and .crc checksums don't scan
-    val bytes = fs.listStatus(src).iterator
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-        && !st.getPath.getName.startsWith("."))
-      .map(_.getLen).sum
+    // RECURSIVE listing: partitioned trees keep their data files in
+    // subdirectories — a top-level listing would see only directories,
+    // compute bytes=0 and collapse the whole dataset into one file.
+    // Data files only — _SUCCESS markers and .crc checksums don't scan.
+    var bytes = 0L
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += st.getLen
+    }
     val files = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
     val df = spark.read.parquet(srcDir)
-    val sized = if (shuffle) df.repartition(files) else df.coalesce(files)
+    // coalesce can only REDUCE partition count; when the target exceeds
+    // what the scan yields (few huge input files), fall through to a
+    // repartition or the "~targetBytes-sized" contract silently becomes
+    // "scan-partition-sized". getNumPartitions costs a listing, no job.
+    val scanParts = df.rdd.getNumPartitions
+    val sized =
+      if (shuffle || files > scanParts) df.repartition(files)
+      else df.coalesce(files)
     toParquet(sized, dstDir, compression)
   }
 }

@@ -128,6 +128,24 @@ class LlmPrepSpec extends GraftSpec {
       col("source"), col("doc_id"), shares, seed = 5L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(re === mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a recipe stratum with no rows makes the mixture infeasible ->
+    // empty output, never silently-renormalized proportions
+    val infeasible = Sampling.rebalanceToMix(docs.select(col("doc_id"), col("source")),
+      col("source"), col("doc_id"),
+      Map("src0" -> 0.5, "no_such_source" -> 0.5), seed = 5L)
+    assert(infeasible.count() === 0L)
+  }
+
+  test("upsert with NULL keys appends instead of matching (MERGE semantics)") {
+    import graft.operators.Upsert
+    import spark.implicits._
+    val base = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("k", "s")
+    val updates = Seq((null.asInstanceOf[java.lang.Long], "c")).toDF("k", "s")
+    val got = Upsert.merge(base, updates, Seq("k")).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    // NULL-key base row survives AND the NULL-key update appends
+    assert(got === Set((Some(1L), "a"), (None, "b"), (None, "c")))
   }
 
   test("upsert replaces rows wholesale: NULLs in an update overwrite base values") {

@@ -80,6 +80,29 @@ class PruningSpec extends GraftSpec {
     assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
   }
 
+  test("compaction sizes from a recursive listing (partitioned tree) and can split up") {
+    import graft.sources.TabularWriter
+    val root = Files.createTempDirectory("graft_compact2").toString
+    val parted = root + "/parted"
+    val out = root + "/out"
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value", "event_type")
+    TabularWriter.toPartitioned(src, parted, Seq("event_type"))
+    def bytesUnder(p: java.io.File): Long =
+      if (p.isFile) { if (p.getName.endsWith(".parquet")) p.length() else 0L }
+      else p.listFiles().map(bytesUnder).sum
+    val bytes = bytesUnder(new java.io.File(parted))
+    assert(bytes > 0)
+    // tiny target forces MORE output files than the scan's partitions —
+    // the repartition fallback must engage (coalesce can't split)
+    val target = math.max(1L, bytes / 12)
+    TabularWriter.compact(spark, parted, out, targetBytes = target)
+    val expected = ((bytes + target - 1) / target).toInt
+    val gotFiles = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(gotFiles === expected, s"bytes=$bytes target=$target")
+    val back = spark.read.parquet(out).select("event_id", "user_id", "value", "event_type")
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+  }
+
   test("multi-probe ANN recall dominates single-probe") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
