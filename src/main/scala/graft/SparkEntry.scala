@@ -312,6 +312,15 @@ object SparkEntry {
       Metrics.gaucPerGroup(
         Tables.events(s, d), col("user_id"), col("event_type") === "error", col("value"))
     },
+    "metric_ndcg" -> { (s, d) =>
+      // graded-relevance ranking quality per user: purchase(3) > click(2)
+      // > view(1) > error(0), model order = value desc, NDCG@10
+      val rel = when(col("event_type") === "purchase", 3)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "view", 1).otherwise(0)
+      Metrics.ndcgAtK(Tables.events(s, d), col("user_id"), rel,
+        col("value"), col("event_id"), k = 10)
+    },
 
     // ---- text analysis (training-data pipeline ops) --------------------
     "text_stats" -> { (s, d) =>
@@ -1447,6 +1456,21 @@ object SparkEntry {
         |    (PARTITION BY user_id ORDER BY tsec, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)""".stripMargin,
+    "metric_ndcg" ->
+      """WITH e AS (SELECT user_id AS g,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 3
+        |         WHEN event_type = 'click' THEN 2
+        |         WHEN event_type = 'view' THEN 1 ELSE 0 END AS DOUBLE) AS r,
+        |    value, event_id FROM events),
+        |p AS (SELECT g, r,
+        |    row_number() OVER (PARTITION BY g ORDER BY value DESC, event_id) AS pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY r DESC, event_id) AS ipos
+        |  FROM e),
+        |d AS (SELECT g,
+        |    SUM(CASE WHEN pos <= 10 THEN (pow(2, r) - 1) / log2(pos + 1) ELSE 0 END) AS dcg,
+        |    SUM(CASE WHEN ipos <= 10 THEN (pow(2, r) - 1) / log2(ipos + 1) ELSE 0 END) AS idcg
+        |  FROM p GROUP BY g)
+        |SELECT g AS "group", round(dcg / idcg, 9) AS ndcg FROM d WHERE idcg > 0""".stripMargin,
     "text_vocab_topn" ->
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents) t

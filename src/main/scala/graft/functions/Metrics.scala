@@ -120,6 +120,37 @@ object Metrics {
           / (col("p").cast("double") * col("n").cast("double"))).as("auc"),
         col("cnt"))
 
+  /** Per-group NDCG@k — the graded-relevance ranking metric the binary
+    * AUC family can't express (recsys eval over purchase>click>view
+    * grades). `DCG = Σ_{pos<=k} (2^rel - 1) / log2(pos + 1)` over the
+    * model ordering (`score` desc), normalized by the ideal ordering
+    * (`rel` desc); `ord` breaks ties so both orderings are total (the
+    * determinism requirement every gated metric carries). Groups with no
+    * positive relevance in the ideal top-k are dropped (NDCG undefined).
+    *
+    * Both row_number windows share one partitioning — a single exchange,
+    * two in-partition sorts; the result rounds to 9 decimals because the
+    * per-group double sums are order-sensitive in the last bits (same
+    * discipline as the GAUC gates). Output: (group, ndcg). */
+  def ndcgAtK(df: DataFrame, group: Column, rel: Column, score: Column,
+      ord: Column, k: Int): DataFrame = {
+    require(k > 0, s"ndcgAtK: k must be positive, got $k")
+    val base = df.select(group.as("g"), rel.cast("double").as("r"),
+      score.as("s"), ord.as("o"))
+    val byScore = Window.partitionBy(col("g")).orderBy(col("s").desc, col("o"))
+    val byRel = Window.partitionBy(col("g")).orderBy(col("r").desc, col("o"))
+    val gain = (c: Column) => (pow(lit(2.0), col("r")) - 1.0) / log2(c + 1)
+    base
+      .withColumn("pos", row_number().over(byScore))
+      .withColumn("ipos", row_number().over(byRel))
+      .groupBy(col("g").as("group"))
+      .agg(
+        sum(when(col("pos") <= k, gain(col("pos"))).otherwise(0.0)).as("dcg"),
+        sum(when(col("ipos") <= k, gain(col("ipos"))).otherwise(0.0)).as("idcg"))
+      .filter(col("idcg") > 0)
+      .select(col("group"), round(col("dcg") / col("idcg"), 9).as("ndcg"))
+  }
+
   def gaucPerGroup(df: DataFrame, group: Column, label: Column, score: Column): DataFrame = {
     val base = df.select(group.as("g"), score.as("s"), label.cast("int").as("y"))
     groupAuc(withAvgRank(base, col("g"), col("s")), col("g"))

@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 
 class MetricsSpec extends GraftSpec {
 
+  test("ndcgAtK matches a hand-computed tiny ranking") {
+    import spark.implicits._
+    // one group, 4 items: rel by id = (3, 2, 0, 1), model scores rank
+    // them (id2, id1, id4, id3) -> positions (2, 1, 4, 3)
+    val df = Seq(
+      (1L, 3.0, 0.9, 1L), (1L, 2.0, 1.5, 2L), (1L, 0.0, 0.1, 3L), (1L, 1.0, 0.4, 4L))
+      .toDF("g", "r", "s", "o")
+    def gain(rel: Double, pos: Int) = (math.pow(2, rel) - 1) / (math.log(pos + 1) / math.log(2))
+    val dcg = gain(2, 1) + gain(3, 2) + gain(1, 3) + gain(0, 4)
+    val idcg = gain(3, 1) + gain(2, 2) + gain(1, 3) + gain(0, 4)
+    val got = Metrics.ndcgAtK(df, col("g"), col("r"), col("s"), col("o"), k = 10)
+      .head().getDouble(1)
+    assert(math.abs(got - dcg / idcg) < 1e-9)
+    // @k truncation: k=1 compares only the top positions
+    val got1 = Metrics.ndcgAtK(df, col("g"), col("r"), col("s"), col("o"), k = 1)
+      .head().getDouble(1)
+    assert(math.abs(got1 - gain(2, 1) / gain(3, 1)) < 1e-9)
+  }
+
   test("accuracy golden") {
     import spark.implicits._
     val df = Seq((1, 1), (1, 0), (0, 0), (0, 0)).toDF("label", "pred")
