@@ -321,6 +321,17 @@ object SparkEntry {
       Metrics.ndcgAtK(Tables.events(s, d), col("user_id"), rel,
         col("value"), col("event_id"), k = 10)
     },
+    "metric_mrr" -> { (s, d) =>
+      // where does the first purchase land in each user's value-ranked
+      // feed? (mean reciprocal rank@10)
+      Metrics.mrrAtK(Tables.events(s, d), col("user_id"),
+        col("event_type") === "purchase", col("value"), col("event_id"), k = 10)
+    },
+    "metric_calibration" -> { (s, d) =>
+      // is value/200 an honest error-probability? 10-bin ECE
+      Metrics.calibrationError(Tables.events(s, d),
+        col("event_type") === "error", least(col("value") / 200.0, lit(1.0)), bins = 10)
+    },
 
     // ---- text analysis (training-data pipeline ops) --------------------
     "text_stats" -> { (s, d) =>
@@ -1471,6 +1482,26 @@ object SparkEntry {
         |    SUM(CASE WHEN ipos <= 10 THEN (pow(2, r) - 1) / log2(ipos + 1) ELSE 0 END) AS idcg
         |  FROM p GROUP BY g)
         |SELECT g AS "group", round(dcg / idcg, 9) AS ndcg FROM d WHERE idcg > 0""".stripMargin,
+    "metric_mrr" ->
+      """WITH p AS (SELECT user_id AS g,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS pos
+        |  FROM events),
+        |f AS (SELECT g, MIN(CASE WHEN y = 1 AND pos <= 10 THEN pos END) AS firstRel
+        |  FROM p GROUP BY g)
+        |SELECT round(AVG(COALESCE(CAST(1 AS DOUBLE) / firstRel, 0.0)), 9) AS mrr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM f""".stripMargin,
+    "metric_calibration" ->
+      """WITH b AS (SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+        |    least(value / 200.0, 1.0) AS p FROM events
+        |    WHERE value IS NOT NULL AND NOT isnan(value / 200.0)),
+        |bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(p * 10) AS BIGINT), 0), 9) AS bin,
+        |    p, y FROM b),
+        |agg AS (SELECT bin, COUNT(*) AS nb, SUM(p) AS sp, SUM(y) AS sy
+        |  FROM bb GROUP BY bin)
+        |SELECT round(SUM(abs(sp / nb - CAST(sy AS DOUBLE) / nb) * nb) / SUM(nb), 9) AS ece,
+        |  CAST(SUM(nb) AS BIGINT) AS n
+        |FROM agg""".stripMargin,
     "text_vocab_topn" ->
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents) t

@@ -151,6 +151,44 @@ object Metrics {
       .select(col("group"), round(col("dcg") / col("idcg"), 9).as("ndcg"))
   }
 
+  /** Mean reciprocal rank@k: per group, 1/position of the FIRST item
+    * with `relevant` true under the model ordering (`score` desc, `ord`
+    * tie-break), 0 when no relevant item lands in the top k; output is
+    * the 1-row mean over groups, rounded to 9 decimals (the double mean
+    * is order-sensitive in the last bits — same discipline as GAUC). */
+  def mrrAtK(df: DataFrame, group: Column, relevant: Column, score: Column,
+      ord: Column, k: Int): DataFrame = {
+    require(k > 0, s"mrrAtK: k must be positive, got $k")
+    val base = df.select(group.as("g"), relevant.cast("int").as("y"),
+      score.as("s"), ord.as("o"))
+    val byScore = Window.partitionBy(col("g")).orderBy(col("s").desc, col("o"))
+    base.withColumn("pos", row_number().over(byScore))
+      .groupBy(col("g"))
+      .agg(min(when(col("y") === 1 && col("pos") <= k, col("pos"))).as("firstRel"))
+      .agg(round(avg(coalesce(lit(1.0) / col("firstRel"), lit(0.0))), 9).as("mrr"),
+        count(lit(1)).as("n_groups"))
+  }
+
+  /** Expected calibration error over `bins` equal-width probability
+    * buckets: `ECE = Σ_b (n_b / n) * |avg_pred_b - pos_rate_b|`. The
+    * workhorse "is the model's confidence honest" metric for CTR-style
+    * binary predictors. One aggregation pass (map-side combinable);
+    * predictions outside [0,1] are clamped into the edge bins. Rounded
+    * to 9 decimals (double sums are order-sensitive in the last bits).
+    * Returns 1 row: (ece, n). */
+  def calibrationError(df: DataFrame, label: Column, pred: Column, bins: Int): DataFrame = {
+    require(bins > 0, s"calibrationError: bins must be positive, got $bins")
+    val base = df.select(label.cast("int").as("y"), pred.cast("double").as("p"))
+      .filter(col("p").isNotNull && !isnan(col("p")))
+      .withColumn("bin", least(greatest(floor(col("p") * bins), lit(0L)), lit(bins - 1L)))
+    val perBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"), sum(col("y")).as("sy"))
+    perBin.agg(
+      round(sum(abs(col("sp") / col("nb") - col("sy").cast("double") / col("nb"))
+        * col("nb")) / sum(col("nb")), 9).as("ece"),
+      sum(col("nb")).as("n"))
+  }
+
   def gaucPerGroup(df: DataFrame, group: Column, label: Column, score: Column): DataFrame = {
     val base = df.select(group.as("g"), score.as("s"), label.cast("int").as("y"))
     groupAuc(withAvgRank(base, col("g"), col("s")), col("g"))

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class MetricsSpec extends GraftSpec {
 
+  test("mrrAtK and calibrationError match hand-computed tiny cases") {
+    import spark.implicits._
+    // two groups: g1 first relevant at pos 2, g2 has none in top-k
+    val df = Seq(
+      (1L, 0, 9.0, 1L), (1L, 1, 5.0, 2L), (1L, 1, 1.0, 3L),
+      (2L, 0, 9.0, 4L), (2L, 0, 5.0, 5L))
+      .toDF("g", "y", "s", "o")
+    val mrr = Metrics.mrrAtK(df, col("g"), col("y") === 1, col("s"), col("o"), k = 10).head()
+    assert(mrr.getLong(1) === 2L)
+    assert(math.abs(mrr.getDouble(0) - (0.5 + 0.0) / 2) < 1e-9)
+    // calibration: bin0 holds p=.05 (y=0); bin9 holds p={.95,.95} (y=1,0)
+    val cal = Seq((0, 0.05), (1, 0.95), (0, 0.95)).toDF("y", "p")
+    val ece = Metrics.calibrationError(cal, col("y"), col("p"), bins = 10).head().getDouble(0)
+    val want = (math.abs(0.05 - 0.0) * 1 + math.abs(0.95 - 0.5) * 2) / 3
+    assert(math.abs(ece - want) < 1e-9)
+  }
+
   test("ndcgAtK matches a hand-computed tiny ranking") {
     import spark.implicits._
     // one group, 4 items: rel by id = (3, 2, 0, 1), model scores rank
