@@ -328,8 +328,12 @@ object SparkEntry {
         col("event_type") === "purchase", col("value"), col("event_id"), k = 10)
     },
     "metric_calibration" -> { (s, d) =>
-      // is value/200 an honest error-probability? 10-bin ECE
-      Metrics.calibrationError(Tables.events(s, d),
+      // is value/200 an honest error-probability? 10-bin ECE. value is
+      // pre-filtered for null/NaN BEFORE the least() clamp so the gate
+      // mirrors the oracle's WHERE even on dirty data (Spark's least()
+      // would otherwise skip NULL and clamp NaN to 1.0)
+      Metrics.calibrationError(
+        Tables.events(s, d).filter(col("value").isNotNull && !isnan(col("value"))),
         col("event_type") === "error", least(col("value") / 200.0, lit(1.0)), bins = 10)
     },
 
@@ -1494,7 +1498,7 @@ object SparkEntry {
     "metric_calibration" ->
       """WITH b AS (SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
         |    least(value / 200.0, 1.0) AS p FROM events
-        |    WHERE value IS NOT NULL AND NOT isnan(value / 200.0)),
+        |    WHERE value IS NOT NULL AND NOT isnan(value)),
         |bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(p * 10) AS BIGINT), 0), 9) AS bin,
         |    p, y FROM b),
         |agg AS (SELECT bin, COUNT(*) AS nb, SUM(p) AS sp, SUM(y) AS sy
@@ -1760,11 +1764,17 @@ object SparkEntry {
         |  CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE b.value END AS value
         |FROM b FULL OUTER JOIN u ON b.event_id = u.event_id""".stripMargin,
     "sample_mixture" ->
-      s"""WITH d AS (SELECT doc_id, source,
-         |    CASE WHEN source = 'src0' THEN 0.5 WHEN source = 'src1' THEN 0.3
-         |         WHEN source = 'src2' THEN 0.2 END AS sh
-         |  FROM documents WHERE source IN ('src0','src1','src2')),
-         |c AS (SELECT source, COUNT(*) AS cnt, MAX(sh) AS sh FROM d GROUP BY source),
+      // N derives from the RECIPE left-joined to observed counts (an
+      // absent stratum contributes cnt=0 -> N=0 -> empty output),
+      // mirroring rebalanceToMix's infeasible-mixture semantics exactly
+      s"""WITH recipe(source, sh) AS (VALUES
+         |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+         |    ('src2', CAST(0.2 AS DOUBLE))),
+         |d AS (SELECT doc_id, source FROM documents
+         |  WHERE source IN ('src0','src1','src2')),
+         |c0 AS (SELECT source, COUNT(*) AS cnt FROM d GROUP BY source),
+         |c AS (SELECT r.source, COALESCE(c0.cnt, 0) AS cnt, r.sh
+         |  FROM recipe r LEFT JOIN c0 ON r.source = c0.source),
          |n AS (SELECT MIN(cnt / sh) AS N FROM c),
          |q AS (SELECT source, CAST(FLOOR(sh * N) AS BIGINT) AS quota
          |  FROM c CROSS JOIN n),

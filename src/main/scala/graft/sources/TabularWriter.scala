@@ -68,13 +68,24 @@ object TabularWriter {
     // RECURSIVE listing: partitioned trees keep their data files in
     // subdirectories — a top-level listing would see only directories,
     // compute bytes=0 and collapse the whole dataset into one file.
-    // Data files only — _SUCCESS markers and .crc checksums don't scan.
+    // Mirror the scan's visibility rules on EVERY path component below
+    // src (not just the basename): files under _temporary/.hidden trees
+    // (stale failed-write leftovers) are invisible to spark.read, so
+    // counting them would size the rewrite from phantom data.
+    def visible(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != src) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     var bytes = 0L
     val it = fs.listFiles(src, true)
     while (it.hasNext) {
       val st = it.next()
-      val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) bytes += st.getLen
+      if (visible(st.getPath)) bytes += st.getLen
     }
     val files = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
     val df = spark.read.parquet(srcDir)
