@@ -739,6 +739,33 @@ object SparkEntry {
       s.table(name)
     },
 
+    "stream_session_windows" -> { (s, d) =>
+      // native session_window executed under a REAL 2-micro-batch file
+      // stream — sessions must merge across the batch boundary through
+      // the session state store; oracle = batch gaps-and-islands SQL
+      // (same as session_window_agg's, proving streaming==batch==oracle)
+      val dir = GateFixtures.dir("stream_sess", d) { target =>
+        Tables.events(s, d).select(col("user_id"), col("ts"))
+          .repartition(2).write.mode("overwrite").parquet(target)
+      }
+      val schema = s.read.parquet(dir).schema
+      val name = "gate_sess_" + math.abs(dir.hashCode)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+          .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
+          .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            col("session_window.start").cast("long").as("session_start"),
+            col("session_window.end").cast("long").as("session_end"), col("n"))
+          .writeStream.outputMode("complete").format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(name)
+    },
+
     // ---- ZSTD sink round-trip (reference SNAPPY/ZSTD sink options) -----
     "scan_zstd_roundtrip" -> { (s, d) =>
       // events written through TabularWriter with ZSTD, read back — the
@@ -1833,6 +1860,20 @@ object SparkEntry {
         |FROM o""".stripMargin,
     "stream_dedup_ids" ->
       "SELECT DISTINCT event_id FROM events",
+    "stream_session_windows" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
+        |s AS (SELECT user_id, event_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |g AS (SELECT user_id, tsec,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s)
+        |SELECT user_id, MIN(tsec) AS session_start, MAX(tsec) + 1800 AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g GROUP BY user_id, sess""".stripMargin,
     "stream_minhash_dedup" ->
       // batch mirror of the streaming claim semantics: kept docs = those
       // never preceded in ANY of their band buckets by a smaller doc_id
