@@ -1029,6 +1029,24 @@ object SparkEntry {
         SeqPack.packContiguous(Tables.documents(s, d), col("doc_id"),
           TextFunctions.tokenCount(col("text")), budget = 512L))
     },
+    "pack_render" -> { (s, d) =>
+      // the materialized training chunks: packed assignment joined back
+      // to the corpus, text rendered in corpus order
+      val docs = Tables.documents(s, d)
+      SeqPack.renderChunks(docs,
+        SeqPack.packContiguous(docs, col("doc_id"),
+          TextFunctions.tokenCount(col("text")), budget = 512L),
+        col("doc_id"), col("text"))
+    },
+    "sample_weighted" -> { (s, d) =>
+      // quality-weighted curation: each doc survives with probability
+      // equal to its quality score (portable coin, oracle mirrors the
+      // score expression bit-for-bit)
+      Sampling.weightedByKeyModP(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"), TextFunctions.qualityScore(col("text")), seed = 33L)
+        .select(col("doc_id"))
+    },
     "text_chunk_overlap" -> { (s, d) =>
       // overlapping token windows (W=32, stride=24) for embedding/RAG
       // prep; final window clamps to cover the tail. Row-local explode,
@@ -1828,6 +1846,23 @@ object SparkEntry {
         |SELECT cumb // 512 AS chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1""".stripMargin,
+    "pack_render" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        |  FROM t),
+        |p AS (SELECT doc_id, n_tokens, cumb // 512 AS chunk_id FROM c)
+        |SELECT chunk_id, string_agg(d.text, ' ' ORDER BY p.doc_id) AS chunk_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens
+        |FROM p JOIN documents d ON p.doc_id = d.doc_id GROUP BY chunk_id""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, ($qualityExprSql) AS w FROM t)
+         |SELECT doc_id FROM q
+         |WHERE CAST((${OracleFragments.modPHashSql("doc_id", 33L)}) % 1000000 AS DOUBLE)
+         |  < LEAST(GREATEST(w, 0.0), 1.0) * 1000000.0""".stripMargin,
     "text_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |p AS (SELECT doc_id, toks, len(toks) AS n,

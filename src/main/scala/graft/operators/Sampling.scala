@@ -56,6 +56,18 @@ object Sampling {
     df.filter(pmod(xxhash64(key, lit(seed)), lit(1000000L)).cast("double") < frac * 1e6)
   }
 
+  /** Importance sampling: keep each row with probability equal to its
+    * `weight` (clamped to [0,1]) — quality-weighted corpus curation
+    * where better documents survive proportionally more often. Same
+    * portable mod-P coin as the other `*ModP` samplers, so the
+    * keep/drop set is deterministic, layout-invariant and reproducible
+    * by any engine that mirrors the weight expression. Narrow (no
+    * shuffle). */
+  def weightedByKeyModP(df: DataFrame, key: Column, weight: Column, seed: Long): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(pmod(modPHash(key, seed), lit(1000000L)).cast("double") < w * 1e6)
+  }
+
   /** Exactly-k-per-group sample: within each `group`, keep the k rows
     * with the smallest portable key hash (ties broken by the key
     * itself, so the sample is total-ordered and layout-invariant).

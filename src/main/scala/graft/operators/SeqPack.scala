@@ -77,4 +77,25 @@ object SeqPack {
   def chunkManifest(packed: DataFrame): DataFrame =
     packed.groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Materialize the training chunks: join the [[packContiguous]]
+    * assignment back to the corpus and render each chunk's text in
+    * corpus order (`sep`-joined). One shuffle on chunk_id; the per-chunk
+    * collect is BOUNDED by construction — a chunk holds at most
+    * `budget + max_doc_tokens` tokens of text, so the collected array
+    * can never exceed ~2 chunk budgets regardless of corpus size
+    * (unlike a per-key collect over raw data). Output: (chunk_id,
+    * chunk_text, n_docs, n_tokens). */
+  def renderChunks(docs: DataFrame, packed: DataFrame, key: Column, text: Column,
+      sep: String = " "): DataFrame = {
+    val d = docs.select(key.as("__rk"), text.as("__text"))
+    packed.join(d, col("k") === col("__rk"))
+      .groupBy(col("chunk_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("k"), col("__text")))),
+            x => x.getField("__text")),
+          sep).as("chunk_text"),
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
 }
