@@ -1150,11 +1150,16 @@ object SparkEntry {
         col("doc_id"), col("text"), n = 3)
     },
     "text_repetition" -> { (s, d) =>
+      // one native kernel call per doc (token-count filter + fused
+      // repetition struct); subexpression elimination keeps the struct
+      // evaluated once for both output fields
       Tables.documents(s, d)
-        .filter(size(TextFunctions.tokenize(col("text"))) >= 2)
+        .filter(TextFunctions.tokenCount(col("text")) >= 2)
         .select(col("doc_id"),
-          TextFunctions.dupTokenFraction(col("text")).as("dup_token_frac"),
-          TextFunctions.topBigramFraction(col("text")).as("top_bigram_frac"))
+          TextFunctions.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r").getField("dup_token_frac").as("dup_token_frac"),
+          col("r").getField("top_bigram_frac").as("top_bigram_frac"))
     },
 
     // ---- bucketed co-located join (persistent partition_by_modulo) -----

@@ -137,6 +137,15 @@ object TextFunctions {
 
   /** Fraction of token occurrences that are repeats of an earlier token:
     * (n - n_distinct) / n. Gopher-style repetition signal, row-local. */
+  /** Both repetition signals in one native byte-scan call — a struct of
+    * (dup_token_frac, top_bigram_frac), bit-identical to the
+    * [[dupTokenFraction]]/[[topBigramFraction]] column pair
+    * (EquivalenceSpec fuzzes them against each other); those remain the
+    * executable specification. The bigram field is NULL for docs with
+    * fewer than 2 tokens. */
+  def repetitionStats(text: Column): Column =
+    expressions.GraftExpressions.repetition_stats(text)
+
   def dupTokenFraction(text: Column): Column = {
     val t = tokenize(text)
     (size(t) - size(array_distinct(t))).cast("double") / size(t).cast("double")

@@ -224,6 +224,34 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused repetition-statistics kernel: dup-token fraction and
+  * top-bigram fraction of a space-separated document in ONE byte-scan
+  * call ([[VecUtil.repetitionStats]]) — replaces three `split`
+  * materializations + interpreted HOF lambdas. Bit-identical to the
+  * (dupTokenFraction, topBigramFraction) column pair (EquivalenceSpec).
+  * Gopher-style repetition signals; reference filters repetition inside
+  * its data pipeline the same per-row way. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"repetition_stats needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = true)))
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.repetitionStats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.repetitionStats($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Decode IEEE binary16 stored as 2 little-endian bytes (the Parquet
   * FLOAT16 physical layout, which Spark's reader surfaces as binary) to
   * FloatType. Used by [[graft.sources.TabularReader]]'s float16 dtype
@@ -256,6 +284,7 @@ object GraftExpressions {
   def poly_hash(s: Column, mult: Long): Column = column(PolyHash(expression(s), mult))
   def token_count(s: Column): Column = column(TokenCount(expression(s)))
   def redact_pii(s: Column): Column = column(RedactPii(expression(s)))
+  def repetition_stats(s: Column): Column = column(RepetitionStats(expression(s)))
   def email_count(s: Column): Column = column(EmailCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))

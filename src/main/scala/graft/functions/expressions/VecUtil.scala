@@ -161,6 +161,68 @@ object VecUtil {
       java.util.Arrays.copyOf(hs, w))
   }
 
+  /** One-pass repetition statistics over a space-separated document —
+    * the fused form of the Gopher-style pair
+    * (dup-token fraction, top-bigram fraction): one byte scan finds the
+    * token boundaries, exact-distinct tokens are counted via byte
+    * equality over zero-copy slices (identical to `array_distinct` on
+    * the split array), and bigram mod-P hashes are built incrementally
+    * ([[minHashSigs]]'s gram identity) then sorted for the max
+    * multiplicity. Replaces three `split` materializations plus
+    * interpreted `transform`/`aggregate` lambdas with one call.
+    * Returns (dup_token_frac, top_bigram_frac); the bigram field is
+    * null for docs with fewer than 2 tokens, mirroring the column
+    * formulation's NULL. */
+  def repetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    // token boundaries under split(s, " ") semantics (empty tokens kept)
+    var t = 1
+    var i = 0
+    while (i < n) { if (b(i) == 0x20) t += 1; i += 1 }
+    val th = new Array[Long](t)
+    val tp = new Array[Long](t)
+    val seen = new java.util.HashSet[UTF8String](t * 2)
+    var nd = 0
+    var tok = 0
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        val slice = UTF8String.fromBytes(b, start, i - start)
+        th(tok) = polyHash(slice, 31L)
+        tp(tok) = pow31(slice)
+        if (seen.add(slice)) nd += 1
+        tok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val dup = (t - nd).toDouble / t.toDouble
+    val top: Any = if (t < 2) null else {
+      val bg = new Array[Long](t - 1)
+      var g = 0
+      while (g < t - 1) {
+        var h = (th(g) * 31 + 32) % P
+        h = (h * tp(g + 1) + th(g + 1)) % P
+        bg(g) = h
+        g += 1
+      }
+      java.util.Arrays.sort(bg)
+      var best = 1
+      var run = 1
+      var r = 1
+      while (r < bg.length) {
+        if (bg(r) == bg(r - 1)) { run += 1; if (run > best) best = run }
+        else run = 1
+        r += 1
+      }
+      best.toDouble / (t - 1).toDouble
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dup, top))
+  }
+
   /** 31^steps(s) mod P, where steps is the number of fold steps
     * [[polyHash]] takes for `s` (bytes on the ASCII fast path,
     * codepoints otherwise). */

@@ -148,6 +148,28 @@ class EquivalenceSpec extends GraftSpec {
     assert(badRows.isEmpty, s"kernel/regex divergence on: ${badRows.take(5).mkString(", ")}")
   }
 
+  test("native repetition_stats kernel equals the column pair on corpus + fuzz") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def mismatches(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) = {
+      val r = TextFunctions.repetitionStats(c)
+      // null-safe compare: top_bigram_frac is NULL for single-token docs
+      df.filter(!(r.getField("dup_token_frac") <=> TextFunctions.dupTokenFraction(c)) ||
+        !(r.getField("top_bigram_frac") <=> TextFunctions.topBigramFraction(c)))
+    }
+    assert(mismatches(Tables.documents(spark, sf), col("text")).count() === 0L)
+    // fuzz: tiny vocabulary so duplicate tokens/bigrams are dense;
+    // includes empty tokens (double spaces), single tokens, non-ASCII
+    val words = Array("a", "b", "ab", "", "héllo", "😀", "x y".take(1))
+    val rnd = new scala.util.Random(777)
+    val fuzz = (1 to 5000).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      (1 to len).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }.toDF("t")
+    val bad = mismatches(fuzz, col("t")).collect()
+    assert(bad.isEmpty, s"kernel/column divergence on: ${bad.take(5).mkString(", ")}")
+  }
+
   test("accuracy via expression equals direct computation on events") {
     val acc = events.agg(graft.functions.Metrics.accuracy(
       col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)
