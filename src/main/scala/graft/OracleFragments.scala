@@ -187,6 +187,57 @@ object OracleFragments {
       |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** Exact squared-L2 distance between two BIGINT lists (ordered fold —
+    * integer arithmetic, so order is irrelevant here, but keep the shape
+    * consistent with the other vector folds). */
+  def sqDistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))), (p,x) -> p+x)""".stripMargin
+
+  /** Integer-grid quantization CTE (name: iq) — floor(v[i]*scale) per
+    * dim, mirroring expressions.QuantizeVec. Expects the `e` CTE from
+    * [[vectorCtes]]. */
+  def quantizeCte(scale: Double): String =
+    s"""iq AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $scale) AS BIGINT)) AS q
+       |  FROM e)""".stripMargin
+
+  /** Integer k-means over `iq`, unrolled for `iters` Lloyd iterations
+    * (names: c0..c<iters>, cents). Mirrors [[graft.operators.Ivf.kmeans]]
+    * exactly: init = k smallest vec_ids, assignment = min squared-L2
+    * with ties to the smaller cluster id, update = per-dim
+    * floor(sum/count), empty cells keep their centroid. Everything is
+    * integer (or one exact double division), so the oracle re-trains the
+    * same centroids bit-for-bit. */
+  def kmeansCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |  q AS cent FROM iq QUALIFY cid < $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, q, cid FROM (
+         |  SELECT t.vec_id, t.q, c.cid,
+         |    row_number() OVER (PARTITION BY t.vec_id
+         |      ORDER BY ${sqDistSql("t.q", "c.cent")}, c.cid) AS rn
+         |  FROM iq t CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |u$i AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS elem
+         |  FROM (SELECT cid, unnest(q) AS x, unnest(range(len(q))) AS pos FROM a$i)
+         |  GROUP BY cid, pos),
+         |c$i AS (SELECT o.cid, COALESCE(n.cent, o.cent) AS cent
+         |  FROM c${i - 1} o LEFT JOIN
+         |    (SELECT cid, list(elem ORDER BY pos) AS cent FROM u$i GROUP BY cid) n
+         |  ON n.cid = o.cid)""".stripMargin
+    }
+    val all = (init +: steps).mkString(",\n")
+    s"$all,\ncents AS (SELECT cid, cent FROM c$iters)"
+  }
+
+  /** Final corpus-cell assignment from `iq` x `cents` (name: asg). */
+  val ivfAssignCte: String =
+    s"""asg AS (SELECT vec_id, cid FROM (
+       |  SELECT t.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY ${sqDistSql("t.q", "c.cent")}, c.cid) AS rn
+       |  FROM iq t CROSS JOIN cents c) WHERE rn = 1)""".stripMargin
+
   /** Sign bucket over the first `bits` dims of double vector `v`. */
   def signBucketSql(bits: Int): String =
     (0 until bits).map(k => s"(CASE WHEN v[${k + 1}] > 0 THEN ${1L << k} ELSE 0 END)")

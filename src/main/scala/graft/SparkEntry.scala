@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TypedParquet}
@@ -477,6 +477,33 @@ object SparkEntry {
     "ann_topk_multiprobe" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.bucketedTopKMultiProbe(emb.filter(col("id") < 16), emb, k = 5, bits = 6, probes = 3)
+    },
+    "ivf_kmeans_clusters" -> { (s, d) =>
+      // trained IVF coarse quantizer: integer k-means (k=8, 2 Lloyd
+      // iterations) + cell occupancy — the oracle re-trains the same
+      // centroids from scratch (training is FP-free, see Ivf)
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ivf.clusterSummary(emb, col("id"), col("vec"), k = 8, iters = 2, scale = 1000.0)
+        .select(col("cluster_id"), col("n_vectors"), rawCsv(col("centroid")).as("centroid"))
+    },
+    "ann_topk_ivf" -> { (s, d) =>
+      // IVF probe search: each query scans only its 2 nearest trained
+      // cells (vs the data-oblivious sign buckets of ann_topk_bucketed)
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ivf.topK(emb.filter(col("id") < 16), emb, k = 5,
+        nClusters = 8, iters = 2, nprobe = 2, scale = 1000.0)
+    },
+    "embedding_quantize_int8" -> { (s, d) =>
+      // symmetric int8 compression: 4x smaller vectors + dequant scale
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ivf.quantizeInt8(emb, col("id"), col("vec"))
+        .select(col("id").as("vec_id"), rawCsv(col("codes")).as("codes"), col("scale"))
+    },
+    "ann_topk_int8" -> { (s, d) =>
+      // ANN over int8 codes ranked by EXACT integer dot product — the
+      // FP-free fast path over compressed vectors
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ivf.topKInt8(emb.filter(col("id") < 16), emb, k = 5)
     },
     "q5_local_supplier" -> { (s, d) =>
       // TPC-H Q5 shape: 6-way join chain + filtered agg; exercises
@@ -1511,6 +1538,51 @@ object SparkEntry {
          |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 16)
          |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    "ivf_kmeans_clusters" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |${OracleFragments.quantizeCte(1000.0)},
+         |${OracleFragments.kmeansCtes(8, 2)},
+         |${OracleFragments.ivfAssignCte},
+         |cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY cid)
+         |SELECT c.cid AS cluster_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_vectors,
+         |  array_to_string(c.cent, ',') AS centroid
+         |FROM cents c LEFT JOIN cnt ON cnt.cid = c.cid""".stripMargin,
+    "ann_topk_ivf" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |${OracleFragments.quantizeCte(1000.0)},
+         |${OracleFragments.kmeansCtes(8, 2)},
+         |${OracleFragments.ivfAssignCte},
+         |prb AS (SELECT vec_id AS q_id, cid FROM (
+         |  SELECT t.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY t.vec_id
+         |      ORDER BY ${OracleFragments.sqDistSql("t.q", "c.cent")}, c.cid) AS rn
+         |  FROM iq t CROSS JOIN cents c WHERE t.vec_id < 16) WHERE rn <= 2),
+         |p AS (SELECT pr.q_id, a.vec_id AS n_id, ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM prb pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.q_id
+         |  JOIN nv q ON q.vec_id = pr.q_id JOIN nv c ON c.vec_id = a.vec_id)
+         |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    "embedding_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(embedding, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT) END), ',') AS codes,
+        |  mx / 127.0 AS scale
+        |FROM m""".stripMargin,
+    "ann_topk_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |qc AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT) END) AS c FROM m),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_zip(q.c, c.c), z -> z[1]*z[2])), (p,x) -> p+x) AS qdot
+        |  FROM qc q JOIN qc c ON c.vec_id != q.vec_id WHERE q.vec_id < 16)
+        |SELECT q_id, n_id, qdot,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS BIGINT) AS rn
+        |FROM p QUALIFY rn <= 5""".stripMargin,
     "window_rank_lag" ->
       """WITH e AS (SELECT event_id, user_id, value,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events)

@@ -224,6 +224,96 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** floor(v[i] * scale) per dim, array<float> -> array<long> — the
+  * engine-portable integer grid the IVF coarse quantizer trains on
+  * ([[VecUtil.quantizeVec]]). */
+case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression {
+  require(scale > 0, s"quantize_vec needs scale > 0, got $scale")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quantize_vec needs array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.quantizeVec(a.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.quantizeVec($a, $scale);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Symmetric per-vector int8 codes: q[i] = floor(v[i] * 127/max|v|)
+  * ([[VecUtil.quantizeInt8]]); all-zero vectors map to all-zero codes. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quantize_int8 needs array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.quantizeInt8(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.quantizeInt8($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact squared-L2 distance between two long vectors — integer k-means
+  * assignment ([[VecUtil.sqDistL]]). */
+case class SqDistL(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"sq_dist_l needs two array<bigint>, got ${a.simpleString} and ${b.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.sqDistL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.sqDistL($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact dot product of two long vectors — int8-code ANN ranking
+  * ([[VecUtil.dotL]]). */
+case class DotL(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"dot_l needs two array<bigint>, got ${a.simpleString} and ${b.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.dotL($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Fused repetition-statistics kernel: dup-token fraction and
   * top-bigram fraction of a space-separated document in ONE byte-scan
   * call ([[VecUtil.repetitionStats]]) — replaces three `split`
@@ -285,6 +375,10 @@ object GraftExpressions {
   def token_count(s: Column): Column = column(TokenCount(expression(s)))
   def redact_pii(s: Column): Column = column(RedactPii(expression(s)))
   def repetition_stats(s: Column): Column = column(RepetitionStats(expression(s)))
+  def quantize_vec(v: Column, scale: Double): Column = column(QuantizeVec(expression(v), scale))
+  def quantize_int8(v: Column): Column = column(QuantizeInt8(expression(v)))
+  def sq_dist_l(a: Column, b: Column): Column = column(SqDistL(expression(a), expression(b)))
+  def dot_l(a: Column, b: Column): Column = column(DotL(expression(a), expression(b)))
   def email_count(s: Column): Column = column(EmailCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))

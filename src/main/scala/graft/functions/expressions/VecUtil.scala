@@ -31,6 +31,72 @@ object VecUtil {
 
   private val P = 1000000007L
 
+  /** floor(v[i] * scale) per dim — the shared integer quantizer the IVF
+    * coarse quantizer trains on. Float widens to double exactly and
+    * IEEE multiply/floor are bit-identical across engines, so the
+    * quantized grid (and everything k-means derives from it) is
+    * engine-portable with NO FP accumulation-order sensitivity. */
+  def quantizeVec(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Symmetric per-vector int8 quantization: scale = 127/max|v|,
+    * q[i] = floor(v[i] * scale) in [-128, 127] (floor rounds toward
+    * -infinity, so the most negative element can land on -128 — exactly
+    * int8's range). All-zero vectors map to all-zero codes (scale would
+    * be infinite). One double multiply + floor per dim — exact IEEE,
+    * mirrored by the oracle. */
+  def quantizeInt8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (mx > 0) {
+      val s = 127.0 / mx
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i).toDouble * s).toLong
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact squared L2 distance between two long vectors. */
+  def sqDistL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Exact dot product of two long vectors (int8-code ANN ranking —
+    * BIGINT arithmetic, no FP anywhere). */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   /** Token count of a space-separated string under `split(s, " ")`
     * semantics — count of 0x20 bytes + 1 (split keeps empty tokens, so
     * the identity is exact for every input, including "" and runs of

@@ -59,7 +59,7 @@ object Ann {
       k)
   }
 
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+  private[operators] def topK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))

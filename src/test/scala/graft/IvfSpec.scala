@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Ann, Ivf}
+import org.apache.spark.sql.functions._
+
+/** IVF coarse quantizer + int8 compression properties. */
+class IvfSpec extends GraftSpec {
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("integer k-means is deterministic and layout-invariant") {
+    val q1 = Ivf.quantized(emb, col("id"), col("vec"), 1000.0)
+    val q2 = Ivf.quantized(emb.repartition(13), col("id"), col("vec"), 1000.0)
+    val c1 = Ivf.kmeans(q1, k = 4, iters = 2)
+    val c2 = Ivf.kmeans(q2, k = 4, iters = 2)
+    assert(c1.map(_._1) === c2.map(_._1))
+    c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("every vector lands in exactly one cell; cells cover the corpus") {
+    val q = Ivf.quantized(emb, col("id"), col("vec"), 1000.0)
+    val cents = Ivf.kmeans(q, k = 4, iters = 2)
+    val assigned = q.select(col("id"), Ivf.nearestCentroid(col("qv"), cents).as("cid"))
+    assert(assigned.count() === emb.count())
+    assert(assigned.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    // and the assignment map is a narrow, shuffle-free plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("IVF top-k can only lose candidates vs brute force, never invent them") {
+    val queries = emb.filter(col("id") < 8)
+    val ivf = Ivf.topK(queries, emb, k = 3, nClusters = 4, iters = 2,
+      nprobe = 2, scale = 1000.0)
+    val brute = Ann.bruteForceTopK(queries, emb, k = 3)
+    // every IVF pair must carry the same cosine brute force computes for
+    // it (the probe changes the candidate set, not the scoring) ...
+    val allPairs = Ann.bruteForceTopK(queries, emb, k = Int.MaxValue)
+      .select(col("q_id"), col("n_id"), col("cosine").as("bcos"))
+    val joined = ivf.join(allPairs, Seq("q_id", "n_id"))
+    assert(joined.filter(col("cosine") =!= col("bcos")).count() === 0)
+    // ... and rank-for-rank the approximate cosine never beats the exact
+    val cmp = ivf.select(col("q_id"), col("rn"), col("cosine").as("icos"))
+      .join(brute.select(col("q_id"), col("rn"), col("cosine").as("bcos")), Seq("q_id", "rn"))
+    assert(cmp.filter(col("icos") > col("bcos") + 1e-12).count() === 0)
+  }
+
+  test("int8 codes are bounded and reconstruct within one quantization step") {
+    val q = Ivf.quantizeInt8(emb, col("id"), col("vec"))
+    val bad = q.select(explode(col("codes")).as("c"))
+      .filter(col("c") > 127 || col("c") < -128).count()
+    assert(bad === 0)
+    val recon = Ivf.quantizeInt8(emb, col("id"), col("vec"))
+      .join(emb, Seq("id"))
+      .select(col("scale"),
+        explode(arrays_zip(col("codes"), col("vec"))).as("z"))
+      .select(abs(col("z.codes") * col("scale") - col("z.vec").cast("double")).as("err"),
+        col("scale"))
+      .filter(col("err") > col("scale") * lit(1.000001))
+    assert(recon.count() === 0)
+  }
+
+  test("int8 top-k ranks by exact integer dot with deterministic ties") {
+    val out = Ivf.topKInt8(emb.filter(col("id") < 8), emb, k = 5)
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 5).count() === 0)
+    // rn dense 1..5 per query
+    assert(out.groupBy("q_id").agg(sum("rn").as("s")).filter(col("s") =!= 15L).count() === 0)
+  }
+}
