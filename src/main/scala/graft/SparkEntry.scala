@@ -359,6 +359,12 @@ object SparkEntry {
     "text_tfidf_topk" -> { (s, d) =>
       TermStats.tfIdfTopTerms(Tables.documents(s, d), col("doc_id"), col("text"), k = 5)
     },
+    "text_lm_score" -> { (s, d) =>
+      // in-domain bigram-LM cross-entropy per document (train = score =
+      // the corpus): low = boilerplate, high = surprising text
+      val docs = Tables.documents(s, d)
+      TermStats.bigramCrossEntropy(docs, docs, col("doc_id"), col("text"))
+    },
     "text_vocab_topn" -> { (s, d) =>
       // vocabulary build: corpus-wide term frequencies, top-100 with a
       // deterministic tie-break — explode + map-side-combinable count +
@@ -1467,6 +1473,24 @@ object SparkEntry {
         |SELECT doc_id, term, tfidf,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
         |FROM scored QUALIFY rn <= 5""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(toks)),
+         |    i -> ${OracleFragments.polyHashSql("toks[i]")})) AS h1,
+         |  unnest(list_transform(range(1, len(toks)),
+         |    i -> ${OracleFragments.polyHashSql("array_to_string(toks[i:i+1], ' ')")})) AS h2
+         |  FROM tok),
+         |cb AS (SELECT h2, COUNT(*) AS c2 FROM bg GROUP BY h2),
+         |cp AS (SELECT h1, COUNT(*) AS c1 FROM bg GROUP BY h1),
+         |s AS (SELECT b.doc_id,
+         |  SUM(CAST(round(ln(CAST(cb.c2 AS DOUBLE) / cp.c1) * 1e9) AS BIGINT)) AS slog,
+         |  COUNT(*) AS nb
+         |  FROM bg b JOIN cb ON cb.h2 = b.h2 JOIN cp ON cp.h1 = b.h1
+         |  GROUP BY b.doc_id)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+         |  -(CAST(slog AS DOUBLE) / (1e9 * nb)) AS cross_entropy
+         |FROM s""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN len(list_filter(string_split(text,' '),

@@ -342,6 +342,30 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-occurrence (prefix hash, bigram hash) pairs of a token array —
+  * the row-local feed for bigram language-model counts
+  * ([[VecUtil.bigramHashPairs]]). Empty array below 2 tokens. */
+case class BigramHashPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bigram_hash_pairs needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.bigramHashPairs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.bigramHashPairs($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Decode IEEE binary16 stored as 2 little-endian bytes (the Parquet
   * FLOAT16 physical layout, which Spark's reader surfaces as binary) to
   * FloatType. Used by [[graft.sources.TabularReader]]'s float16 dtype
@@ -379,6 +403,7 @@ object GraftExpressions {
   def quantize_int8(v: Column): Column = column(QuantizeInt8(expression(v)))
   def sq_dist_l(a: Column, b: Column): Column = column(SqDistL(expression(a), expression(b)))
   def dot_l(a: Column, b: Column): Column = column(DotL(expression(a), expression(b)))
+  def bigram_hash_pairs(tokens: Column): Column = column(BigramHashPairs(expression(tokens)))
   def email_count(s: Column): Column = column(EmailCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))

@@ -289,6 +289,38 @@ object VecUtil {
       Array[Any](dup, top))
   }
 
+  /** Per-occurrence bigram hash pairs of a token array: one
+    * (h1, h2) = (polyHash(w1), polyHash("w1 w2")) row per ADJACENT token
+    * pair, order preserved, duplicates kept — the row-local feed for
+    * bigram language-model counting (c(w1 .) and c(w1 w2) are counts
+    * over these rows). Same incremental gram-hash identity as
+    * [[minHashSigs]]; no gram strings are materialized. Empty array for
+    * docs with fewer than 2 tokens. */
+  def bigramHashPairs(tokens: ArrayData): ArrayData = {
+    val t = tokens.numElements()
+    if (t < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](t)
+    val tp = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      val s = tokens.getUTF8String(i)
+      th(i) = polyHash(s, 31L)
+      tp(i) = pow31(s)
+      i += 1
+    }
+    val out = new Array[Any](t - 1)
+    var g = 0
+    while (g < t - 1) {
+      var h = (th(g) * 31 + 32) % P
+      h = (h * tp(g + 1) + th(g + 1)) % P
+      out(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](th(g), h))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 31^steps(s) mod P, where steps is the number of fold steps
     * [[polyHash]] takes for `s` (bytes on the ASCII fast path,
     * codepoints otherwise). */

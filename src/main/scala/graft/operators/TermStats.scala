@@ -62,6 +62,57 @@ object TermStats {
       .where(col("rn") <= k)
   }
 
+  /** Per-document bigram cross-entropy under a maximum-likelihood
+    * bigram LM trained on `train` — the CCNet-style "how surprising is
+    * this document to an in-domain language model" quality signal
+    * (reference's pipelines delegate LM scoring to an external model;
+    * this is the engine-native n-gram form).
+    *
+    * cross_entropy = -(1/n) Σ ln c(w1 w2)/c(w1 ·) over the doc's
+    * adjacent token pairs. Low = predictable/boilerplate, high =
+    * unusual text.
+    *
+    * Parity/scale design: bigrams travel as mod-P hashes from the
+    * row-local [[graft.functions.expressions.BigramHashPairs]] kernel
+    * (no gram strings, no token-level joins); each occurrence's log
+    * probability is rounded to integer nano-logs
+    * (round(ln(p) * 1e9) as BIGINT, the [[tfIdfTopTerms]] libm-parity
+    * trick) so every cross-row aggregate is ORDER-FREE integer
+    * arithmetic — one double division at the very end. Count tables are
+    * vocabulary-sized and broadcast (`broadcastCounts=false` falls back
+    * to shuffle joins); the corpus explodes once per side and never
+    * reshuffles by doc.
+    *
+    * Unseen bigrams (scoring off-domain docs) are skipped — an MLE LM
+    * assigns them -inf; smoothing/backoff is out of scope. Docs with
+    * fewer than 2 tokens (or only unseen bigrams) produce no row.
+    *
+    * @return (doc_id, n_bigrams, cross_entropy)
+    */
+  def bigramCrossEntropy(score: DataFrame, train: DataFrame, id: Column, text: Column,
+      broadcastCounts: Boolean = true): DataFrame = {
+    def bigramRows(docs: DataFrame): DataFrame =
+      Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.GraftExpressions
+            .bigram_hash_pairs(TextFunctions.tokenize(col("__text")))).as("bg"))
+        .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+    val tb = bigramRows(train)
+    val c2a = tb.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val c1a = tb.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val (c2, c1) = if (broadcastCounts) (broadcast(c2a), broadcast(c1a)) else (c2a, c1a)
+    bigramRows(score)
+      .join(c2, "h2")
+      .join(c1, "h1")
+      .select(col("doc_id"),
+        round(log(col("c2").cast("double") / col("c1")) * 1e9).cast("long").as("nanolog"))
+      .groupBy("doc_id")
+      .agg(sum(col("nanolog")).as("slog"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-(col("slog").cast("double") / (lit(1e9) * col("n_bigrams"))))
+          .as("cross_entropy"))
+  }
+
   /** Documents whose quality score clears the corpus `quantile` — the
     * standard "drop the worst q%" curation cut. The threshold is an
     * exact interpolated percentile computed in one distributed
