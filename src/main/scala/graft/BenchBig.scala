@@ -27,9 +27,9 @@ object BenchBig {
     "dedup_cluster_components", "dedup_incremental_pairs",
     "dedup_simhash", "dedup_simhash_pairs_full", "dedup_embedding_neardup",
     "dedup_embedding_neardup_wide",
-    "ann_topk_brute", "ann_topk_bucketed",
+    "ann_topk_brute", "ann_topk_bucketed", "ann_topk_ivf", "ann_topk_int8",
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
-    "text_tfidf_topk", "text_quality_filter",
+    "text_tfidf_topk", "text_quality_filter", "text_repetition", "text_lm_score",
     "text_chunk_overlap", "text_redact_pii", "text_vocab_topn",
     "pack_sequences", "sample_mixture")
 
