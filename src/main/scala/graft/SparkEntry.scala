@@ -435,6 +435,19 @@ object SparkEntry {
         docs.select("doc_id", "lang", "source", "n_chars"),
         col("doc_id"), pairs, col("doc_a"), col("doc_b"))
     },
+    "dedup_canonical_quality" -> { (s, d) =>
+      // quality-aware canonicalization: each duplicate cluster keeps its
+      // BEST-quality member (ties -> smallest id), not the min-id one —
+      // scores rounded to 9 decimals so tie detection is engine-invariant
+      val docs = Tables.documents(s, d)
+      val pairs = NearDup.minHashNearDups(docs, col("doc_id"), col("text"),
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      DedupClusters.canonicalizeBy(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        col("doc_id"), round(TextFunctions.qualityScore(col("text")), 9),
+        pairs, col("doc_a"), col("doc_b"))
+        .select(col("doc_id"), col("source"))
+    },
     "dedup_simhash" -> { (s, d) =>
       NearDup.simHash(Tables.documents(s, d), col("doc_id"), col("text"))
     },
@@ -1071,6 +1084,12 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")), budget = 512L),
         col("doc_id"), col("text"))
     },
+    "sample_split" -> { (s, d) =>
+      // deterministic train/val/test assignment (90/5/5): pure function
+      // of the key hash — stable under corpus growth, layout-invariant
+      Sampling.splitAssign(Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 7L)
+    },
     "sample_weighted" -> { (s, d) =>
       // quality-weighted curation: each doc survives with probability
       // equal to its quality score (portable coin, oracle mirrors the
@@ -1524,6 +1543,19 @@ object SparkEntry {
          |${OracleFragments.connectedComponentsCtes}
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)""".stripMargin,
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minHashLshOracle
+         |),
+         |${OracleFragments.connectedComponentsCtes},
+         |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, round($qualityExprSql, 9) AS score FROM t),
+         |r AS (SELECT comp.id, comp.component, q.score,
+         |  row_number() OVER (PARTITION BY comp.component
+         |    ORDER BY q.score DESC, comp.id) AS rn
+         |  FROM comp JOIN q ON q.doc_id = comp.id)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM r WHERE rn > 1)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${OracleFragments.simHashCtes(NearDup.SimHashBits)}
          |SELECT doc_id, simhash FROM fp""".stripMargin,
@@ -1958,6 +1990,14 @@ object SparkEntry {
         |SELECT chunk_id, string_agg(d.text, ' ' ORDER BY p.doc_id) AS chunk_text,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens
         |FROM p JOIN documents d ON p.doc_id = d.doc_id GROUP BY chunk_id""".stripMargin,
+    "sample_split" -> {
+      val Seq(c1, c2, _) = graft.operators.Sampling.splitThresholds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      s"""SELECT doc_id,
+         |  CASE WHEN h6 < $c1 THEN 'train' WHEN h6 < $c2 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  (${OracleFragments.modPHashSql("doc_id", 7L)}) % 1000000 AS h6 FROM documents)""".stripMargin
+    },
     "sample_weighted" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          |q AS (SELECT doc_id, ($qualityExprSql) AS w FROM t)

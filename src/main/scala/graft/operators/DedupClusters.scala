@@ -130,4 +130,26 @@ object DedupClusters {
       .select(col("id").as("__drop_id"))
     docs.join(drop, id === col("__drop_id"), "left_anti")
   }
+
+  /** Quality-aware canonicalization: within each duplicate cluster keep
+    * the member with the HIGHEST `score` (ties break toward the
+    * smallest id) — the curation policy real pipelines want: keep the
+    * best copy, not the accidental min-id one. Callers should round the
+    * score (e.g. `round(_, 9)`) so tie detection is engine-invariant.
+    *
+    * The per-cluster argmax is a map-side-combinable `max` over
+    * (score, -id) structs — no per-cluster window, so a pathological
+    * giant cluster costs one combinable aggregate, not a sort. Only
+    * clustered docs (the small side) are ever scored or joined. */
+  def canonicalizeBy(docs: DataFrame, id: Column, score: Column, pairs: DataFrame,
+      a: Column, b: Column, maxIter: Int = 50): DataFrame = {
+    val scored = connectedComponents(pairs, a, b, maxIter)
+      .join(docs.select(id.cast("long").as("id"), score.as("__score")), Seq("id"))
+    // lexicographic struct max = (max score, then min id via negation)
+    val keep = scored.groupBy(col("component"))
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("negid"))).as("m"))
+      .select((-col("m.negid")).as("id"))
+    val drop = scored.join(keep, Seq("id"), "left_anti").select(col("id").as("__drop_id"))
+    docs.join(drop, id === col("__drop_id"), "left_anti")
+  }
 }

@@ -68,6 +68,38 @@ object Sampling {
     df.filter(pmod(modPHash(key, seed), lit(1000000L)).cast("double") < w * 1e6)
   }
 
+  /** Deterministic train/val/test split: each row's label is a pure
+    * function of its key hash — layout-invariant, reproducible, and
+    * STABLE UNDER CORPUS GROWTH (a doc never changes split when other
+    * docs arrive, unlike randomSplit). Thresholds are integer
+    * micro-fractions (round(frac*1e6) cumulated as longs), so the split
+    * boundaries are exact and any engine mirroring the hash reproduces
+    * the assignment bit-for-bit — no FP cumulative sums. Narrow, no
+    * shuffle.
+    *
+    * @param fractions (label, fraction) in order; fractions must sum to
+    *                  1 within 1e-6 (the last bucket absorbs the rest)
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      fractions: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(fractions.nonEmpty, "splitAssign needs at least one split")
+    val micro = fractions.map(f => math.round(f._2 * 1e6))
+    val cum = micro.scanLeft(0L)(_ + _).tail
+    require(math.abs(cum.last - 1000000L) <= 1,
+      s"splitAssign fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val h6 = pmod(modPHash(key, seed), lit(1000000L))
+    val label = fractions.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((name, c), els) =>
+        when(h6 < c, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** The integer micro-fraction thresholds [[splitAssign]] compares
+    * against — exposed so the oracle SQL mirrors the exact cut points. */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[Long] =
+    fractions.map(f => math.round(f._2 * 1e6)).scanLeft(0L)(_ + _).tail
+
   /** Exactly-k-per-group sample: within each `group`, keep the k rows
     * with the smallest portable key hash (ties broken by the key
     * itself, so the sample is total-ordered and layout-invariant).

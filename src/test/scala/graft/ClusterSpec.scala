@@ -75,6 +75,23 @@ class ClusterSpec extends GraftSpec {
     assert(kept === (0L until 20L).toSet -- Set(2L, 3L, 11L))
   }
 
+  test("canonicalizeBy keeps the best-scored member; ties break to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 and 3 tie at 0.9 -> keep 2
+      (10L, 0.1), (11L, 0.7),          // cluster {10,11}: keep 11
+      (20L, 0.0)                        // unpaired: kept
+    ).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = DedupClusters.canonicalizeBy(docs, col("id"), col("q"),
+      pairs, col("a"), col("b")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 11L, 20L))
+    // and the min-id policy would have kept different docs (1, 10)
+    val minId = DedupClusters.canonicalize(docs, col("id"), pairs, col("a"), col("b"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(minId === Set(1L, 10L, 20L))
+  }
+
   test("end-to-end corpus dedup: canonical corpus has no surviving pair") {
     val docs = Tables.documents(spark, sf)
     val pairs = NearDup.minHashNearDups(docs, col("doc_id"), col("text"),

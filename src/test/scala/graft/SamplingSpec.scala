@@ -22,6 +22,29 @@ class SamplingSpec extends GraftSpec {
     assert(a !== c)
   }
 
+  test("splitAssign partitions exactly, near the fractions, stable under growth") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(docs.select(col("doc_id")), col("doc_id"), fr, 7L)
+    // total partition: every row gets exactly one label
+    assert(out.count() === docs.count())
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(math.abs(byLabel("train") / n - 0.8) < 0.1)
+    // layout invariance
+    val re = Sampling.splitAssign(docs.select(col("doc_id")).repartition(17),
+      col("doc_id"), fr, 7L)
+    assert(out.exceptAll(re).count() === 0)
+    // growth stability: assignments computed on a subset agree with the
+    // full corpus (a doc's split never changes when new docs arrive)
+    val sub = Sampling.splitAssign(
+      docs.select(col("doc_id")).filter(col("doc_id") < 30), col("doc_id"), fr, 7L)
+    assert(sub.exceptAll(out.filter(col("doc_id") < 30)).count() === 0)
+  }
+
   test("downsampleNegatives keeps every positive") {
     val labeled = events.withColumn("y", col("event_type") === "error")
     val out = Sampling.downsampleNegatives(labeled, col("y"), col("event_id"), 0.1, 1L)
