@@ -4,7 +4,7 @@ import graft.functions.{Metrics, Sketches, TextFunctions}
 import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
-import graft.sources.{TabularReader, TabularWriter, TypedParquet}
+import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -983,6 +983,23 @@ object SparkEntry {
         FieldSpec("u", DecimalType(20, 0)))))
         .select(col("id"), col("u").cast("string").as("u"))
     },
+    "scan_tfrecord_roundtrip" -> { (s, d) =>
+      // TFRecord source (reference benchmarks/data_benchmark_tfrecord.py,
+      // tutorial to_tfrecord.py): events staged once as sharded TFRecord
+      // through our own writer, read back — must reproduce the parquet
+      // original (value stored as float32, tf.train.Example's only
+      // floating kind; the oracle casts identically)
+      val dir = GateFixtures.dir("tfrecord", d) { target =>
+        TfRecordSource.write(
+          Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("value").cast("float").as("value_f32"))
+            .repartition(8),
+          target)
+      }
+      TfRecordSource.read(s, Seq(dir), Seq(
+        FieldSpec("event_id", LongType), FieldSpec("user_id", LongType),
+        FieldSpec("event_type", StringType), FieldSpec("value_f32", FloatType)))
+    },
     "scan_csv_roundtrip" -> { (s, d) =>
       // CSV source (reference benchmarks/data_benchmark_csv.py): events
       // staged once as CSV, read back with a declared schema — must
@@ -1880,6 +1897,9 @@ object SparkEntry {
         |FROM range(10000) r(i)""".stripMargin,
     "scan_csv_roundtrip" ->
       "SELECT event_id, user_id, event_type, value, props FROM events",
+    "scan_tfrecord_roundtrip" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(value AS FLOAT) AS value_f32 FROM events""".stripMargin,
     "sample_bernoulli" ->
       s"""SELECT event_id, user_id, event_type FROM events
          |WHERE (${OracleFragments.modPHashSql("event_id", 42L)}) % 1000000 < 500000""".stripMargin,
