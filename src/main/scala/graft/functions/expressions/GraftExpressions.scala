@@ -342,6 +342,30 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct terms + in-document counts of a token array, one row-local
+  * call ([[VecUtil.termCounts]]) — replaces the corpus-wide
+  * (doc, term) groupBy in TF-IDF-style pipelines with a narrow map. */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"term_counts needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.termCounts(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.termCounts($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-occurrence (prefix hash, bigram hash) pairs of a token array —
   * the row-local feed for bigram language-model counts
   * ([[VecUtil.bigramHashPairs]]). Empty array below 2 tokens. */
@@ -404,6 +428,7 @@ object GraftExpressions {
   def sq_dist_l(a: Column, b: Column): Column = column(SqDistL(expression(a), expression(b)))
   def dot_l(a: Column, b: Column): Column = column(DotL(expression(a), expression(b)))
   def bigram_hash_pairs(tokens: Column): Column = column(BigramHashPairs(expression(tokens)))
+  def term_counts(tokens: Column): Column = column(TermCounts(expression(tokens)))
   def email_count(s: Column): Column = column(EmailCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))

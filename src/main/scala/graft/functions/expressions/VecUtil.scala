@@ -289,6 +289,35 @@ object VecUtil {
       Array[Any](dup, top))
   }
 
+  /** Distinct terms of a token array with their in-document counts, in
+    * first-occurrence order — the row-local form of
+    * `groupBy(doc, term).count()`: term frequencies never need a
+    * corpus-wide doc+term shuffle, because every doc's tokens live in
+    * one row to begin with. Keys inserted into the map are defensively
+    * copied (the incoming UTF8Strings can point into reused codegen
+    * buffers). */
+  def termCounts(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val c = counts.get(t)
+      if (c == null) counts.put(t.clone(), Array(1)) else c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0).toLong))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-occurrence bigram hash pairs of a token array: one
     * (h1, h2) = (polyHash(w1), polyHash("w1 w2")) row per ADJACENT token
     * pair, order preserved, duplicates kept — the row-local feed for

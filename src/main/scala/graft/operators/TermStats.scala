@@ -27,19 +27,20 @@ object TermStats {
   def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column, k: Int,
       broadcastDf: Boolean = true): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("__text"))
-    val toks = Parallelism.ensureDefault(base)
-      .select(col("doc_id"), explode(TextFunctions.tokenize(col("__text"))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df per term, derived from tf. The `when` with no otherwise is
-    // nullable-as-far-as-the-optimizer-knows (tf >= 1 always holds, but
-    // it cannot prove that), which stops the count from collapsing to
-    // count(*) and the tf column from being pruned — so this branch's
-    // shuffle canonicalizes identically to the join side's and AQE
-    // dedupes them (ReusedExchange): the corpus is exploded and
-    // shuffled ONCE. A plain count(*) here re-derives a distinct-agg
-    // subplan from the scan and doubles the heavy work.
-    val dfAgg = tf.groupBy("term")
-      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+    // per-doc term frequencies are ROW-LOCAL (every doc's tokens live in
+    // one row): the term_counts kernel replaces the corpus-wide
+    // (doc, term) groupBy an exploded-token formulation needs — the
+    // pipeline's only full-data exchange disappears. What remains is the
+    // vocabulary-sized df aggregate (map-side combined) and the per-doc
+    // top-k window, whose partial WindowGroupLimit runs BEFORE the doc
+    // exchange (a doc's terms are contiguous post-explode), so at most
+    // ~k rows per doc ever travel.
+    val tf = Parallelism.ensureDefault(base)
+      .select(col("doc_id"),
+        explode(graft.functions.expressions.GraftExpressions
+          .term_counts(TextFunctions.tokenize(col("__text")))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val dfAgg = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // vocabulary grows sublinearly with the corpus (hundreds of
     // thousands of terms broadcast in single-digit MBs), so the df side
     // broadcasts by default and the big tf side never reshuffles by
