@@ -497,6 +497,23 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.bucketedTopKMultiProbe(emb.filter(col("id") < 16), emb, k = 5, bits = 6, probes = 3)
     },
+    "hybrid_search_rerank" -> { (s, d) =>
+      // the full retrieval workflow users compose: ANN candidate
+      // generation (bucketed, top-20) -> join candidate docs -> language
+      // filter -> re-rank by cosine x quality -> top-5 per query.
+      // doc_id and vec_id share the id space in the synthetic corpus.
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cands = Ann.bucketedTopK(emb.filter(col("id") < 8), emb, k = 20, bits = 6)
+        .select(col("q_id"), col("n_id"), col("cosine"))
+      val scored = cands
+        .join(Tables.documents(s, d), cands("n_id") === col("doc_id"))
+        .filter(TextFunctions.languageId(col("text")) === "en")
+        .select(col("q_id"), col("doc_id"),
+          round(col("cosine") * TextFunctions.qualityScore(col("text")), 9).as("score"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+    },
     "ivf_kmeans_clusters" -> { (s, d) =>
       // trained IVF coarse quantizer: integer k-means (k=8, 2 Lloyd
       // iterations) + cell occupancy — the oracle re-trains the same
@@ -1611,6 +1628,23 @@ object SparkEntry {
          |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 16)
          |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    "hybrid_search_rerank" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 8),
+         |cand AS (SELECT q_id, n_id, cosine,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS crn
+         |  FROM p QUALIFY crn <= 20),
+         |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |f AS (SELECT c.q_id, t.doc_id, round(c.cosine * ($qualityExprSql), 9) AS score
+         |  FROM cand c JOIN t ON t.doc_id = c.n_id
+         |  WHERE len(list_filter(toks, x -> x IN ${OracleFragments.stopwordListSql})) > 0)
+         |SELECT q_id, doc_id, score,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+         |FROM f QUALIFY rn <= 5""".stripMargin,
     "ivf_kmeans_clusters" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |${OracleFragments.quantizeCte(1000.0)},

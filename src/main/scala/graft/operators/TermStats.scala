@@ -79,10 +79,14 @@ object TermStats {
     * probability is rounded to integer nano-logs
     * (round(ln(p) * 1e9) as BIGINT, the [[tfIdfTopTerms]] libm-parity
     * trick) so every cross-row aggregate is ORDER-FREE integer
-    * arithmetic — one double division at the very end. Count tables are
-    * vocabulary-sized and broadcast (`broadcastCounts=false` falls back
-    * to shuffle joins); the corpus explodes once per side and never
-    * reshuffles by doc.
+    * arithmetic — one double division at the very end.
+    *
+    * Join strategy: the unigram-prefix table grows like the vocabulary
+    * (broadcastable at any corpus size), but the BIGRAM table grows
+    * superlinearly with the corpus, so neither side is force-broadcast
+    * by default — AQE upgrades the shuffle join to broadcast at runtime
+    * when the measured size actually fits (`broadcastCounts=true`
+    * forces the hint for small in-domain corpora).
     *
     * Unseen bigrams (scoring off-domain docs) are skipped — an MLE LM
     * assigns them -inf; smoothing/backoff is out of scope. Docs with
@@ -91,7 +95,7 @@ object TermStats {
     * @return (doc_id, n_bigrams, cross_entropy)
     */
   def bigramCrossEntropy(score: DataFrame, train: DataFrame, id: Column, text: Column,
-      broadcastCounts: Boolean = true): DataFrame = {
+      broadcastCounts: Boolean = false): DataFrame = {
     def bigramRows(docs: DataFrame): DataFrame =
       Parallelism.ensureDefault(docs.select(id.as("doc_id"), text.as("__text")))
         .select(col("doc_id"),
