@@ -497,6 +497,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.bucketedTopKMultiProbe(emb.filter(col("id") < 16), emb, k = 5, bits = 6, probes = 3)
     },
+    "multimodal_image_decode" -> { (s, d) =>
+      // REAL image decode (javax.imageio — the JDK ships the codec):
+      // deterministic PNGs encoded per doc id, decoded distributed in
+      // per-partition batches, exact per-channel pixel sums checked
+      // against the oracle's closed form (PNG is lossless)
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+      val packed = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decodeImageStats(s, packed)
+    },
     "hybrid_search_rerank" -> { (s, d) =>
       // the full retrieval workflow users compose: ANN candidate
       // generation (bucketed, top-20) -> join candidate docs -> language
@@ -1628,6 +1640,15 @@ object SparkEntry {
          |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 16)
          |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    "multimodal_image_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, r1.x, r2.y
+        |  FROM ids CROSS JOIN range(8) r1(x) CROSS JOIN range(8) r2(y))
+        |SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+        |  CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id*11 + x) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id*13 + y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     "hybrid_search_rerank" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, batched decode / feature-extraction over partitions.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs): `decodeStub` produces deterministic fake features from the
-  * leading bytes. Everything around it — the binary column layout, the
-  * metadata struct, the per-partition batched UDF shape, partitioning —
-  * is real Spark plumbing and is what a codec would plug into.
+  * IMAGE decode is REAL: the JDK ships codecs (javax.imageio — PNG,
+  * JPEG, BMP, GIF), so [[decodeImageStats]] decodes actual image bytes
+  * per partition and the `multimodal_image_decode` gate proves the
+  * round trip end-to-end (deterministic PNGs encoded with the same JDK,
+  * decoded distributed, per-channel sums checked against the oracle's
+  * closed form — PNG is lossless, so the sums are exact). Audio/video
+  * decode remains STUBBED (`decodeStub` — no such codecs in the JDK);
+  * the binary layout, metadata struct and per-partition batched shape
+  * are the contract a real codec plugs into.
   */
 object Multimodal {
 
@@ -48,6 +52,66 @@ object Multimodal {
       df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
     ds.mapPartitions(_.map { case (id, bytes) => (id, decodeStub(bytes, dim)) })
       .toDF("media_id", "features")
+  }
+
+  /** Deterministic synthetic RGB image for a seed id: pixel (x, y) gets
+    * r = (id*7 + x*3 + y*5) % 256, g = (id*11 + x) % 256,
+    * b = (id*13 + y) % 256 — a closed form any engine can re-derive,
+    * which is what makes the decode gate oracle-checkable. Encoded as
+    * PNG (lossless) with the JDK's own codec. */
+  def synthImagePng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id * 11 + x) % 256).toInt
+        val b = ((id * 13 + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL batched image decode over a (media_id: long, bytes: binary)
+    * frame: javax.imageio decodes each payload inside one
+    * per-partition JVM call (the mapInPandas-style batch shape) and
+    * emits dimensions + exact per-channel pixel sums — the
+    * decode-then-featurize step of an image-corpus pipeline. Unreadable
+    * payloads yield a (-1, -1, 0, 0, 0) row rather than failing the
+    * batch (corrupt-media-skip semantics). */
+  def decodeImageStats(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (id, -1, -1, 0L, 0L, 0L)
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth, img.getHeight, sr, sg, sb)
+      }
+    }).toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** Expression-only feature extraction (for engine-level tests/oracles):

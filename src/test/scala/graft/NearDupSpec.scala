@@ -76,6 +76,34 @@ class NearDupSpec extends GraftSpec {
     }
   }
 
+  test("multimodal: REAL png decode round-trips the generator's closed form") {
+    import spark.implicits._
+    val packed = spark.range(0, 20)
+      .as[Long].mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.decodeImageStats(spark, packed)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    (0L until 20L).foreach { id =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        sr += (id * 7 + x * 3 + y * 5) % 256
+        sg += (id * 11 + x) % 256
+        sb += (id * 13 + y) % 256
+      }
+      assert(got(id) === ((8, 8, sr, sg, sb)), s"id=$id")
+    }
+  }
+
+  test("multimodal: unreadable media yields a marker row, not a task failure") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, "not a png".getBytes.toArray))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.decodeImageStats(spark, junk)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set((1L, -1, -1), (2L, -1, -1)))
+  }
+
   test("jaccard dfCap drops stop-shingle-only pairs, keeps rare-shingle pairs") {
     import spark.implicits._
     // every doc shares the stop shingle "x y z" (df = 12 > cap); docs 1
