@@ -509,6 +509,28 @@ object SparkEntry {
         .toDF("media_id", "bytes")
       Multimodal.decodeImageStats(s, packed)
     },
+    "multimodal_image_resize" -> { (s, d) =>
+      // decode + nearest-neighbor thumbnail (8x8 -> 4x4) in one batch
+      // pass; resized channel sums vs the closed form (source pixel
+      // (2x, 2y) — integer indexing, no blending, exact)
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+      val packed = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.resizeImageStats(s, packed, tw = 4, th = 4)
+    },
+    "multimodal_audio_decode" -> { (s, d) =>
+      // REAL audio decode (javax.sound.sampled — WAV/PCM ships with the
+      // JDK): 256-sample PCM clips per id, decoded distributed,
+      // length/energy features vs the closed form (PCM is lossless)
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+      val packed = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthWav(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decodeAudioStats(s, packed)
+    },
     "hybrid_search_rerank" -> { (s, d) =>
       // the full retrieval workflow users compose: ANN candidate
       // generation (bucketed, top-20) -> join candidate docs -> language
@@ -1649,6 +1671,23 @@ object SparkEntry {
         |  CAST(SUM((doc_id*11 + x) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id*13 + y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_image_resize" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, r1.x, r2.y
+        |  FROM ids CROSS JOIN range(4) r1(x) CROSS JOIN range(4) r2(y))
+        |SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+        |  CAST(SUM((doc_id*7 + 2*x*3 + 2*y*5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id*11 + 2*x) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id*13 + 2*y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_audio_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |smp AS (SELECT doc_id, ((doc_id*31 + r.i*7) % 65536) - 32768 AS v
+        |  FROM ids CROSS JOIN range(256) r(i))
+        |SELECT doc_id AS media_id, CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_val,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+        |FROM smp GROUP BY doc_id""".stripMargin,
     "hybrid_search_rerank" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),

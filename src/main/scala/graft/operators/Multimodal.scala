@@ -114,6 +114,95 @@ object Multimodal {
     }).toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Nearest-neighbor image resize + channel stats in one decode pass:
+    * output pixel (x, y) samples source pixel (x*sw/tw, y*sh/th) — the
+    * standard thumbnail/downsample step, chosen over interpolating
+    * kernels because its arithmetic is exact (integer source indexing,
+    * no blending), so the gate can check resized channel sums against a
+    * closed form. Emits (media_id, width, height, sum_r, sum_g, sum_b)
+    * of the RESIZED image; unreadable payloads yield the marker row. */
+  def resizeImageStats(spark: SparkSession, df: DataFrame, tw: Int, th: Int): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (id, -1, -1, 0L, 0L, 0L)
+      else {
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val p = img.getRGB(x * sw / tw, y * sh / th)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, tw, th, sr, sg, sb)
+      }
+    }).toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Deterministic 16-bit PCM mono WAV for a seed id: sample i =
+    * ((id * 31 + i * 7) % 65536) - 32768 — closed-form, and WAV PCM is
+    * lossless, so decoded samples equal generated ones exactly. Encoded
+    * with the JDK's own codec (javax.sound.sampled). */
+  def synthWav(id: Long, samples: Int = 256, sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](samples * 2)
+    var i = 0
+    while (i < samples) {
+      val v = (((id * 31 + i * 7) % 65536) - 32768).toInt
+      pcm(i * 2) = (v & 0xff).toByte // little-endian 16-bit
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL batched audio decode (javax.sound.sampled — WAV/PCM ships
+    * with the JDK): per-partition decode to 16-bit samples, emitting
+    * (n_samples, sum, sum_abs) — the length/energy features an audio
+    * curation pipeline filters on. Unreadable payloads yield
+    * (-1, 0, 0). */
+  def decodeAudioStats(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val data = ais.readAllBytes()
+        var (n, sum, sumAbs) = (0L, 0L, 0L)
+        var i = 0
+        while (i + 1 < data.length) {
+          val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+          n += 1
+          sum += v
+          sumAbs += math.abs(v)
+          i += 2
+        }
+        (id, n, sum, sumAbs)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => (id, -1L, 0L, 0L)
+      }
+    }).toDF("media_id", "n_samples", "sum_val", "sum_abs")
+  }
+
   /** Expression-only feature extraction (for engine-level tests/oracles):
     * same semantics as decodeStub for UTF-8 ASCII payloads — leading
     * characters' byte values scaled to [0,1]. Codegen'd, no UDF. */

@@ -95,6 +95,36 @@ class NearDupSpec extends GraftSpec {
     }
   }
 
+  test("multimodal: nearest-neighbor resize and WAV decode match closed forms") {
+    import spark.implicits._
+    val imgs = spark.range(0, 10)
+      .as[Long].mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
+      .toDF("media_id", "bytes")
+    val resized = Multimodal.resizeImageStats(spark, imgs, 4, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    (0L until 10L).foreach { id =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        sr += (id * 7 + 2 * x * 3 + 2 * y * 5) % 256
+        sg += (id * 11 + 2 * x) % 256
+        sb += (id * 13 + 2 * y) % 256
+      }
+      assert(resized(id) === ((sr, sg, sb)), s"id=$id")
+    }
+    val wavs = spark.range(0, 10)
+      .as[Long].mapPartitions(_.map(id => (id, Multimodal.synthWav(id))))
+      .toDF("media_id", "bytes")
+    val audio = Multimodal.decodeAudioStats(spark, wavs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (0L until 10L).foreach { id =>
+      val vs = (0 until 256).map(i => ((id * 31 + i * 7) % 65536) - 32768)
+      assert(audio(id) === ((256L, vs.sum, vs.map(math.abs).sum)), s"id=$id")
+    }
+    // junk bytes -> audio marker row
+    val junk = Seq((9L, Array[Byte](9, 9, 9))).toDF("media_id", "bytes")
+    assert(Multimodal.decodeAudioStats(spark, junk).collect().head.getLong(1) === -1L)
+  }
+
   test("multimodal: unreadable media yields a marker row, not a task failure") {
     import spark.implicits._
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, "not a png".getBytes.toArray))
