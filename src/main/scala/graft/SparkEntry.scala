@@ -531,6 +531,18 @@ object SparkEntry {
         .toDF("media_id", "bytes")
       Multimodal.decodeAudioStats(s, packed)
     },
+    "multimodal_frame_sample" -> { (s, d) =>
+      // REAL frame sampling over the JDK's multi-frame codec (GIF, the
+      // video stand-in): 6-frame clips per id, every 2nd frame decoded,
+      // per-frame channel sums vs the closed form (<=64 colors/frame,
+      // far under GIF's palette — lossless)
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 100)
+      val packed = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthGif(id, frames = 6))))
+        .toDF("media_id", "bytes")
+      Multimodal.sampleFrameStats(s, packed, stride = 2)
+    },
     "hybrid_search_rerank" -> { (s, d) =>
       // the full retrieval workflow users compose: ANN candidate
       // generation (bucketed, top-20) -> join candidate docs -> language
@@ -1671,6 +1683,16 @@ object SparkEntry {
         |  CAST(SUM((doc_id*11 + x) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id*13 + y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT doc_id, rf.k * 2 AS f FROM ids CROSS JOIN range(3) rf(k)),
+        |px AS (SELECT doc_id, f, r1.x, r2.y
+        |  FROM fr CROSS JOIN range(8) r1(x) CROSS JOIN range(8) r2(y))
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM((doc_id*7 + f*17 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id*11 + f*19 + x) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id*13 + f*23 + y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, f""".stripMargin,
     "multimodal_image_resize" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |px AS (SELECT doc_id, r1.x, r2.y

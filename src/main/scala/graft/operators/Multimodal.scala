@@ -203,6 +203,83 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "sum_val", "sum_abs")
   }
 
+  /** Deterministic multi-frame GIF (the JDK's only multi-frame codec —
+    * the video stand-in): frame f's pixel (x, y) gets
+    * r = (id*7 + f*17 + x*3 + y*5) % 256, g = (id*11 + f*19 + x) % 256,
+    * b = (id*13 + f*23 + y) % 256. An 8x8 frame holds at most 64
+    * distinct colors, far under GIF's 256-color palette, so the encode
+    * is lossless and frame sums gate against the closed form. */
+  def synthGif(id: Long, frames: Int = 6, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 7 + f * 17 + x * 3 + y * 5) % 256).toInt
+          val g = ((id * 11 + f * 19 + x) % 256).toInt
+          val b = ((id * 13 + f * 23 + y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL frame sampling over a multi-frame payload (every `stride`-th
+    * frame of a GIF — the video frame-sampling shape over the one
+    * multi-frame codec the JDK ships): one row per SAMPLED frame with
+    * exact channel sums. Decoding only touches the sampled frames.
+    * Unreadable payloads yield a single (-1, 0, 0, 0) marker row. */
+  def sampleFrameStats(spark: SparkSession, df: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val rows = (0 until n by stride).map { f =>
+          val img = reader.read(f)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, f.toLong, sr, sg, sb)
+        }
+        reader.dispose()
+        rows
+      } catch {
+        case _: Exception => Seq((id, -1L, 0L, 0L, 0L))
+      }
+    }).toDF("media_id", "frame_idx", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Expression-only feature extraction (for engine-level tests/oracles):
     * same semantics as decodeStub for UTF-8 ASCII payloads — leading
     * characters' byte values scaled to [0,1]. Codegen'd, no UDF. */

@@ -125,6 +125,26 @@ class NearDupSpec extends GraftSpec {
     assert(Multimodal.decodeAudioStats(spark, junk).collect().head.getLong(1) === -1L)
   }
 
+  test("multimodal: GIF frame sampling reads every stride-th frame exactly") {
+    import spark.implicits._
+    val gifs = spark.range(0, 6)
+      .as[Long].mapPartitions(_.map(id => (id, Multimodal.synthGif(id, frames = 6))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.sampleFrameStats(spark, gifs, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (id <- 0L until 6L; f <- Seq(0L, 2L, 4L)) {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        sr += (id * 7 + f * 17 + x * 3 + y * 5) % 256
+        sg += (id * 11 + f * 19 + x) % 256
+        sb += (id * 13 + f * 23 + y) % 256
+      }
+      assert(got((id, f)) === ((sr, sg, sb)), s"id=$id frame=$f")
+    }
+    assert(got.keySet.map(_._2) === Set(0L, 2L, 4L))
+  }
+
   test("multimodal: unreadable media yields a marker row, not a task failure") {
     import spark.implicits._
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, "not a png".getBytes.toArray))
