@@ -387,8 +387,19 @@ object TfRecordSource {
   def write(df: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val schema = df.schema
     val dirPath = dir
+    // the session's Hadoop settings (credentials, custom filesystems)
+    // must reach the executors; Configuration itself is not
+    // serializable, so ship the explicitly-set entries and replay them
+    val confEntries = {
+      val hc = df.sparkSession.sparkContext.hadoopConfiguration
+      val it = hc.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
       val p = new org.apache.hadoop.fs.Path(
         dirPath, f"part-$idx%05d.tfrecord" + (if (gzip) ".gz" else ""))
       val fs = p.getFileSystem(conf)
