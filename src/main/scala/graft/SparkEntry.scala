@@ -389,6 +389,12 @@ object SparkEntry {
     "dedup_exact_groups" -> { (s, d) =>
       NearDup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
     },
+    "dedup_span_coverage" -> { (s, d) =>
+      // span-granular (substring-level) duplication: exact token
+      // coverage of 5-grams shared across documents
+      NearDup.duplicatedSpans(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 5)
+    },
     "dedup_ngram_jaccard" -> { (s, d) =>
       // dfCap = 20: stop-shingles (df > 20) are dropped before the
       // self-join — bounds the join fanout to df² ≤ 400 rows per shingle
@@ -1600,6 +1606,26 @@ object SparkEntry {
       s"SELECT doc_id, ${OracleFragments.polyHashSql("text")} AS fp FROM documents",
     "dedup_exact_groups" ->
       "SELECT text, COUNT(*) AS n, MIN(doc_id) AS keeper FROM documents GROUP BY text",
+    // positions are 1-based here vs 0-based in Spark; the union LENGTH
+    // of [pos, pos+5) intervals is shift-invariant so the aggregates
+    // agree exactly
+    "dedup_span_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-3),
+         |    i -> struct_pack(pos := i,
+         |      h := ${OracleFragments.polyHashSql("array_to_string(toks[i:i+4], ' ')")}))) AS ph
+         |  FROM tok WHERE len(toks) >= 5),
+         |e AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM g),
+         |dup AS (SELECT h FROM e GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |hit AS (SELECT e.doc_id, e.pos FROM e JOIN dup USING (h)),
+         |iv AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend FROM hit),
+         |cov AS (SELECT doc_id, sum(greatest(0, pos + 5 - greatest(pos, coalesce(pend, 0)))) AS c
+         |  FROM iv GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT nt.doc_id, n_tokens, CAST(coalesce(c, 0) AS BIGINT) AS dup_span_tokens,
+         |  CAST(coalesce(c, 0) AS DOUBLE) / n_tokens AS dup_span_frac
+         |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH ${OracleFragments.shingleCtes(3)},
          |${OracleFragments.cappedJaccardSql(20, 0.5)}""".stripMargin,

@@ -224,6 +224,33 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional n-gram shingle hashes: element g = mod-P polyHash of the
+  * space-joined gram starting at token g. The position-preserving
+  * companion of [[ShingleHashes]] (same hash, no dedup/sort) feeding
+  * span-level duplicate detection, where WHERE a gram sits in the doc
+  * matters as much as its identity. NULL when the doc has < n tokens. */
+case class PositionalShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"positional_shingle_hashes needs n > 0, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"positional_shingle_hashes needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.positionalShingleHashes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.expressions.VecUtil.positionalShingleHashes($a, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** floor(v[i] * scale) per dim, array<float> -> array<long> — the
   * engine-portable integer grid the IVF coarse quantizer trains on
   * ([[VecUtil.quantizeVec]]). */
@@ -436,4 +463,6 @@ object GraftExpressions {
     column(MinHashSigs(expression(tokens), n, k))
   def shingle_hashes(tokens: Column, n: Int): Column =
     column(ShingleHashes(expression(tokens), n))
+  def positional_shingle_hashes(tokens: Column, n: Int): Column =
+    column(PositionalShingleHashes(expression(tokens), n))
 }

@@ -187,11 +187,11 @@ object VecUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
-  /** Distinct, sorted n-gram shingle hashes of a token array — the
-    * row-local fused form of shingle-string building + polyHash +
-    * array_distinct (same incremental gram hash as [[minHashSigs]]).
-    * Null when the doc has fewer than n tokens. */
-  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+  /** Positional n-gram hashes: element g is the mod-P polyHash of the
+    * space-joined gram starting at token g (identical hash to
+    * [[shingleHashes]] / [[minHashSigs]], positions preserved). Null
+    * when the doc has fewer than n tokens. */
+  def gramHashes(tokens: ArrayData, n: Int): Array[Long] = {
     val t = tokens.numElements()
     if (t < n) return null
     val th = new Array[Long](t)
@@ -216,6 +216,23 @@ object VecUtil {
       hs(g) = h
       g += 1
     }
+    hs
+  }
+
+  /** [[gramHashes]] boxed for the PositionalShingleHashes expression. */
+  def positionalShingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val hs = gramHashes(tokens, n)
+    if (hs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)
+  }
+
+  /** Distinct, sorted n-gram shingle hashes of a token array — the
+    * row-local fused form of shingle-string building + polyHash +
+    * array_distinct (same incremental gram hash as [[minHashSigs]]).
+    * Null when the doc has fewer than n tokens. */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val hs = gramHashes(tokens, n)
+    if (hs == null) return null
     java.util.Arrays.sort(hs)
     var w = 1
     var r = 1

@@ -376,4 +376,68 @@ object NearDup {
           when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  // ---- span-level (substring) duplication ------------------------------
+
+  /** Per-document duplicated-SPAN coverage: the fraction of each doc's
+    * tokens lying inside a token n-gram that also appears in some OTHER
+    * document — the span-granular signal behind suffix-array substring
+    * dedup (train-set memorization comes from repeated PASSAGES, which
+    * doc-level near-dup misses when the surrounding text differs;
+    * reference's pipelines stop at doc granularity, cf.
+    * /root/reference/docs/tutorial/ranking/taobao/README.md).
+    *
+    * Output: (doc_id, n_tokens, dup_span_tokens, dup_span_frac) for
+    * every document, dup_span_tokens = exact token count of the UNION
+    * of duplicated n-gram intervals [pos, pos+n).
+    *
+    * Scale design — no suffix array, three relational passes that all
+    * scale out: (1) positional gram hashes computed row-locally by the
+    * codegen'd [[graft.functions.expressions.PositionalShingleHashes]]
+    * kernel, then one posexplode; (2) cross-doc grams found with a
+    * map-side-combinable min/max-doc aggregate on the 8-byte hash (NOT
+    * countDistinct — min(doc)!=max(doc) detects "≥2 distinct docs"
+    * with mergeable partial state); (3) a left-semi join back on the
+    * hash (AQE picks the join shape) and a per-doc window that turns
+    * overlapping intervals into an exact union length (running-max of
+    * interval ends — one shuffle by doc_id, bounded per-doc state).
+    * Gram strings never travel: every exchanged row is (hash, doc, pos).
+    */
+  def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
+      n: Int = 5): DataFrame = {
+    val base = Parallelism.ensureDefault(
+      docs.select(id.as("doc_id"), text.as("__text")))
+    val grams = base
+      .filter(graft.functions.TextFunctions.tokenCount(col("__text")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.GraftExpressions
+          .positional_shingle_hashes(tokenize(col("__text")), n))
+          .as(Seq("pos", "h")))
+    val dup = grams.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("h")
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+    // exact interval-union length: sort a doc's hit positions, clip each
+    // interval [pos, pos+n) against the running max end of its
+    // predecessors; negative clips (fully covered grams) contribute 0
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = hits
+      .withColumn("pend", max(col("pos") + n).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          col("pos") + n - greatest(col("pos"), coalesce(col("pend"), lit(0)))
+        ).as("contrib"))
+      .groupBy("doc_id").agg(sum("contrib").as("dup_span_tokens"))
+    base
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("__text"))
+          .cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_span_tokens"), lit(0L)).as("dup_span_tokens"),
+        (coalesce(col("dup_span_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_span_frac"))
+  }
 }

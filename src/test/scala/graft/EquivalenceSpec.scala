@@ -110,6 +110,36 @@ class EquivalenceSpec extends GraftSpec {
     assert(got === expect)
   }
 
+  test("positional shingle kernel equals the HOF formulation; span union is exact") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val n = 5
+    val toks = graft.functions.TextFunctions.tokenize(col("text"))
+    // column formulation: polyHash of each space-joined gram, 1-based slice
+    val hof = docs.filter(size(toks) >= n).select(col("doc_id"),
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => graft.functions.TextFunctions.polyHash(
+          array_join(slice(toks, i, lit(n)), " "))).as("hs"))
+    val fast = docs.filter(size(toks) >= n).select(col("doc_id"),
+      graft.functions.expressions.GraftExpressions
+        .positional_shingle_hashes(toks, n).as("hs"))
+    assert(fast.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(fast).count() === 0)
+    // exact interval-union semantics on a handcrafted corpus: A and B
+    // share the 6-token passage "a b c d e f" (two overlapping 5-grams
+    // that must merge, not double-count); C has no cross-doc gram
+    val tiny = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z0 z1 z2 a b c d e f y"),
+      (3L, "q w e r t")).toDF("doc_id", "text")
+    val got = graft.operators.NearDup
+      .duplicatedSpans(tiny, col("doc_id"), col("text"), n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((8L, 6L)))
+    assert(got(2L) === ((10L, 6L)))
+    assert(got(3L) === ((5L, 0L)))
+  }
+
   test("native token_count equals size(split) on the corpus and edge strings") {
     import spark.implicits._
     import graft.functions.expressions.GraftExpressions.token_count
