@@ -962,6 +962,25 @@ object SparkEntry {
         .where(col("user_id") >= 40 && col("user_id") < 80)
         .select(col("event_id"), col("user_id"), col("value"))
     },
+    "scan_zorder_layout" -> { (s, d) =>
+      // Morton-curve layout on (l_partkey, l_suppkey): one sort key
+      // clusters BOTH dimensions, so the box predicate prunes files via
+      // footer stats on either key (bounding-box narrowness proved in
+      // PruningSpec); the gate also checks the z arithmetic itself
+      val dir = GateFixtures.dir("zordered", d) { target =>
+        TabularWriter.toZOrdered(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          target, "l_partkey", "l_suppkey", numFiles = 8)
+      }
+      s.read.parquet(dir)
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(20, 60))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          graft.functions.expressions.GraftExpressions.z_order(
+            col("l_partkey").cast("long"), col("l_suppkey").cast("long")).as("zval"))
+    },
 
     // ---- stream-static enrichment join (streaming embedding lookup) ----
     "stream_enrich_join" -> { (s, d) =>
@@ -1606,6 +1625,15 @@ object SparkEntry {
       s"SELECT doc_id, ${OracleFragments.polyHashSql("text")} AS fp FROM documents",
     "dedup_exact_groups" ->
       "SELECT text, COUNT(*) AS n, MIN(doc_id) AS keeper FROM documents GROUP BY text",
+    // layout-invariant scan + closed-form Morton interleave of the two
+    // masked 31-bit keys (mirrors VecUtil.interleaveBits bit-for-bit)
+    "scan_zorder_layout" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(list_sum(list_transform(range(0, 31),
+         |    i -> ((((l_partkey & 2147483647) >> i) & 1) << (2*i))
+         |       + ((((l_suppkey & 2147483647) >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 20 AND 60""".stripMargin,
     // positions are 1-based here vs 0-based in Spark; the union LENGTH
     // of [pos, pos+5) intervals is shift-invariant so the aggregates
     // agree exactly

@@ -224,6 +224,36 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 62-bit Morton (Z-order) value of two long keys' lower 31 bits
+  * ([[VecUtil.interleaveBits]]) — the space-filling-curve sort key for
+  * two-dimensional data layout: sorting by z clusters BOTH dimensions,
+  * so parquet footer min/max stats prune box predicates on either key.
+  * Negative inputs contribute only their masked lower 31 bits (layout
+  * keys are ids — non-negative by construction). */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"z_order needs (bigint, bigint), got (${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    VecUtil.interleaveBits(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.interleaveBits($x, $y);")
+
+  override def prettyName: String = "z_order"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Positional n-gram shingle hashes: element g = mod-P polyHash of the
   * space-joined gram starting at token g. The position-preserving
   * companion of [[ShingleHashes]] (same hash, no dedup/sort) feeding
@@ -465,4 +495,6 @@ object GraftExpressions {
     column(ShingleHashes(expression(tokens), n))
   def positional_shingle_hashes(tokens: Column, n: Int): Column =
     column(PositionalShingleHashes(expression(tokens), n))
+  def z_order(x: Column, y: Column): Column =
+    column(ZOrder2(expression(x), expression(y)))
 }

@@ -219,6 +219,25 @@ object VecUtil {
     hs
   }
 
+  /** Spread the lower 31 bits of v to even bit positions (Morton
+    * encoding half-step): bit i of (v & 0x7fffffff) lands at bit 2i. */
+  def spread31(v: Long): Long = {
+    var x = v & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** 62-bit Morton (Z-order) interleave of two keys' lower 31 bits:
+    * x's bit i at position 2i, y's at 2i+1. Monotone in each key when
+    * the other is fixed, and close in z ⇒ close in BOTH keys — the
+    * property that makes one sort column cluster two dimensions. */
+  def interleaveBits(x: Long, y: Long): Long =
+    spread31(x) | (spread31(y) << 1)
+
   /** [[gramHashes]] boxed for the PositionalShingleHashes expression. */
   def positionalShingleHashes(tokens: ArrayData, n: Int): ArrayData = {
     val hs = gramHashes(tokens, n)

@@ -50,6 +50,41 @@ object TabularWriter {
       .write.mode("overwrite").option("compression", compression).parquet(path)
   }
 
+  /** Z-ordered (Morton-curve) two-dimensional layout: sort the data by
+    * the bit-interleave of two keys before writing, so each output
+    * file's footer stats carry a NARROW [min, max] on BOTH keys and a
+    * box predicate on either (or both) prunes whole files/row-groups.
+    * The single-key answer ([[toRangeSorted]]) clusters one dimension
+    * perfectly and leaves the other unclustered; z-order trades a
+    * little of each for pruning power on both — the standard lakehouse
+    * layout move for two-key workloads. The z column is dropped before
+    * the write: the layout is carried by row ORDER + footer stats, the
+    * schema is unchanged. */
+  def toZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      numFiles: Int, compression: String = "snappy"): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
+    // normalize both keys to equal-width 15-bit buckets first: raw
+    // interleave of unequal domains degenerates to a single-key sort
+    // (the wider key owns every leading bit). Equi-width is the shared
+    // Buckets.rangeBucket; the min/max pass is one narrow map-side agg
+    // broadcast as a one-row frame, keeping the plan fully lazy.
+    val bits = 15
+    val stats = df.agg(
+      min(col(xCol)).cast("double").as("__xlo"), max(col(xCol)).cast("double").as("__xhi"),
+      min(col(yCol)).cast("double").as("__ylo"), max(col(yCol)).cast("double").as("__yhi"))
+    val bx = graft.operators.Buckets.rangeBucket(
+      col(xCol).cast("double"), col("__xlo"), col("__xhi"), 1 << bits)
+    val by = graft.operators.Buckets.rangeBucket(
+      col(yCol).cast("double"), col("__ylo"), col("__yhi"), 1 << bits)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", graft.functions.expressions.GraftExpressions
+        .z_order(bx.cast("long"), by.cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+      .write.mode("overwrite").option("compression", compression).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. The chronic 100 TB operational problem
     * — streaming ingest and fine-grained partitioning produce file

@@ -60,6 +60,57 @@ class PruningSpec extends GraftSpec {
     assert(plan.contains("GreaterThanOrEqual(user_id,40)"))
   }
 
+  test("z-ordered layout clusters BOTH keys (footer bounding-box proof)") {
+    import graft.sources.TabularWriter
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/li"
+    val src = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    TabularWriter.toZOrdered(src, dir, "l_partkey", "l_suppkey", numFiles = 16)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 8, "need many files to measure clustering")
+    def minMax(f: java.io.File, column: String): (Long, Long) = {
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.getPath), conf))
+      try {
+        val idx = rd.getFooter.getFileMetaData.getSchema.getFieldIndex(column)
+        val stats = rd.getFooter.getBlocks.asScala.map(_.getColumns.get(idx).getStatistics)
+        (stats.map(_.genericGetMin.toString.toLong).min,
+          stats.map(_.genericGetMax.toString.toLong).max)
+      } finally rd.close()
+    }
+    // every file's footer bounding box must be narrow in BOTH
+    // dimensions — the property no single-key sort can deliver (a
+    // partkey sort leaves each file spanning ~the full suppkey domain).
+    // 16 z-range files quarter each normalized dimension; boundary
+    // files can straddle a split, so assert the MEAN width, at double a
+    // perfect quarter to absorb stragglers.
+    def meanWidthFrac(column: String): Double = {
+      val boxes = files.map(minMax(_, column))
+      val lo = boxes.map(_._1).min
+      val hi = boxes.map(_._2).max
+      boxes.map(b => (b._2 - b._1).toDouble / (hi - lo)).sum / boxes.length
+    }
+    val pw = meanWidthFrac("l_partkey")
+    val sw = meanWidthFrac("l_suppkey")
+    assert(pw <= 0.5, s"l_partkey mean file width $pw — not clustered")
+    assert(sw <= 0.5, s"l_suppkey mean file width $sw — not clustered")
+    // and the box predicate reaches the scan on both keys (the default
+    // metadata string length elides the second pushed filter)
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+      val plan = spark.read.parquet(dir)
+        .where(col("l_partkey").between(100, 300) && col("l_suppkey").between(20, 60))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(l_partkey,100)"), plan)
+      assert(plan.contains("GreaterThanOrEqual(l_suppkey,20)"), plan)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
   test("compaction rewrites to the computed file count with identical rows") {
     import graft.sources.TabularWriter
     val root = Files.createTempDirectory("graft_compact").toString
