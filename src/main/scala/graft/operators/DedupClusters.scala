@@ -43,28 +43,41 @@ object DedupClusters {
     */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
       maxIter: Int = 50): DataFrame = {
-    // all ids, incl. nodes whose only edge is a self-loop
-    val nodes = pairs.select(a.cast("long").as("id"))
-      .union(pairs.select(b.cast("long").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-
-    // canonical undirected edges u < v
-    var edges = pairs
+    // ONE lazily-checkpointed canonical pair frame feeds both the node
+    // set and the edge set: the first signature action below
+    // materializes the whole setup in a single job (eager per-frame
+    // checkpoints would burn one fixed-cost job each before the loop
+    // even starts, and `nodes` would otherwise re-run the full
+    // upstream pair-detection pipeline at the final join)
+    val canon = pairs
       .select(least(a, b).cast("long").as("u"), greatest(a, b).cast("long").as("v"))
+      .localCheckpoint(false)
+
+    // all ids, incl. nodes whose only edge is a self-loop (u == v rows
+    // survive in `canon`, dropped only from the edge set)
+    val nodes = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
+      .distinct()
+
+    var edges = canon
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var prev = signature(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY checkpoint: the signature aggregate right below is the
+      // round's single materializing action (an eager checkpoint would
+      // run a second, redundant job per round just to cache the same
+      // partitions)
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       val sig = signature(edges)
       converged = sig == prev
       prev = sig
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round $iter sig=$sig ${System.nanoTime}")
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
