@@ -395,6 +395,12 @@ object SparkEntry {
       NearDup.duplicatedSpans(Tables.documents(s, d), col("doc_id"),
         col("text"), n = 5)
     },
+    "dedup_span_removal" -> { (s, d) =>
+      // the excision transform: duplicated passages removed everywhere
+      // but their minimum-id holder, text rebuilt by the native kernel
+      NearDup.removeDuplicatedSpans(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 5)
+    },
     "dedup_ngram_jaccard" -> { (s, d) =>
       // dfCap = 20: stop-shingles (df > 20) are dropped before the
       // self-join — bounds the join fanout to df² ≤ 400 rows per shingle
@@ -1634,6 +1640,32 @@ object SparkEntry {
          |       + ((((l_suppkey & 2147483647) >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
          |FROM lineitem
          |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 20 AND 60""".stripMargin,
+    // same gram/dup CTEs as dedup_span_coverage plus the min-holder
+    // exemption, island merge, and a NOT-EXISTS rebuild; empty results
+    // coalesce to '' (fully-excised docs must keep their row)
+    "dedup_span_removal" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-3),
+         |    i -> struct_pack(pos := i,
+         |      h := ${OracleFragments.polyHashSql("array_to_string(toks[i:i+4], ' ')")}))) AS ph
+         |  FROM tok WHERE len(toks) >= 5),
+         |e AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM g),
+         |dup AS (SELECT h, min(doc_id) AS mn FROM e GROUP BY h
+         |  HAVING min(doc_id) <> max(doc_id)),
+         |rem AS (SELECT e.doc_id, e.pos FROM e JOIN dup USING (h) WHERE e.doc_id <> dup.mn),
+         |isl AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend FROM rem),
+         |isl2 AS (SELECT doc_id, pos, sum(CASE WHEN pend IS NULL OR pos > pend THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM isl),
+         |iv AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 5 AS e FROM isl2 GROUP BY doc_id, grp),
+         |tokidx AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM tok),
+         |keep AS (SELECT t.doc_id, t.i, t.toks[t.i] AS tk FROM tokidx t
+         |  WHERE NOT EXISTS (SELECT 1 FROM iv
+         |    WHERE iv.doc_id = t.doc_id AND t.i >= iv.s AND t.i < iv.e)),
+         |built AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS ct FROM keep GROUP BY doc_id)
+         |SELECT tok.doc_id, coalesce(b.ct, '') AS clean_text
+         |FROM tok LEFT JOIN built b USING (doc_id)""".stripMargin,
     // positions are 1-based here vs 0-based in Spark; the union LENGTH
     // of [pos, pos+5) intervals is shift-invariant so the aggregates
     // agree exactly

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -222,6 +222,38 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Rebuild a space-joined document from its token array minus every
+  * token index covered by the sorted, non-overlapping [start, end)
+  * interval lists — the excision step of substring-level dedup
+  * ([[VecUtil.exciseSpans]]: one merge-scan, no per-token search). */
+case class ExciseSpans(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"excise_spans needs (array<string>, array<bigint>, array<bigint>), " +
+          s"got (${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(t: Any, s: Any, e: Any): Any =
+    VecUtil.exciseSpans(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData],
+      e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s, e) =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.exciseSpans($t, $s, $e);")
+
+  override def prettyName: String = "excise_spans"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** 62-bit Morton (Z-order) value of two long keys' lower 31 bits
@@ -497,4 +529,6 @@ object GraftExpressions {
     column(PositionalShingleHashes(expression(tokens), n))
   def z_order(x: Column, y: Column): Column =
     column(ZOrder2(expression(x), expression(y)))
+  def excise_spans(tokens: Column, starts: Column, ends: Column): Column =
+    column(ExciseSpans(expression(tokens), expression(starts), expression(ends)))
 }

@@ -219,6 +219,27 @@ object VecUtil {
     hs
   }
 
+  /** Rebuild a space-joined document from `tokens`, dropping every
+    * token whose 0-based index falls in any [starts(i), ends(i))
+    * interval. Intervals must be sorted and non-overlapping (the merged
+    * islands the span-dedup window produces) — one merge-scan, no
+    * per-token interval search. */
+  def exciseSpans(tokens: ArrayData, starts: ArrayData,
+      ends: ArrayData): UTF8String = {
+    val t = tokens.numElements()
+    val m = starts.numElements()
+    val kept = new java.util.ArrayList[UTF8String](t)
+    var iv = 0
+    var i = 0
+    while (i < t) {
+      while (iv < m && ends.getLong(iv) <= i) iv += 1
+      if (!(iv < m && starts.getLong(iv) <= i)) kept.add(tokens.getUTF8String(i))
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+  }
+
   /** Spread the lower 31 bits of v to even bit positions (Morton
     * encoding half-step): bit i of (v & 0x7fffffff) lands at bit 2i. */
   def spread31(v: Long): Long = {

@@ -440,4 +440,58 @@ object NearDup {
         (coalesce(col("dup_span_tokens"), lit(0L)).cast("double") /
           col("n_tokens")).as("dup_span_frac"))
   }
+
+  /** The excision TRANSFORM behind [[duplicatedSpans]]: rewrite every
+    * document with its cross-document duplicated spans removed, keeping
+    * the copy in the MINIMUM-id holder of each gram (so one instance of
+    * every passage survives the corpus — the substring-granular
+    * analogue of keep-one-representative doc dedup).
+    *
+    * Same three relational passes as [[duplicatedSpans]], plus: hit
+    * positions become merged [start, end) islands (running-max window +
+    * island-id prefix sum, both partitioned by doc), islands collect to
+    * one sorted per-doc interval list (row-local size — the same order
+    * as the token array itself), and the codegen'd
+    * [[graft.functions.expressions.ExciseSpans]] kernel rebuilds the
+    * text in one merge-scan. Docs with nothing to excise pass through
+    * untouched via the left join's null arm.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, id: Column, text: Column,
+      n: Int = 5): DataFrame = {
+    val base = Parallelism.ensureDefault(
+      docs.select(id.as("doc_id"), text.as("__text")))
+    val grams = base
+      .filter(graft.functions.TextFunctions.tokenCount(col("__text")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.GraftExpressions
+          .positional_shingle_hashes(tokenize(col("__text")), n))
+          .as(Seq("pos", "h")))
+    // (gram, min holder) for grams held by >= 2 distinct docs; the
+    // min-id holder keeps its copy, every other holder excises
+    val dup = grams.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"), col("mn"))
+    val rem = grams.join(dup, Seq("h")).where(col("doc_id") =!= col("mn"))
+      .select(col("doc_id"), col("pos"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = rem
+      .withColumn("pend", max(col("pos") + n).over(wPrev))
+      .withColumn("isl",
+        sum(when(col("pend").isNull || col("pos") > col("pend"), 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").cast("long").as("s"), (max(col("pos")) + n).cast("long").as("e"))
+    val intervals = islands.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    base.join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("__text"))
+          .otherwise(graft.functions.expressions.GraftExpressions.excise_spans(
+            tokenize(col("__text")),
+            col("iv.s"), col("iv.e"))).as("clean_text"))
+  }
 }

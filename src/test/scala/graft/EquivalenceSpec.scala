@@ -138,6 +138,20 @@ class EquivalenceSpec extends GraftSpec {
     assert(got(1L) === ((8L, 6L)))
     assert(got(2L) === ((10L, 6L)))
     assert(got(3L) === ((5L, 0L)))
+    // excision keeps the min-id holder's copy and cuts everyone else's
+    val cleaned = graft.operators.NearDup
+      .removeDuplicatedSpans(tiny, col("doc_id"), col("text"), n)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === "a b c d e f g h")
+    assert(cleaned(2L) === "z0 z1 z2 y")
+    assert(cleaned(3L) === "q w e r t")
+    // a doc that is ENTIRELY a duplicated span empties to "" (row kept)
+    val full = Seq((1L, "p q r s t"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val g2 = graft.operators.NearDup
+      .removeDuplicatedSpans(full, col("doc_id"), col("text"), n)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2(1L) === "p q r s t")
+    assert(g2(2L) === "")
   }
 
   test("native token_count equals size(split) on the corpus and edge strings") {
