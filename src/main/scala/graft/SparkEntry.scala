@@ -555,6 +555,16 @@ object SparkEntry {
         .toDF("media_id", "bytes")
       Multimodal.sampleFrameStats(s, packed, stride = 2)
     },
+    "text_bm25_topk" -> { (s, d) =>
+      // lexical retrieval: three keyword queries over the corpus,
+      // BM25-ranked (nano-integer scores — order-free float parity)
+      import s.implicits._
+      val queries = Seq((0L, "spark"), (0L, "join"), (1L, "hash"),
+        (1L, "table"), (2L, "window"), (2L, "sort"), (2L, "merge"))
+        .toDF("query_id", "term")
+      TermStats.bm25TopK(Tables.documents(s, d), col("doc_id"), col("text"),
+        queries, k = 10)
+    },
     "hybrid_search_rerank" -> { (s, d) =>
       // the full retrieval workflow users compose: ANN candidate
       // generation (bucketed, top-20) -> join candidate docs -> language
@@ -1592,6 +1602,30 @@ object SparkEntry {
          |q AS (SELECT doc_id, round($qualityExprSql, 9) AS quality FROM t),
          |thr AS (SELECT round(quantile_cont(quality, 0.25), 9) AS thr FROM q)
          |SELECT doc_id, quality FROM q CROSS JOIN thr WHERE quality >= thr""".stripMargin,
+    // constants interpolated from the same Scala doubles the Spark side
+    // uses (Double.toString round-trips exactly), idf rounded to 9
+    // decimals before the product, contributions summed as nano BIGINTs
+    "text_bm25_topk" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
+         |dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+         |q(query_id, term) AS (VALUES (CAST(0 AS BIGINT), 'spark'), (0, 'join'),
+         |  (1, 'hash'), (1, 'table'), (2, 'window'), (2, 'sort'), (2, 'merge')),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(toks)) AS BIGINT) AS sdl FROM tok),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |    CAST(round(round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 9)
+         |      * ((tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / (CAST(sdl AS DOUBLE) / n))))
+         |      * 1e9) AS BIGINT) AS nano
+         |  FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dlt USING (doc_id) CROSS JOIN st),
+         |ag AS (SELECT query_id, doc_id, CAST(sum(nano) AS BIGINT) AS score_nano FROM sc GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score_nano, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rn FROM ag) WHERE rn <= 10""".stripMargin
+    },
     "text_tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),

@@ -118,6 +118,66 @@ object TermStats {
           .as("cross_entropy"))
   }
 
+  /** BM25 lexical retrieval: rank documents against a set of keyword
+    * queries with the Lucene-form BM25
+    * (idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation with k1/b
+    * length normalization) and keep the top-k per query — the lexical
+    * half of a hybrid retrieval stack (the dense half is
+    * [[Ann.bucketedTopK]]; [[hybrid_search_rerank]]-style composition
+    * joins them).
+    *
+    * Parity/scale design: per-term contributions are rounded to
+    * integer NANO units (idf itself rounded to 9 decimals first, the
+    * libm-portability move) and integer-summed per (query, doc) — an
+    * order-free, map-side-combinable aggregate; never a float sum
+    * across rows. The query set and its per-term df (both tiny)
+    * broadcast, so the corpus-side tf rows are filtered by a broadcast
+    * semi-join and only matching (query, doc, term) rows ever travel;
+    * doc length and tf come from the row-local token_count/term_counts
+    * kernels. The only corpus-wide aggregates are the one-row
+    * (N, Σdl) frame and the per-term df count.
+    *
+    * @param queries (query_id, term) rows, one per query keyword
+    * @return (query_id, doc_id, score_nano, rn), rn in 1..k per query,
+    *         ranked by score_nano desc then doc_id
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = Parallelism.ensureDefault(
+      docs.select(id.as("doc_id"), text.as("__text")))
+    val withDl = base.select(col("doc_id"),
+      TextFunctions.tokenCount(col("__text")).cast("long").as("dl"),
+      col("__text"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"),
+        explode(graft.functions.expressions.GraftExpressions
+          .term_counts(TextFunctions.tokenize(col("__text")))).as("tc"))
+      .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val qTerms = queries.select(col("term")).distinct()
+    val dfq = tf.join(broadcast(qTerms), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(TextFunctions.tokenCount(col("__text")).cast("long")).as("__sdl"))
+    val avgdl = col("__sdl").cast("double") / col("__n")
+    val idf9 = round(
+      log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 9)
+    val tfpart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val scored = tf
+      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf9 * tfpart * lit(1e9)).cast("long").as("nano"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("nano")).as("score_nano"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_nano").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Documents whose quality score clears the corpus `quantile` — the
     * standard "drop the worst q%" curation cut. The threshold is an
     * exact interpolated percentile computed in one distributed

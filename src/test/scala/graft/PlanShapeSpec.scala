@@ -29,6 +29,15 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan("lookup_join").contains("BroadcastHashJoin"))
   }
 
+  test("BM25 broadcasts the query/df sides; corpus tf rows never shuffle by term") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only non-broadcast exchanges are the (query, doc) score
+    // aggregate and the per-query top-k window — never a join shuffle
+    // of the exploded corpus term rows
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("ordered top-k plans as distributed TakeOrderedAndProject, not a global sort") {
     assert(plan("topk_orders").contains("TakeOrderedAndProject"))
     assert(plan("q3_shipping_priority").contains("TakeOrderedAndProject"))
