@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Fusion, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -564,6 +564,24 @@ object SparkEntry {
         .toDF("query_id", "term")
       TermStats.bm25TopK(Tables.documents(s, d), col("doc_id"), col("text"),
         queries, k = 10)
+    },
+    "hybrid_rrf_fusion" -> { (s, d) =>
+      // the full hybrid-retrieval composition: BM25 lexical top-20 +
+      // bucketed-ANN dense top-20, fused by reciprocal rank (K=60).
+      // doc_id and vec_id share the id space in the synthetic corpus,
+      // and query ids 0-2 name both a keyword set and a query vector.
+      import s.implicits._
+      val queries = Seq((0L, "spark"), (0L, "join"), (1L, "hash"),
+        (1L, "table"), (2L, "window"), (2L, "sort"), (2L, "merge"))
+        .toDF("query_id", "term")
+      val lex = TermStats.bm25TopK(Tables.documents(s, d), col("doc_id"),
+        col("text"), queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rn"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dense = Ann.bucketedTopK(emb.filter(col("id") < 3), emb, k = 20, bits = 6)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rn"))
+      Fusion.rrf(lex, dense, k = 10)
     },
     "hybrid_search_rerank" -> { (s, d) =>
       // the full retrieval workflow users compose: ANN candidate
@@ -1407,6 +1425,35 @@ object SparkEntry {
        |${OracleFragments.jaccardJoinCtes}
        |$finalSelect""".stripMargin
 
+  /** BM25 oracle CTE chain, final CTE `lex(query_id, doc_id,
+    * score_nano, rn)` capped at k — shared by the BM25 gate and the
+    * RRF fusion gate. Constants interpolate from the same Scala
+    * doubles the Spark side uses (Double.toString round-trips
+    * exactly); idf is rounded to 9 decimals before the product and
+    * contributions sum as nano BIGINTs. */
+  private def bm25OracleCtes(k: Int): String = {
+    val (k1, b) = (1.2, 0.75)
+    s"""tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
+       |dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       |q(query_id, term) AS (VALUES (CAST(0 AS BIGINT), 'spark'), (0, 'join'),
+       |  (1, 'hash'), (1, 'table'), (2, 'window'), (2, 'sort'), (2, 'merge')),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(toks)) AS BIGINT) AS sdl FROM tok),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(round(round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 9)
+       |      * ((tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / (CAST(sdl AS DOUBLE) / n))))
+       |      * 1e9) AS BIGINT) AS nano
+       |  FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dlt USING (doc_id) CROSS JOIN st),
+       |ag AS (SELECT query_id, doc_id, CAST(sum(nano) AS BIGINT) AS score_nano FROM sc GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, score_nano,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rn
+       |  FROM ag QUALIFY rn <= $k)""".stripMargin
+  }
+
   /** Shared brute-force hamming<=2 oracle for the bounded and full
     * simhash-pairs gates (one template, one place to change). */
   private def simHashPairsOracle(docFilter: String): String =
@@ -1602,30 +1649,30 @@ object SparkEntry {
          |q AS (SELECT doc_id, round($qualityExprSql, 9) AS quality FROM t),
          |thr AS (SELECT round(quantile_cont(quality, 0.25), 9) AS thr FROM q)
          |SELECT doc_id, quality FROM q CROSS JOIN thr WHERE quality >= thr""".stripMargin,
-    // constants interpolated from the same Scala doubles the Spark side
-    // uses (Double.toString round-trips exactly), idf rounded to 9
-    // decimals before the product, contributions summed as nano BIGINTs
-    "text_bm25_topk" -> {
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
-         |dlt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
-         |q(query_id, term) AS (VALUES (CAST(0 AS BIGINT), 'spark'), (0, 'join'),
-         |  (1, 'hash'), (1, 'table'), (2, 'window'), (2, 'sort'), (2, 'merge')),
-         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
-         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(toks)) AS BIGINT) AS sdl FROM tok),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |    CAST(round(round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 9)
-         |      * ((tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / (CAST(sdl AS DOUBLE) / n))))
-         |      * 1e9) AS BIGINT) AS nano
-         |  FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dlt USING (doc_id) CROSS JOIN st),
-         |ag AS (SELECT query_id, doc_id, CAST(sum(nano) AS BIGINT) AS score_nano FROM sc GROUP BY 1, 2)
-         |SELECT query_id, doc_id, score_nano, rn FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rn FROM ag) WHERE rn <= 10""".stripMargin
-    },
+    "text_bm25_topk" ->
+      s"""WITH ${bm25OracleCtes(10)}
+         |SELECT query_id, doc_id, score_nano, rn FROM lex""".stripMargin,
+    "hybrid_rrf_fusion" ->
+      s"""WITH ${bm25OracleCtes(20)},
+         |${OracleFragments.vectorCtes},
+         |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),
+         |pann AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 3),
+         |ann AS (SELECT q_id AS query_id, n_id AS doc_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rn
+         |  FROM pann QUALIFY rn <= 20),
+         |f AS (SELECT coalesce(l.query_id, a.query_id) AS query_id,
+         |  coalesce(l.doc_id, a.doc_id) AS doc_id,
+         |  coalesce(CAST(1 AS DOUBLE) / (60 + l.rn), 0) +
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + a.rn), 0) AS rrf_score
+         |  FROM lex l FULL OUTER JOIN ann a
+         |    ON l.query_id = a.query_id AND l.doc_id = a.doc_id)
+         |SELECT query_id, doc_id, rrf_score,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+         |FROM f QUALIFY fused_rank <= 10""".stripMargin,
     "text_tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
