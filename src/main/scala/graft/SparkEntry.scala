@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Contamination, DedupClusters, EmbeddingLookup, Fusion, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, Fusion, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -564,6 +564,31 @@ object SparkEntry {
         .toDF("query_id", "term")
       TermStats.bm25TopK(Tables.documents(s, d), col("doc_id"), col("text"),
         queries, k = 10)
+    },
+    "ordinal_stable_ids" -> { (s, d) =>
+      // contiguous global ordinals by (n_chars, doc_id) WITHOUT a
+      // single-partition sort: two-phase bucketed ranks (the
+      // PlanShapeSpec unpartitioned-window guard holds for this gate
+      // like every other — the naive row_number form would trip it)
+      Partitioners.stableIds(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("n_chars"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("ordinal"))
+    },
+    "encode_categorical" -> { (s, d) =>
+      // dictionary + hashing-trick encodings side by side: lang has
+      // distinct frequencies, source is an all-ties dictionary (index
+      // falls to the value tiebreak)
+      val docs = Tables.documents(s, d)
+      val langDict = Categorical.stringIndex(docs, col("lang"))
+      val srcDict = Categorical.stringIndex(docs, col("source"))
+      val out = Categorical.indexApply(
+        Categorical.indexApply(docs.select(col("doc_id"), col("lang"), col("source")),
+          "lang", langDict, "lang_idx"),
+        "source", srcDict, "source_idx")
+      out.select(col("doc_id"), col("lang_idx"), col("source_idx"),
+        Categorical.featureHash(col("lang"), 1024).as("lang_hash"),
+        Categorical.featureHash(col("source"), 1024).as("source_hash"))
     },
     "hybrid_rrf_fusion" -> { (s, d) =>
       // the full hybrid-retrieval composition: BM25 lexical top-20 +
@@ -1652,6 +1677,19 @@ object SparkEntry {
     "text_bm25_topk" ->
       s"""WITH ${bm25OracleCtes(10)}
          |SELECT query_id, doc_id, score_nano, rn FROM lex""".stripMargin,
+    "ordinal_stable_ids" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS ordinal
+        |FROM documents""".stripMargin,
+    "encode_categorical" ->
+      s"""WITH ld AS (SELECT lang AS v, count(*) AS c FROM documents GROUP BY lang),
+         |li AS (SELECT v, CAST(row_number() OVER (ORDER BY c DESC, v) - 1 AS BIGINT) AS idx FROM ld),
+         |sd AS (SELECT source AS v, count(*) AS c FROM documents GROUP BY source),
+         |si AS (SELECT v, CAST(row_number() OVER (ORDER BY c DESC, v) - 1 AS BIGINT) AS idx FROM sd)
+         |SELECT doc_id, li.idx AS lang_idx, si.idx AS source_idx,
+         |  ${OracleFragments.polyHashSql("lang")} % 1024 AS lang_hash,
+         |  ${OracleFragments.polyHashSql("source")} % 1024 AS source_hash
+         |FROM documents JOIN li ON lang = li.v JOIN si ON source = si.v""".stripMargin,
     "hybrid_rrf_fusion" ->
       s"""WITH ${bm25OracleCtes(20)},
          |${OracleFragments.vectorCtes},

@@ -68,4 +68,41 @@ object Partitioners {
     * no key plans RoundRobinPartitioning — exact balancing, no skew. */
   def evenSplits(df: DataFrame, n: Int): DataFrame =
     df.repartition(n)
+
+  /** Contiguous global ordinals 1..N by (`primary`, `tieBreaks`...)
+    * WITHOUT a single-partition sort — `row_number().over(orderBy(...))`
+    * serializes the whole dataset through one task, the classic
+    * scale-killer this engine's PlanShapeSpec guard forbids.
+    *
+    * Two-phase ranks instead (the [[graft.functions.Metrics.aucExact]]
+    * pattern): range-bucket the primary key (order-preserving,
+    * broadcast min/max stats), rank within each bucket in parallel,
+    * and add per-bucket starting offsets from a buckets²-sized (tiny)
+    * count self-join. Equal primary keys land in the same bucket, so
+    * the in-bucket (primary, tieBreaks) order composes to the exact
+    * global order.
+    *
+    * @param primary numeric column the ordinal ascends by
+    * @return input + `ordinal` (1-based long)
+    */
+  def stableIds(df: DataFrame, primary: Column, tieBreaks: Seq[Column],
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__pk", primary.cast("double"))
+    val stats = base.agg(min(col("__pk")).as("__lo"), max(col("__pk")).as("__hi"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        Buckets.rangeBucket(col("__pk"), col("__lo"), col("__hi"), buckets))
+    val wIn = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__pk") +: tieBreaks: _*)
+    val withRn = bucketed.withColumn("__rn", row_number().over(wIn))
+    val cnts = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
+    val offsets = cnts.as("x")
+      .join(cnts.as("z"), col("z.__bkt") < col("x.__bkt"), "left")
+      .groupBy(col("x.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("z.__c")), lit(0L)).as("__off"))
+    withRn.join(broadcast(offsets), "__bkt")
+      .withColumn("ordinal", (col("__off") + col("__rn")).cast("long"))
+      .drop("__pk", "__bkt", "__rn", "__off", "__lo", "__hi")
+  }
 }

@@ -19,6 +19,39 @@ class OperatorsSpec extends GraftSpec {
     assert(byShard.values.forall(_.size == 1))
   }
 
+  test("stableIds equals the naive global row_number, incl. ties and negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, -5.0), (2L, 3.0), (3L, -5.0), (4L, 0.0), (5L, 3.0),
+      (6L, 7.5), (7L, 0.0)).toDF("id", "v")
+    val got = Partitioners.stableIds(df, col("v"), Seq(col("id")), buckets = 4)
+      .select(col("id"), col("ordinal"))
+    val want = df.select(col("id"),
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long").as("ordinal"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // and on the real corpus at a bucket count that forces multi-bucket
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val big = Partitioners.stableIds(docs, col("n_chars"), Seq(col("doc_id")), buckets = 16)
+      .select(col("doc_id"), col("ordinal"))
+    val bigWant = docs.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).cast("long").as("ordinal"))
+    assert(big.exceptAll(bigWant).count() === 0)
+  }
+
+  test("indexApply maps unseen values to -1, seen values to their rank") {
+    import spark.implicits._
+    val train = Seq("b", "b", "b", "a", "a", "c").toDF("cat")
+    val dict = Categorical.stringIndex(train, col("cat"))
+    // b (3) -> 0, a (2) -> 1, c (1) -> 2
+    val d = dict.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d === Map("b" -> 0L, "a" -> 1L, "c" -> 2L))
+    val apply = Seq((1L, "a"), (2L, "zz")).toDF("id", "cat")
+    val got = Categorical.indexApply(apply, "cat", dict, "idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> -1L))
+  }
+
   test("evenSplits balances rows within +-1") {
     val counts = Partitioners.evenSplits(events, 7)
       .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
