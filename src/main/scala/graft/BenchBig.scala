@@ -31,7 +31,9 @@ object BenchBig {
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf_topk", "text_quality_filter", "text_repetition", "text_lm_score",
     "text_chunk_overlap", "text_redact_pii", "text_vocab_topn",
-    "pack_sequences", "sample_mixture")
+    "pack_sequences", "sample_mixture",
+    "dedup_span_coverage", "dedup_span_removal", "text_bm25_topk",
+    "hybrid_rrf_fusion", "encode_categorical", "ordinal_stable_ids")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")

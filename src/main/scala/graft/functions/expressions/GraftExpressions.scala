@@ -434,6 +434,41 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
 /** Distinct terms + in-document counts of a token array, one row-local
   * call ([[VecUtil.termCounts]]) — replaces the corpus-wide
   * (doc, term) groupBy in TF-IDF-style pipelines with a narrow map. */
+/** [[TermCounts]] restricted to a small FIXED term set: (term, tf)
+  * structs for set terms only, computed by a row-local linear probe
+  * ([[VecUtil.termSetCounts]]) — no full-vocabulary explode. The set
+  * travels as a plan reference object (query batches are small by
+  * definition; for corpus-sized vocabularies use [[TermCounts]]). */
+case class TermSetCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "term_set_counts needs a non-empty term set")
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"term_set_counts needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.termSetCounts(a.asInstanceOf[ArrayData], termArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termArr", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.termSetCounts($a, $ref);")
+  }
+
+  override def prettyName: String = "term_set_counts"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class TermCounts(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -518,6 +553,8 @@ object GraftExpressions {
   def dot_l(a: Column, b: Column): Column = column(DotL(expression(a), expression(b)))
   def bigram_hash_pairs(tokens: Column): Column = column(BigramHashPairs(expression(tokens)))
   def term_counts(tokens: Column): Column = column(TermCounts(expression(tokens)))
+  def term_set_counts(tokens: Column, terms: Seq[String]): Column =
+    column(TermSetCounts(expression(tokens), terms))
   def email_count(s: Column): Column = column(EmailCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))

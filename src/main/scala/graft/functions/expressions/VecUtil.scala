@@ -375,6 +375,47 @@ object VecUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Occurrence counts of a SMALL fixed term set over a token array:
+    * (term, tf) structs for the set terms that occur, empty array
+    * otherwise — the row-local feed for keyword scoring (BM25), where
+    * exploding the full per-doc vocabulary just to discard everything
+    * but a handful of query terms would dominate the plan. Linear probe
+    * per token (UTF8String.equals short-circuits on length): the right
+    * trade for query-batch-sized sets. */
+  def termSetCounts(tokens: ArrayData, terms: Array[UTF8String]): ArrayData = {
+    val n = tokens.numElements()
+    val k = terms.length
+    val counts = new Array[Long](k)
+    var any = false
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        if (terms(j).equals(t)) { counts(j) += 1; any = true; j = k }
+        else j += 1
+      }
+      i += 1
+    }
+    if (!any)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    var m = 0
+    var j = 0
+    while (j < k) { if (counts(j) > 0) m += 1; j += 1 }
+    val out = new Array[Any](m)
+    var w = 0
+    j = 0
+    while (j < k) {
+      if (counts(j) > 0) {
+        out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](terms(j), counts(j)))
+        w += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-occurrence bigram hash pairs of a token array: one
     * (h1, h2) = (polyHash(w1), polyHash("w1 w2")) row per ADJACENT token
     * pair, order preserved, duplicates kept — the row-local feed for

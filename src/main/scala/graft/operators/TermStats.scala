@@ -145,18 +145,25 @@ object TermStats {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = Parallelism.ensureDefault(
       docs.select(id.as("doc_id"), text.as("__text")))
-    val withDl = base.select(col("doc_id"),
-      TextFunctions.tokenCount(col("__text")).cast("long").as("dl"),
-      col("__text"))
-    val tf = withDl
-      .select(col("doc_id"), col("dl"),
+    // the query-term union is driver-bounded BY DEFINITION (a retrieval
+    // call scores a batch of keyword queries, not a corpus), so it rides
+    // into the row-local term_set_counts kernel as a literal: each doc
+    // probes its tokens against the set in one narrow pass and only
+    // MATCHING docs emit (term, tf) rows — no full-vocabulary explode,
+    // no corpus-side join at all
+    val terms = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val tfq = base
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("__text")).cast("long").as("dl"),
         explode(graft.functions.expressions.GraftExpressions
-          .term_counts(TextFunctions.tokenize(col("__text")))).as("tc"))
+          .term_set_counts(TextFunctions.tokenize(col("__text")), terms)).as("tc"))
       .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
         col("tc.tf").cast("long").as("tf"))
-    val qTerms = queries.select(col("term")).distinct()
-    val dfq = tf.join(broadcast(qTerms), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      // feeds BOTH the df aggregate and the scoring join; the lazy
+      // checkpoint keeps the corpus scan single (df materializes it)
+      .localCheckpoint(false)
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("__n"),
       sum(TextFunctions.tokenCount(col("__text")).cast("long")).as("__sdl"))
     val avgdl = col("__sdl").cast("double") / col("__n")
@@ -164,7 +171,7 @@ object TermStats {
       log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 9)
     val tfpart = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-    val scored = tf
+    val scored = tfq
       .join(broadcast(queries), Seq("term"))
       .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))

@@ -154,6 +154,21 @@ class EquivalenceSpec extends GraftSpec {
     assert(g2(2L) === "")
   }
 
+  test("term_set_counts equals term_counts filtered to the set, corpus-wide") {
+    import graft.functions.expressions.GraftExpressions.{term_counts, term_set_counts}
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("spark", "join", "hash", "nosuchterm")
+    val toks = graft.functions.TextFunctions.tokenize(col("text"))
+    val fast = docs.select(col("doc_id"),
+        explode(term_set_counts(toks, terms)).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+    val spec = docs.select(col("doc_id"), explode(term_counts(toks)).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .where(col("term").isin(terms: _*))
+    assert(fast.exceptAll(spec).count() === 0)
+    assert(spec.exceptAll(fast).count() === 0)
+  }
+
   test("native token_count equals size(split) on the corpus and edge strings") {
     import spark.implicits._
     import graft.functions.expressions.GraftExpressions.token_count
