@@ -379,6 +379,23 @@ object NearDup {
 
   // ---- span-level (substring) duplication ------------------------------
 
+  /** Positional gram hashes of every long-enough doc, each occurrence
+    * annotated with the min/max doc id holding its gram (one shuffle by
+    * hash + an unbounded window frame — cross-doc duplication is then
+    * `mn =!= mx`, and `mn` names the keeper). */
+  private def dupMarkedGrams(base: DataFrame, n: Int): DataFrame = {
+    val grams = base
+      .filter(graft.functions.TextFunctions.tokenCount(col("__text")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.GraftExpressions
+          .positional_shingle_hashes(tokenize(col("__text")), n))
+          .as(Seq("pos", "h")))
+    val wh = Window.partitionBy("h")
+    grams
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+  }
+
   /** Per-document duplicated-SPAN coverage: the fraction of each doc's
     * tokens lying inside a token n-gram that also appears in some OTHER
     * document — the span-granular signal behind suffix-array substring
@@ -407,17 +424,16 @@ object NearDup {
       n: Int = 5): DataFrame = {
     val base = Parallelism.ensureDefault(
       docs.select(id.as("doc_id"), text.as("__text")))
-    val grams = base
-      .filter(graft.functions.TextFunctions.tokenCount(col("__text")) >= n)
-      .select(col("doc_id"),
-        posexplode(graft.functions.expressions.GraftExpressions
-          .positional_shingle_hashes(tokenize(col("__text")), n))
-          .as(Seq("pos", "h")))
-    val dup = grams.groupBy("h")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    // cross-doc grams via ONE shuffle by hash: min/max doc over an
+    // unbounded window partitioned by h marks every occurrence of a
+    // gram held by >= 2 distinct docs — no groupBy branch, no semi-join
+    // back, the corpus is exploded exactly once (an aggregate +
+    // left-semi formulation plans two scan+explode+shuffle subtrees
+    // that ReuseExchange does not collapse under AQE). Hub grams cost a
+    // streamed O(occurrences) frame agg, never a materialized list.
+    val hits = dupMarkedGrams(base, n)
       .where(col("mn") =!= col("mx"))
-      .select("h")
-    val hits = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
     // exact interval-union length: sort a doc's hit positions, clip each
     // interval [pos, pos+n) against the running max end of its
     // predecessors; negative clips (fully covered grams) contribute 0
@@ -460,19 +476,10 @@ object NearDup {
       n: Int = 5): DataFrame = {
     val base = Parallelism.ensureDefault(
       docs.select(id.as("doc_id"), text.as("__text")))
-    val grams = base
-      .filter(graft.functions.TextFunctions.tokenCount(col("__text")) >= n)
-      .select(col("doc_id"),
-        posexplode(graft.functions.expressions.GraftExpressions
-          .positional_shingle_hashes(tokenize(col("__text")), n))
-          .as(Seq("pos", "h")))
-    // (gram, min holder) for grams held by >= 2 distinct docs; the
-    // min-id holder keeps its copy, every other holder excises
-    val dup = grams.groupBy("h")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .where(col("mn") =!= col("mx"))
-      .select(col("h"), col("mn"))
-    val rem = grams.join(dup, Seq("h")).where(col("doc_id") =!= col("mn"))
+    // same one-shuffle dup marking as [[duplicatedSpans]]; the min-id
+    // holder keeps its copy, every other holder excises
+    val rem = dupMarkedGrams(base, n)
+      .where(col("mn") =!= col("mx") && col("doc_id") =!= col("mn"))
       .select(col("doc_id"), col("pos"))
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
