@@ -1778,8 +1778,9 @@ object SparkEntry {
          |    OVER (PARTITION BY doc_id ORDER BY pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM isl),
          |iv AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 5 AS e FROM isl2 GROUP BY doc_id, grp),
-         |tokidx AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM tok),
-         |keep AS (SELECT t.doc_id, t.i, t.toks[t.i] AS tk FROM tokidx t
+         |tokidx AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i,
+         |    unnest(toks) AS tk FROM tok),
+         |keep AS (SELECT t.doc_id, t.i, t.tk FROM tokidx t
          |  WHERE NOT EXISTS (SELECT 1 FROM iv
          |    WHERE iv.doc_id = t.doc_id AND t.i >= iv.s AND t.i < iv.e)),
          |built AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS ct FROM keep GROUP BY doc_id)

@@ -70,8 +70,15 @@ object TextFunctions {
     length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text)
 
   /** Quality score in [0,1]: type-token ratio + stopword presence +
-    * length saturation. Fixed formula, scalar per row, engine-portable. */
-  def qualityScore(text: Column): Column = {
+    * length saturation. Fixed formula, scalar per row, engine-portable.
+    * Native one-pass byte-scan kernel ([[expressions.QualityScore]]);
+    * [[qualityScoreCols]] is the column formulation kept as its
+    * bit-identical semantic spec (EquivalenceSpec fuzz). */
+  def qualityScore(text: Column): Column =
+    expressions.GraftExpressions.quality_score(text, StopwordsEn)
+
+  /** The three-pass column formulation the kernel replicates. */
+  def qualityScoreCols(text: Column): Column = {
     val toks = tokenize(text)
     val n = size(toks).cast("double")
     val ttr = size(array_distinct(toks)).cast("double") / n
@@ -83,8 +90,15 @@ object TextFunctions {
   /** n-gram-free language ID heuristic: marker-stopword hit ratio. The
     * corpus is synthetic English-ish text, so this mostly asserts the
     * deterministic plumbing; real language ID would swap in per-language
-    * marker sets here. */
-  def languageId(text: Column): Column = {
+    * marker sets here. Native byte-scan marker counter
+    * ([[expressions.StopwordCount]] — the filter-HOF it replaces is
+    * interpreted per element); [[languageIdCols]] is its spec. */
+  def languageId(text: Column): Column =
+    when(expressions.GraftExpressions.stopword_count(text, StopwordsEn) > 0,
+      lit("en")).otherwise(lit("und"))
+
+  /** The filter-HOF formulation the kernel replicates. */
+  def languageIdCols(text: Column): Column = {
     val toks = tokenize(text)
     when(stopwordCount(toks) > 0, lit("en")).otherwise(lit("und"))
   }

@@ -490,6 +490,95 @@ case class TermCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass quality score (type-token ratio + stopword ratio + length
+  * saturation) over the raw text — the fused byte-scan form of
+  * [[graft.functions.TextFunctions.qualityScoreCols]], bit-identical
+  * (EquivalenceSpec fuzzes the two). The three split/array_distinct/
+  * filter-HOF passes the column form schedules collapse into one
+  * [[VecUtil.qualityScore]] call. */
+case class QualityScore(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  require(stops.nonEmpty, "quality_score needs a non-empty stopword set")
+
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stops.map(UTF8String.fromString).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quality_score needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.qualityScore(s.asInstanceOf[UTF8String], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopArr", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.qualityScore($s, $ref);")
+  }
+
+  override def prettyName: String = "quality_score"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Stopword-marker hits over the raw text — the byte-scan mirror of
+  * `size(filter(split(s, " "), isin(stops)))` (language-ID feed). */
+case class StopwordCount(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  require(stops.nonEmpty, "stopword_count needs a non-empty stopword set")
+
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stops.map(UTF8String.fromString).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"stopword_count needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.stopwordCount(s.asInstanceOf[UTF8String], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopArr", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.stopwordCount($s, $ref);")
+  }
+
+  override def prettyName: String = "stopword_count"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[TermCounts]] fused with the tokenize: (term, tf) structs straight
+  * from the raw text ([[VecUtil.termCountsText]]) — no split array is
+  * ever materialized, only distinct terms are copied. */
+case class TermCountsText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"term_counts_text needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.termCountsText(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.termCountsText($s);")
+
+  override def prettyName: String = "term_counts_text"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-occurrence (prefix hash, bigram hash) pairs of a token array —
   * the row-local feed for bigram language-model counts
   * ([[VecUtil.bigramHashPairs]]). Empty array below 2 tokens. */
@@ -553,6 +642,11 @@ object GraftExpressions {
   def dot_l(a: Column, b: Column): Column = column(DotL(expression(a), expression(b)))
   def bigram_hash_pairs(tokens: Column): Column = column(BigramHashPairs(expression(tokens)))
   def term_counts(tokens: Column): Column = column(TermCounts(expression(tokens)))
+  def term_counts_text(s: Column): Column = column(TermCountsText(expression(s)))
+  def quality_score(s: Column, stops: Seq[String]): Column =
+    column(QualityScore(expression(s), stops))
+  def stopword_count(s: Column, stops: Seq[String]): Column =
+    column(StopwordCount(expression(s), stops))
   def term_set_counts(tokens: Column, terms: Seq[String]): Column =
     column(TermSetCounts(expression(tokens), terms))
   def email_count(s: Column): Column = column(EmailCount(expression(s)))

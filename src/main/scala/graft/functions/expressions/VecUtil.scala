@@ -664,6 +664,104 @@ object VecUtil {
     UTF8String.fromBytes(pass3)
   }
 
+  /** One-pass quality score over a space-separated document — the fused
+    * form of [[graft.functions.TextFunctions.qualityScoreCols]]:
+    * type-token ratio, stopword-hit ratio and length saturation from a
+    * single byte scan (exact-distinct via byte-equality on zero-copy
+    * slices, identical to `array_distinct` on the split array; stopword
+    * hits via `UTF8String.equals` against the marker set, identical to
+    * `isin`). The double arithmetic replicates the column formulation's
+    * operation order term-for-term, so scores are bit-identical. */
+  def qualityScore(s: UTF8String, stops: Array[UTF8String]): Double = {
+    val b = s.getBytes
+    val n = b.length
+    var t = 1
+    var i = 0
+    while (i < n) { if (b(i) == 0x20) t += 1; i += 1 }
+    val seen = new java.util.HashSet[UTF8String](t * 2)
+    var nd = 0
+    var stop = 0
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        val slice = UTF8String.fromBytes(b, start, i - start)
+        if (seen.add(slice)) nd += 1
+        var j = 0
+        while (j < stops.length) {
+          if (stops(j).equals(slice)) { stop += 1; j = stops.length }
+          else j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val nt = t.toDouble
+    val ttr = nd.toDouble / nt
+    val sw = stop.toDouble / nt
+    val sat = math.min(1.0, nt / 100.0)
+    ttr * 0.4 + sw * 0.3 + sat * 0.3
+  }
+
+  /** Stopword-marker hits of a space-separated document — the byte-scan
+    * mirror of `size(filter(split(s, " "), isin(stops)))`. */
+  def stopwordCount(s: UTF8String, stops: Array[UTF8String]): Int = {
+    val b = s.getBytes
+    val n = b.length
+    var stop = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        val slice = UTF8String.fromBytes(b, start, i - start)
+        var j = 0
+        while (j < stops.length) {
+          if (stops(j).equals(slice)) { stop += 1; j = stops.length }
+          else j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    stop
+  }
+
+  /** [[termCounts]] fused with the tokenize: distinct terms + counts of
+    * a space-separated string in first-occurrence order, without
+    * materializing the split array (the per-token UTF8String copies
+    * `split` performs dominate TF-style pipelines; here only DISTINCT
+    * terms are ever copied — once, into the output). */
+  def termCountsText(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var t = 1
+    var i = 0
+    while (i < n) { if (b(i) == 0x20) t += 1; i += 1 }
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]](t * 2)
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        val slice = UTF8String.fromBytes(b, start, i - start)
+        val c = counts.get(slice)
+        // keys escape this call (output structs), so copy on first sight
+        if (c == null) counts.put(slice.clone(), Array(1)) else c(0) += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0).toLong))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def polyHashSlow(s: UTF8String, mult: Long): Long = {
     val str = s.toString
     var h = 0L

@@ -229,6 +229,39 @@ class EquivalenceSpec extends GraftSpec {
     assert(bad.isEmpty, s"kernel/column divergence on: ${bad.take(5).mkString(", ")}")
   }
 
+  test("native quality_score / stopword_count / term_counts_text equal column forms") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.GraftExpressions.{term_counts, term_counts_text}
+    val docs = Tables.documents(spark, sf)
+    // corpus: bit-identical doubles (no tolerance — the kernel replicates
+    // the exact double operation order), identical langid, identical
+    // (term, tf) multisets in first-occurrence order
+    assert(docs.filter(
+      TextFunctions.qualityScore(col("text")) =!=
+        TextFunctions.qualityScoreCols(col("text"))).count() === 0L)
+    assert(docs.filter(
+      TextFunctions.languageId(col("text")) =!=
+        TextFunctions.languageIdCols(col("text"))).count() === 0L)
+    assert(docs.filter(
+      term_counts_text(col("text")) =!=
+        term_counts(TextFunctions.tokenize(col("text")))).count() === 0L)
+    // fuzz: tiny vocabulary dense in stopwords, empty tokens (double
+    // spaces), single tokens, non-ASCII
+    val words = Array("the", "a", "of", "and", "is", "b", "", "héllo", "😀")
+    val rnd = new scala.util.Random(1313)
+    val fuzz = (1 to 5000).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      (1 to len).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }.toDF("t")
+    val bad = fuzz.filter(
+      TextFunctions.qualityScore(col("t")) =!= TextFunctions.qualityScoreCols(col("t"))
+        || TextFunctions.languageId(col("t")) =!= TextFunctions.languageIdCols(col("t"))
+        || term_counts_text(col("t")) =!= term_counts(TextFunctions.tokenize(col("t"))))
+      .collect()
+    assert(bad.isEmpty, s"kernel/column divergence on: ${bad.take(5).mkString(", ")}")
+  }
+
   test("accuracy via expression equals direct computation on events") {
     val acc = events.agg(graft.functions.Metrics.accuracy(
       col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)
