@@ -43,6 +43,8 @@ LLM = [
     "text_tfidf_topk", "text_quality_filter", "text_repetition", "text_lm_score",
     "text_chunk_overlap", "text_redact_pii", "text_vocab_topn",
     "pack_sequences", "sample_mixture",
+    "dedup_span_coverage", "dedup_span_removal", "text_bm25_topk",
+    "hybrid_rrf_fusion", "encode_categorical", "ordinal_stable_ids",
 ]
 
 # SINGLE-SOURCE WARNING: these constants mirror the Scala side
@@ -93,9 +95,47 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 2"""
 
 
+# dedup_span_removal's gate oracle rebuilds kept text via a token-level
+# NOT EXISTS + 200M-row ordered string_agg — the brute-force semantic
+# definition, which OOMs DuckDB at bench scale. The override rebuilds
+# each doc ROW-LOCALLY from its sorted interval list (slice the gaps
+# between intervals, join) — the same algorithm the engine's excise
+# kernel runs, identical output.
+SPAN_REMOVAL_BIG = """
+WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-3),
+    i -> struct_pack(pos := i,
+      h := {ph}))) AS ph
+  FROM tok WHERE len(toks) >= 5),
+e AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM g),
+dup AS (SELECT h, min(doc_id) AS mn FROM e GROUP BY h
+  HAVING min(doc_id) <> max(doc_id)),
+rem AS (SELECT e.doc_id, e.pos FROM e JOIN dup USING (h) WHERE e.doc_id <> dup.mn),
+isl AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend FROM rem),
+isl2 AS (SELECT doc_id, pos, sum(CASE WHEN pend IS NULL OR pos > pend THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM isl),
+iv AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 5 AS e FROM isl2 GROUP BY doc_id, grp),
+ivl AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS ivs
+  FROM iv GROUP BY doc_id),
+built AS (SELECT tok.doc_id, CASE WHEN v.ivs IS NULL THEN array_to_string(toks, ' ')
+  ELSE array_to_string(flatten(list_transform(range(0, len(v.ivs)+1),
+    k -> toks[(CASE WHEN k = 0 THEN 1 ELSE v.ivs[k].e END)
+            : (CASE WHEN k = len(v.ivs) THEN len(toks) ELSE v.ivs[k+1].s - 1 END)])),
+    ' ') END AS ct
+  FROM tok LEFT JOIN ivl v USING (doc_id))
+SELECT doc_id, coalesce(ct, '') AS clean_text FROM built
+""".format(ph=(
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(list_filter(string_to_array(array_to_string(toks[i:i+4], ' '),''),"
+    " c -> len(c) > 0), c -> CAST(ascii(c) AS BIGINT))),"
+    f" (a,c) -> (a*31+c) % {P})"))
+
 BIG_SQL_OVERRIDES = {
     "dedup_simhash": f"WITH {simhash_fp_cte()}\nSELECT doc_id, simhash FROM fp",
     "dedup_simhash_pairs_full": simhash_pairs_banded(),
+    "dedup_span_removal": SPAN_REMOVAL_BIG,
 }
 
 # dedup_cluster_components' gate oracle nests the full MinHash pair

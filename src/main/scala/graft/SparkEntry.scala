@@ -1289,6 +1289,26 @@ object SparkEntry {
         graft.functions.expressions.GraftExpressions.email_count(aug)
           .cast("long").as("n_emails"))
     },
+    "web_url_normalize" -> { (s, d) =>
+      // URL canonicalization: the corpus has no URL column, so the gate
+      // generates deterministic crawl-shaped URLs from doc_id (mixed-case
+      // scheme/host, default ports, tracking fragments, bare-authority
+      // forms — generation mirrored verbatim in the oracle) and verifies
+      // normalize + host extraction row-for-row
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://WWW.Site"))
+          .otherwise(lit("https://CDN.Site")),
+        pmod(col("doc_id"), lit(997)).cast("string"),
+        lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(":80")).otherwise(lit(":443")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+          .otherwise(concat(lit("/Page/"), col("doc_id").cast("string"), lit("?Q=a"))),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("#Sec")).otherwise(lit("")))
+      Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.functions.WebFunctions.normalizeUrl(col("url")).as("url_norm"))
+        .withColumn("host", graft.functions.WebFunctions.host(col("url_norm")))
+    },
 
     // ---- nested-ragged (rank-2) scan -------------------------------------
     "scan_ragged_nested" -> { (s, d) =>
@@ -2366,6 +2386,29 @@ object SparkEntry {
          |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS redacted,
          |  CAST(len(regexp_extract_all(aug, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_emails
          |FROM a""".stripMargin,
+    // same generation, then the same prefix/rest normalization steps
+    // (no replacement backreferences — substr recombination is the
+    // Java/RE2-portable form)
+    "web_url_normalize" ->
+      """WITH gen AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site' ELSE 'https://CDN.Site' END)
+        |  || (doc_id % 997) || '.Example.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Page/' || doc_id || '?Q=a' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '#Sec' ELSE '' END) AS url FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM gen),
+        |pr AS (SELECT doc_id, u,
+        |  regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS rawpre FROM nf),
+        |pa AS (SELECT doc_id, lower(rawpre) AS pre, substr(u, len(rawpre)+1) AS rest FROM pr),
+        |pb AS (SELECT doc_id,
+        |  CASE WHEN pre LIKE 'http://%' AND pre LIKE '%:80' THEN substr(pre, 1, len(pre)-3)
+        |       WHEN pre LIKE 'https://%' AND pre LIKE '%:443' THEN substr(pre, 1, len(pre)-4)
+        |       ELSE pre END AS pre2, rest FROM pa),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN pre2 <> '' AND rest = '' THEN pre2 || '/' ELSE pre2 || rest END AS url_norm
+        |  FROM pb)
+        |SELECT doc_id, url_norm,
+        |  lower(regexp_extract(url_norm, '//([^/:?#]*)', 1)) AS host FROM n""".stripMargin,
     "scan_ragged_nested" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |ch AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT)),

@@ -9,6 +9,37 @@ import java.nio.file.Files
 
 class MiscSpec extends GraftSpec {
 
+  test("normalizeUrl goldens: case, ports, fragments, bare authority, passthrough") {
+    import spark.implicits._
+    import graft.functions.WebFunctions
+    val got = Seq(
+      "HTTP://WWW.Example.COM:80/Path/One?Q=a#frag",
+      "https://Cdn.Site:443",
+      "http://h.io:8080/x",
+      "HTTPS://A.B:443/#top",
+      "http://plain.io/",
+      "ftp://Files.Example.com:21/pub",
+      "no-scheme/relative#frag",
+      "")
+      .toDF("url")
+      .select(col("url"), WebFunctions.normalizeUrl(col("url")).as("n"))
+      .withColumn("h", WebFunctions.host(col("n")))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got("HTTP://WWW.Example.COM:80/Path/One?Q=a#frag")
+      === (("http://www.example.com/Path/One?Q=a", "www.example.com")))
+    assert(got("https://Cdn.Site:443") === (("https://cdn.site/", "cdn.site")))
+    // non-default port survives
+    assert(got("http://h.io:8080/x") === (("http://h.io:8080/x", "h.io")))
+    assert(got("HTTPS://A.B:443/#top") === (("https://a.b/", "a.b")))
+    assert(got("http://plain.io/") === (("http://plain.io/", "plain.io")))
+    // non-http schemes: authority lowercased, port kept (no default)
+    assert(got("ftp://Files.Example.com:21/pub")
+      === (("ftp://files.example.com:21/pub", "files.example.com")))
+    // schemeless: only the fragment is stripped, host is empty
+    assert(got("no-scheme/relative#frag") === (("no-scheme/relative", "")))
+    assert(got("") === (("", "")))
+  }
+
   test("approx_count_distinct (HLL sketch) lands within 5% of exact") {
     val li = Tables.lineitem(spark, sf)
     val row = li.agg(
