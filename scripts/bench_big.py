@@ -45,6 +45,7 @@ LLM = [
     "pack_sequences", "sample_mixture",
     "dedup_span_coverage", "dedup_span_removal", "text_bm25_topk",
     "hybrid_rrf_fusion", "encode_categorical", "ordinal_stable_ids",
+    "web_url_normalize", "web_host_cap", "embedding_gram_matrix",
 ]
 
 # SINGLE-SOURCE WARNING: these constants mirror the Scala side

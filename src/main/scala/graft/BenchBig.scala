@@ -33,7 +33,8 @@ object BenchBig {
     "text_chunk_overlap", "text_redact_pii", "text_vocab_topn",
     "pack_sequences", "sample_mixture",
     "dedup_span_coverage", "dedup_span_removal", "text_bm25_topk",
-    "hybrid_rrf_fusion", "encode_categorical", "ordinal_stable_ids")
+    "hybrid_rrf_fusion", "encode_categorical", "ordinal_stable_ids",
+    "web_url_normalize", "web_host_cap", "embedding_gram_matrix")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")

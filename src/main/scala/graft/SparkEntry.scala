@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, Fusion, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, Fusion, Gram, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -652,6 +652,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ivf.topKInt8(emb.filter(col("id") < 16), emb, k = 5)
     },
+    "embedding_gram_matrix" -> { (s, d) =>
+      // distributed Gram matrix (PCA/whitening sufficient statistic) on
+      // the floor(v*1000) integer grid — exact BIGINT pair sums via one
+      // in-place Aggregator buffer; the oracle recomputes the full
+      // unnest×unnest relational formulation
+      Gram.upperGram(s, Tables.embeddings(s, d), col("embedding"), d = 64)
+    },
     "q5_local_supplier" -> { (s, d) =>
       // TPC-H Q5 shape: 6-way join chain + filtered agg; exercises
       // Catalyst join ordering + broadcast selection across dims
@@ -1163,6 +1170,19 @@ object SparkEntry {
         StructField("props", StringType)))
       TabularReader.fromCsv(s, Seq(dir), schema)
     },
+    "scan_jsonl_roundtrip" -> { (s, d) =>
+      // JSONL source (the LLM-corpus interchange format): documents
+      // staged once as JSON Lines, read back with a declared schema —
+      // must reproduce the parquet original bit-for-bit (strings
+      // survive via JSON escaping; longs are exact in JSON)
+      val dir = GateFixtures.dir("jsonl", d) { target =>
+        Tables.documents(s, d).write.json(target)
+      }
+      TabularReader.fromJsonLines(s, Seq(dir), StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    },
 
     // ---- reproducible sampling ------------------------------------------
     "sample_bernoulli" -> { (s, d) =>
@@ -1308,6 +1328,19 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.WebFunctions.normalizeUrl(col("url")).as("url_norm"))
         .withColumn("host", graft.functions.WebFunctions.host(col("url_norm")))
+    },
+    "web_host_cap" -> { (s, d) =>
+      // per-host document cap (the C4/RefinedWeb-style domain cap): the
+      // corpus has no URL column, so hosts are generated from doc_id
+      // (mod 23 — coarse enough that the cap binds at every SF); keep
+      // the 5 longest docs per host, doc_id tiebreak for determinism
+      val url = concat(lit("https://Host"), pmod(col("doc_id"), lit(23)).cast("string"),
+        lit(".Example.com/Doc/"), col("doc_id").cast("string"))
+      WebCuration.hostCap(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars"), url.as("url")),
+        col("url"), n = 5, order = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("host"), col("host_rank").cast("long").as("host_rank"),
+          col("n_chars"))
     },
 
     // ---- nested-ragged (rank-2) scan -------------------------------------
@@ -1998,6 +2031,15 @@ object SparkEntry {
         |SELECT q_id, n_id, qdot,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS BIGINT) AS rn
         |FROM p QUALIFY rn <= 5""".stripMargin,
+    // the relational (unnest×unnest) formulation of the same integer-grid
+    // pair sums — the brute-force semantic definition of the Gram matrix
+    "embedding_gram_matrix" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |SELECT i, j, CAST(SUM(qv[i+1] * qv[j+1]) AS BIGINT) AS gram_q
+        |FROM q, range(0, 64) r1(i), range(0, 64) r2(j)
+        |WHERE j >= i GROUP BY 1, 2""".stripMargin,
     "window_rank_lag" ->
       """WITH e AS (SELECT event_id, user_id, value,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events)
@@ -2239,6 +2281,8 @@ object SparkEntry {
         |FROM range(10000) r(i)""".stripMargin,
     "scan_csv_roundtrip" ->
       "SELECT event_id, user_id, event_type, value, props FROM events",
+    "scan_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "scan_tfrecord_roundtrip" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(value AS FLOAT) AS value_f32 FROM events""".stripMargin,
@@ -2409,6 +2453,15 @@ object SparkEntry {
         |  FROM pb)
         |SELECT doc_id, url_norm,
         |  lower(regexp_extract(url_norm, '//([^/:?#]*)', 1)) AS host FROM n""".stripMargin,
+    // same host generation (already-canonical form, so the normalize
+    // chain is the identity and the cap semantics are what's gated)
+    "web_host_cap" ->
+      """WITH gen AS (SELECT doc_id, n_chars,
+        |  'host' || (doc_id % 23) || '.example.com' AS host FROM documents),
+        |r AS (SELECT doc_id, host, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY host
+        |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS host_rank FROM gen)
+        |SELECT doc_id, host, host_rank, n_chars FROM r WHERE host_rank <= 5""".stripMargin,
     "scan_ragged_nested" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |ch AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT)),

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.functions.WebFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Host-level corpus curation: the "cap documents per domain" step
+  * crawl-derived training corpora apply so that a handful of enormous
+  * hosts cannot dominate the training mixture (the C4 / RefinedWeb /
+  * Gopher recipes all carry a per-domain cap; the reference's pipelines
+  * assume it already happened upstream — this is the engine-native
+  * form).
+  *
+  * Scale design: URLs canonicalize row-locally
+  * ([[graft.functions.WebFunctions]], codegen'd regexp/substr — no
+  * UDFs), then ONE hash exchange on the host key feeds a rank window.
+  * Spark plans a partial `WindowGroupLimit` BEFORE the exchange, so at
+  * most `n` rows per host per input partition travel — the shuffle
+  * volume is bounded by n × hosts, not by corpus size, and a
+  * pathological million-doc host never concentrates on one task's
+  * input beyond its first n survivors per upstream partition.
+  */
+object WebCuration {
+
+  /** Keep at most `n` documents per canonical host, preferring by
+    * `order` (callers MUST make the ordering total — e.g. quality
+    * descending with a unique-id tiebreak — or survivors are
+    * nondeterministic under retries). Adds `host` (canonical lowercased
+    * host of `url`) and `host_rank` (1-based preference rank within the
+    * host) to the output. */
+  def hostCap(df: DataFrame, url: Column, n: Int, order: Seq[Column]): DataFrame = {
+    require(n > 0, s"hostCap needs n > 0, got $n")
+    require(order.nonEmpty, "hostCap needs a deterministic preference order")
+    df.withColumn("host", WebFunctions.host(WebFunctions.normalizeUrl(url)))
+      .withColumn("host_rank",
+        row_number().over(Window.partitionBy(col("host")).orderBy(order: _*)))
+      .filter(col("host_rank") <= n)
+  }
+}

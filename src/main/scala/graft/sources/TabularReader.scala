@@ -67,6 +67,21 @@ object TabularReader {
   def fromOrc(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
     read(spark, "orc", paths, opts)
 
+  /** JSON-Lines scan — the de-facto interchange format of LLM corpus
+    * releases (one JSON object per line; splittable, so a multi-GB file
+    * still parallelizes by byte range). The reference's scan surface is
+    * columnar-only; this closes the ingest gap for corpora that arrive
+    * as JSONL before conversion to parquet. Like CSV the format carries
+    * no schema, so column types are declared up front — inference would
+    * read the data twice and guess (sampled inference can also mistype
+    * sparse fields, which a training pipeline must never do silently). */
+  def fromJsonLines(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: StructType,
+      opts: Options = Options()): DataFrame =
+    read(spark, "json", paths, opts, Some(schema))
+
   /** CSV scan (the reference's CSV baseline path,
     * benchmarks/data_benchmark_csv.py). CSV carries no footer schema, so
     * the column types are declared up front — inference would read the

@@ -135,6 +135,51 @@ class OperatorsSpec extends GraftSpec {
     assert(orig.exceptAll(restored).count() === 0)
   }
 
+  test("hostCap caps per host and is invariant to input layout") {
+    val docs = Tables.documents(spark, sf)
+    val url = concat(lit("https://H"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".x.com/"), col("doc_id").cast("string"))
+    def run(df: org.apache.spark.sql.DataFrame) = WebCuration.hostCap(
+      df.select(col("doc_id"), col("n_chars"), url.as("url")),
+      col("url"), n = 3, order = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "host", "host_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val base = run(docs)
+    // deterministic under a different physical layout (total order)
+    assert(run(docs.repartition(13)) === base)
+    val perHost = base.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perHost.values.forall(_ <= 3) && perHost.values.exists(_ === 3))
+    assert(base.forall { case (_, h, r) => h.startsWith("h") && r >= 1 && r <= 3 })
+    // survivors per host are the longest docs: re-derive from the input
+    val lengths = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.groupBy(_._2).foreach { case (_, kept) =>
+      val keptIds = kept.map(_._1)
+      val hostIds = lengths.keys.filter(id =>
+        kept.exists(k => (id % 7) === (k._1 % 7))).toSeq
+      val topByLen = hostIds.sortBy(id => (-lengths(id), id)).take(3).toSet
+      assert(keptIds === topByLen)
+    }
+  }
+
+  test("upperGram matches the local brute-force computation") {
+    val emb = Tables.embeddings(spark, sf)
+    def collectGram(df: org.apache.spark.sql.DataFrame) =
+      Gram.upperGram(spark, df, col("embedding"), d = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = collectGram(emb)
+    assert(got.size === 64 * 65 / 2)
+    // brute-force on the driver over the same integer grid
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000.0).toLong).toArray)
+    val brute = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for (q <- vecs; i <- 0 until 64; j <- i until 64)
+      brute((i.toLong, j.toLong)) += q(i) * q(j)
+    assert(got === brute.toMap)
+    // order-free: identical under a different partition layout
+    assert(collectGram(emb.repartition(9)) === got)
+  }
+
   test("clipLists keeps only in-window history elements") {
     import spark.implicits._
     val df = Seq((100L, Seq(10L, 95L, 99L, 100L, 105L), Seq("a", "b", "c", "d", "e")))

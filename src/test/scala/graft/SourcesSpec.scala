@@ -30,6 +30,15 @@ class SourcesSpec extends GraftSpec {
     assert(back.exceptAll(li).count() === 0 && li.exceptAll(back).count() === 0)
   }
 
+  test("JSONL source round-trips documents bit-for-bit (declared schema)") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs_jsonl"
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").json(dir)
+    val back = TabularReader.fromJsonLines(spark, Seq(dir), docs.schema)
+    assert(back.schema === docs.schema)
+    assert(back.exceptAll(docs).count() === 0 && docs.exceptAll(back).count() === 0)
+  }
+
   test("query results are invariant to input partition layout") {
     val li = Tables.lineitem(spark, sf)
     def q1(df: org.apache.spark.sql.DataFrame) =
