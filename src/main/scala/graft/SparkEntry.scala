@@ -509,6 +509,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.bucketedTopKMultiProbe(emb.filter(col("id") < 16), emb, k = 5, bits = 6, probes = 3)
     },
+    "ann_hard_negatives" -> { (s, d) =>
+      // contrastive-training hard-negative mining: most-similar
+      // same-bucket vectors with a DIFFERENT label
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      Ann.hardNegatives(emb.filter(col("id") < 16), emb, k = 5, bits = 6)
+    },
     "multimodal_image_decode" -> { (s, d) =>
       // REAL image decode (javax.imageio — the JDK ships the codec):
       // deterministic PNGs encoded per doc id, decoded distributed in
@@ -1196,6 +1203,13 @@ object SparkEntry {
       Sampling.stratifiedModP(Tables.events(s, d), col("event_type"), col("event_id"),
         Map("click" -> 0.25, "view" -> 0.5), seed = 7L)
         .select(col("event_id"), col("event_type"))
+    },
+    "sample_negatives" -> { (s, d) =>
+      // sampled-softmax negative generation: 3 deterministic draws per
+      // event from a 1000-item domain; positive = user_id mod 1000
+      Sampling.negativesPerKey(Tables.events(s, d),
+        col("event_id"), pmod(col("user_id"), lit(1000L)),
+        k = 3, itemCount = 1000L, seed = 77L)
     },
     "sample_per_group" -> { (s, d) =>
       // deterministic reservoir: exactly 50 events per event_type,
@@ -1933,6 +1947,17 @@ object SparkEntry {
          |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 16)
          |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |bkt AS (SELECT nv.vec_id, v, nrm, emb.label,
+         |  ${OracleFragments.signBucketSql(6)} AS bucket
+         |  FROM nv JOIN embeddings emb ON emb.vec_id = nv.vec_id),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+         |    AND c.label != q.label
+         |  WHERE q.vec_id < 16)
+         |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
     "multimodal_image_decode" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |px AS (SELECT doc_id, r1.x, r2.y
@@ -2294,6 +2319,13 @@ object SparkEntry {
          |WHERE CAST((${OracleFragments.modPHashSql("event_id", 7L)}) % 1000000 AS DOUBLE)
          |  < (CASE WHEN event_type = 'click' THEN 0.25
          |          WHEN event_type = 'view' THEN 0.5 ELSE 1.0 END) * 1000000.0""".stripMargin,
+    "sample_negatives" ->
+      s"""WITH g AS (SELECT event_id AS key, user_id % 1000 AS pos, i AS draw_idx,
+         |  (${OracleFragments.modPHashSql("(event_id * 3 + i)", 77L)}) % 1000 AS raw
+         |  FROM events CROSS JOIN range(3) r(i))
+         |SELECT key, pos, draw_idx,
+         |  CASE WHEN raw = pos THEN (raw + 1) % 1000 ELSE raw END AS neg
+         |FROM g""".stripMargin,
     "sample_per_group" ->
       s"""SELECT event_id, event_type, sample_rank FROM (
          |  SELECT event_id, event_type,

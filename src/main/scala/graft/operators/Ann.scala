@@ -59,6 +59,25 @@ object Ann {
       k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most-similar same-bucket corpus vectors with a DIFFERENT
+    * label — the "hardest" negatives, the standard embedding-training
+    * prep step. `queries`/`corpus`: (id, vec, label). Same scale shape
+    * as [[bucketedTopK]]: the query set broadcasts, each query scans
+    * only its own coarse bucket, and the label filter runs before the
+    * per-query top-k window. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"),
+      col("label").as("q_label"), signBucket(col("vec"), bits).as("bucket"))
+    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"),
+      col("label").as("n_label"), signBucket(col("vec"), bits).as("bucket"))
+    topK(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label")),
+      k)
+  }
+
   private[operators] def topK(pairs: DataFrame, k: Int): DataFrame = {
     val scored = pairs.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)

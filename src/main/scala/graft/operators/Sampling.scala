@@ -172,4 +172,28 @@ object Sampling {
       negativeFraction: Double, seed: Long): DataFrame =
     df.filter(label ||
       pmod(xxhash64(key, lit(seed)), lit(1000000L)) < (negativeFraction * 1e6).toLong)
+
+  /** Deterministic candidate-negative generation (recommender /
+    * contrastive training prep — the sampled-softmax "draw k random
+    * items per example" step): for each input row, `k` item ids from
+    * [0, itemCount) drawn by the portable seeded mod-P hash of
+    * (key·k + draw). Row-local — no shuffle, no RNG state — so it is
+    * layout-invariant, reproducible across runs, and mirrorable by an
+    * external engine. A draw that collides with the row's positive is
+    * shifted by one (mod itemCount), so every emitted row is a true
+    * negative. Output: (key, pos, draw_idx, neg), k rows per input.
+    * `key·k + draw` must stay within long range (keys below ~2⁶⁰/k). */
+  def negativesPerKey(df: DataFrame, key: Column, positive: Column, k: Int,
+      itemCount: Long, seed: Long): DataFrame = {
+    require(k > 0, s"negativesPerKey needs k > 0, got $k")
+    require(itemCount > 1, s"negativesPerKey needs itemCount > 1, got $itemCount")
+    val draws = (0 until k).map { i =>
+      struct(lit(i.toLong).as("draw_idx"),
+        pmod(modPHash(key * lit(k.toLong) + lit(i.toLong), seed), lit(itemCount)).as("raw"))
+    }
+    df.select(key.as("key"), positive.as("pos"), explode(array(draws: _*)).as("d"))
+      .select(col("key"), col("pos"), col("d.draw_idx").as("draw_idx"),
+        when(col("d.raw") === col("pos"),
+          pmod(col("d.raw") + 1, lit(itemCount))).otherwise(col("d.raw")).as("neg"))
+  }
 }

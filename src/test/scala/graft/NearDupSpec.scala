@@ -62,6 +62,27 @@ class NearDupSpec extends GraftSpec {
     assert(recall > 0.1, s"suspiciously low ANN recall: $recall")
   }
 
+  test("hardNegatives returns only cross-label neighbors, ranked by cosine") {
+    val embL = Tables.embeddings(spark, sf).select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    val out = Ann.hardNegatives(embL.filter(col("id") < 8), embL, k = 3, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val labels = embL.select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every mined negative has a different label than its query
+    assert(out.forall { case (q, n, _, _) => labels(q) != labels(n) })
+    // per-query ranks are 1..m with cosine non-increasing
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+  }
+
   test("multimodal: decodeStub via mapPartitions matches expression features") {
     val packed = Multimodal.packBinary(docs.limit(50), col("doc_id"), col("text"), "text/plain")
     val viaUdf = Multimodal.decodeFeatures(spark, packed, 8)

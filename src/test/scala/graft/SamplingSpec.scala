@@ -75,6 +75,19 @@ class SamplingSpec extends GraftSpec {
     assert(a !== c)
   }
 
+  test("negativesPerKey: k true negatives per row, layout-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.negativesPerKey(df, col("event_id"), pmod(col("user_id"), lit(50L)),
+        k = 4, itemCount = 50L, seed = 9L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val out = run(events)
+    assert(out.size === events.count() * 4)
+    // every draw lands in-domain and never equals the positive
+    assert(out.forall { case (_, pos, _, neg) => neg >= 0 && neg < 50 && neg != pos })
+    // deterministic under relayout
+    assert(run(events.repartition(13)) === out)
+  }
+
   test("stratifiedModP keeps unlisted strata intact and honors 0/1 fractions") {
     val out = Sampling.stratifiedModP(events, col("event_type"), col("event_id"),
       Map("click" -> 0.0, "view" -> 1.0), 3L)
