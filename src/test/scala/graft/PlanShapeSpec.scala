@@ -94,6 +94,22 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("host cap pushes a partial WindowGroupLimit below the host exchange") {
+    val p = plan("web_host_cap")
+    // two WindowGroupLimit nodes: Partial before Exchange, Final after —
+    // at most n rows per host per map partition travel
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("gram matrix aggregates object buffers map-side; unpack join broadcasts") {
+    val p = plan("embedding_gram_matrix")
+    // partial ObjectHashAggregate before the single-buffer exchange:
+    // rows never shuffle, only one packed buffer per partition
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("no gated query plans an unpartitioned ordered window (scale-killer guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val exempt = Set(
