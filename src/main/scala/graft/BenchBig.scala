@@ -35,7 +35,8 @@ object BenchBig {
     "dedup_span_coverage", "dedup_span_removal", "text_bm25_topk",
     "hybrid_rrf_fusion", "encode_categorical", "ordinal_stable_ids",
     "web_url_normalize", "web_host_cap", "embedding_gram_matrix",
-    "sample_negatives", "ann_hard_negatives")
+    "sample_negatives", "ann_hard_negatives",
+    "sketch_cms_heavy_hitters", "text_classifier_score", "pipeline_corpus_curation")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")

@@ -1225,6 +1225,62 @@ object SparkEntry {
       // reproduced bit-for-bit by the oracle from the same hash
       Sketches.kmvDistinct(Tables.events(s, d), col("user_id"), k = 64, seed = 11L)
     },
+    "sketch_cms_heavy_hitters" -> { (s, d) =>
+      // count-min-sketch frequent terms: 3x512 counters of bounded state
+      // regardless of corpus size; heavy = estimate >= 1/200 of all
+      // occurrences (integer comparison, no FP); exact counts ride
+      // along as gate instrumentation proving estimate >= exact
+      Sketches.cmsHeavyHitters(
+        Tables.documents(s, d)
+          .select(explode(TextFunctions.tokenize(col("text"))).as("term")),
+        col("term"), width = 512, hhDenom = 200)
+    },
+    "text_classifier_score" -> { (s, d) =>
+      // model-based quality scoring (fastText-shaped): hashed
+      // unigram+bigram features -> fixed pseudo-weights -> exact integer
+      // logit -> sigmoid of the mean weight; one native kernel pass per
+      // doc, zero shuffle (the weight table is a deterministic
+      // arithmetic stand-in; the scoring plumbing is the real path)
+      val nf = (TextFunctions.tokenCount(col("text")).cast("long") * 2 - 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.classifierLogitMilli(col("text"), buckets = 1 << 20)
+            .as("logit_milli"),
+          nf.as("nf"))
+        .select(col("doc_id"), col("logit_milli"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("logit_milli").cast("double") /
+              (lit(1000.0) * col("nf").cast("double"))))), 9).as("score"))
+    },
+    "pipeline_corpus_curation" -> { (s, d) =>
+      // the end-to-end curation recipe a crawl corpus goes through
+      // before training: canonical host -> blocklist (broadcast anti
+      // join) -> language filter -> quality floor -> per-host cap ->
+      // deterministic train/val/test split. Every stage is a gated
+      // operator elsewhere; this gates their composition.
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val url = concat(lit("https://Host"), pmod(col("doc_id"), lit(23)).cast("string"),
+        lit(".Example.com/Doc/"), col("doc_id").cast("string"))
+      val blocked = Seq("host3.example.com", "host10.example.com", "host17.example.com")
+        .toDF("host")
+      val kept = WebCuration.blocklistFilter(
+        docs.select(col("doc_id"), col("text"), url.as("url"))
+          .withColumn("host",
+            graft.functions.WebFunctions.host(
+              graft.functions.WebFunctions.normalizeUrl(col("url")))),
+        col("host"), blocked)
+        .filter(TextFunctions.languageId(col("text")) === "en")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.38)
+      val capped = WebCuration.hostCap(
+        kept.select(col("doc_id"), col("quality"), col("url")),
+        col("url"), n = 5, order = Seq(col("quality").desc, col("doc_id").asc))
+      Sampling.splitAssign(capped, col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 7L)
+        .select(col("doc_id"), col("host"), round(col("quality"), 9).as("quality"),
+          col("split"))
+    },
     "sample_mixture" -> { (s, d) =>
       // data-mixing recipe: resample three sources to exact 50/30/20
       // proportions (largest feasible N, per-stratum hash reservoirs)
@@ -2340,6 +2396,64 @@ object SparkEntry {
          |SELECT CASE WHEN n_hashes_kept < 64 THEN CAST(n_hashes_kept AS DOUBLE)
          |       ELSE 63.0 * ${TextFunctions.P} / hk END AS kmv_estimate, n_hashes_kept
          |FROM s""".stripMargin,
+    // the oracle rebuilds the same 3x512 sketch from the same hash
+    // families (CmsMults) and takes the same min-over-rows estimate
+    "sketch_cms_heavy_hitters" -> {
+      val rows = graft.functions.Sketches.CmsMults.zipWithIndex.map { case (m, i) =>
+        s"SELECT term, $i AS r, (${OracleFragments.polyHashSql("term", m)}) % 512 AS b FROM ex"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ex AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |hb AS (
+         |  $rows),
+         |cms AS (SELECT r, b, COUNT(*) AS c FROM hb GROUP BY r, b),
+         |cand AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n FROM ex GROUP BY term),
+         |cb AS (SELECT DISTINCT term, r, b FROM hb),
+         |est AS (SELECT cb.term, CAST(MIN(c.c) AS BIGINT) AS cms_est
+         |  FROM cb JOIN cms c USING (r, b) GROUP BY cb.term)
+         |SELECT e.term, e.cms_est, t.exact_n
+         |FROM est e JOIN cand t USING (term)
+         |WHERE e.cms_est * 200 >= (SELECT COUNT(*) FROM ex)""".stripMargin
+    },
+    // same bucket arithmetic (polyHash of token / of "w1 w2"), same
+    // pseudo-weight formula, exact integer sum, sigmoid at the end
+    "text_classifier_score" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |uni AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         |bi AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM tok WHERE len(t) >= 2),
+         |feats AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+         |w AS (SELECT doc_id,
+         |  ((((${OracleFragments.polyHashSql("g")}) % ${1 << 20}) * 2654435761 + 40503)
+         |    % 2001) - 1000 AS wt FROM feats),
+         |agg AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS logit_milli,
+         |  COUNT(*) AS nf FROM w GROUP BY doc_id)
+         |SELECT doc_id, logit_milli,
+         |  round(1.0 / (1.0 + exp(-(CAST(logit_milli AS DOUBLE) / (1000.0 * nf)))), 9)
+         |    AS score
+         |FROM agg""".stripMargin,
+    // every stage mirrored from its own gate's oracle: host generation
+    // (web_host_cap), blocklist NOT IN, langid (text_langid), quality
+    // expression + 0.38 floor, host cap rank, split thresholds
+    "pipeline_corpus_curation" -> {
+      val Seq(c1, c2, _) = graft.operators.Sampling.splitThresholds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |    'host' || (doc_id % 23) || '.example.com' AS host FROM documents),
+         |f AS (SELECT doc_id, host, ($qualityExprSql) AS quality FROM t
+         |  WHERE host NOT IN ('host3.example.com','host10.example.com','host17.example.com')
+         |    AND len(list_filter(toks, x -> x IN ${OracleFragments.stopwordListSql})) > 0
+         |    AND ($qualityExprSql) >= 0.38),
+         |r AS (SELECT doc_id, host, quality,
+         |  row_number() OVER (PARTITION BY host ORDER BY quality DESC, doc_id) AS host_rank
+         |  FROM f),
+         |c AS (SELECT doc_id, host, quality,
+         |  (${OracleFragments.modPHashSql("doc_id", 7L)}) % 1000000 AS h6
+         |  FROM r WHERE host_rank <= 5)
+         |SELECT doc_id, host, round(quality, 9) AS quality,
+         |  CASE WHEN h6 < $c1 THEN 'train' WHEN h6 < $c2 THEN 'val' ELSE 'test' END AS split
+         |FROM c""".stripMargin
+    },
     "profile_summary" ->
       """SELECT 'event_id' AS "column", COUNT(*) AS n,
         |  COUNT(*) - COUNT(event_id) AS n_null,

@@ -45,4 +45,50 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * P / col("hk")).as("kmv_estimate"),
         col("n_hashes_kept"))
   }
+
+  /** Count-min sketch hash families: independent polyHash multipliers
+    * (row i of the sketch uses [[CmsMults]](i)) — the single source the
+    * oracle SQL mirrors. */
+  val CmsMults: Vector[Long] = Vector(31L, 131L, 257L)
+
+  /** Count-min-sketch heavy hitters over a one-column DataFrame of term
+    * occurrences: terms whose CMS estimate is at least 1/`hhDenom` of
+    * all occurrences, with the estimate and the exact count side by
+    * side (CMS guarantees estimate >= exact; width bounds the
+    * overestimate).
+    *
+    * Scale story — the point of the sketch: the frequency state is
+    * `depth x width` counters NO MATTER the corpus size. Building it is
+    * one explode (depth rows per occurrence, no string payload — just
+    * (row, bucket) ints) into a map-side-combinable count whose group
+    * count is bounded by depth*width, so the shuffle carries at most
+    * depth*width rows per map partition. Candidate evaluation joins the
+    * tiny sketch back broadcast — no second pass over the data — and
+    * the total-count threshold is a broadcast scalar. The exact-count
+    * column is gate instrumentation (it is what the sketch would
+    * replace at 100 TB); the sketch build itself never holds a
+    * per-term state.
+    *
+    * Returns (term, cms_est, exact_n), heavy hitters only. */
+  def cmsHeavyHitters(df: DataFrame, term: Column, width: Int, hhDenom: Int): DataFrame = {
+    require(width > 1, s"cmsHeavyHitters: width must be > 1, got $width")
+    require(hhDenom > 1, s"cmsHeavyHitters: hhDenom must be > 1, got $hhDenom")
+    val t = df.select(term.as("term"))
+    def buckets: Column = array(CmsMults.zipWithIndex.map { case (m, i) =>
+      struct(lit(i).as("r"),
+        pmod(TextFunctions.polyHashMult(col("term"), m), lit(width.toLong)).as("b"))
+    }: _*)
+    val cms = t.select(explode(buckets).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val exact = t.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+    val est = exact.select(col("term"), col("exact_n"), explode(buckets).as("rb"))
+      .select(col("term"), col("exact_n"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("term"), col("exact_n")).agg(min(col("c")).as("cms_est"))
+    val tot = t.agg(count(lit(1)).as("tot"))
+    est.crossJoin(broadcast(tot))
+      .filter(col("cms_est") * hhDenom >= col("tot"))
+      .select(col("term"), col("cms_est"), col("exact_n"))
+  }
 }

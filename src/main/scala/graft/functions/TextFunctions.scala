@@ -47,6 +47,11 @@ object TextFunctions {
     * (SimHash fingerprints combine both families into 60 bits). */
   def polyHash2(s: Column): Column = expressions.GraftExpressions.poly_hash(s, 131L)
 
+  /** Arbitrary-family variant (the CMS rows each use their own
+    * multiplier from [[Sketches.CmsMults]]). */
+  def polyHashMult(s: Column, mult: Long): Column =
+    expressions.GraftExpressions.poly_hash(s, mult)
+
   def polyHashHof(s: Column): Column =
     aggregate(chars(s), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
 
@@ -159,6 +164,31 @@ object TextFunctions {
     * fewer than 2 tokens. */
   def repetitionStats(text: Column): Column =
     expressions.GraftExpressions.repetition_stats(text)
+
+  /** fastText-style model-based quality scoring, the piece the heuristic
+    * signals above don't cover: a linear classifier over hashed
+    * unigram+bigram bag-of-features. The weight table is a fixed
+    * deterministic arithmetic stand-in (no model artifacts ship in this
+    * container — swapping in trained weights changes one line of
+    * [[expressions.VecUtil.featWeight]]); everything around it — feature
+    * hashing, bucket arithmetic, exact integer accumulation, the
+    * sigmoid at the end — is the real scoring path. Row-local, zero
+    * shuffle, one native byte-scan-ish pass per doc
+    * ([[expressions.LinearLogit]]); [[classifierLogitCols]] is the
+    * built-in column formulation kept as its bit-identical spec. */
+  def classifierLogitMilli(text: Column, buckets: Int): Column =
+    expressions.GraftExpressions.linear_logit(tokenize(text), buckets)
+
+  /** The HOF formulation the kernel replicates: per-feature weights via
+    * the same bucket arithmetic, summed left-to-right (integer sum —
+    * order-free). */
+  def classifierLogitCols(text: Column, buckets: Int): Column = {
+    def w(b: Column): Column = (b * 2654435761L + 40503L) % 2001L - 1000L
+    val toks = tokenize(text)
+    val uni = transform(toks, t => w(polyHash(t) % buckets))
+    val bi = transform(shingles(toks, 2), g => w(polyHash(g) % buckets))
+    aggregate(concat(uni, bi), lit(0L), (acc, x) => acc + x)
+  }
 
   def dupTokenFraction(text: Column): Column = {
     val t = tokenize(text)

@@ -196,6 +196,32 @@ case class MinHashSigs(child: Expression, n: Int, k: Int) extends UnaryExpressio
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** fastText-style hashed linear-classifier logit over a token array
+  * (unigram + bigram features, fixed arithmetic pseudo-weights) in one
+  * codegen'd call — [[graft.functions.TextFunctions.classifierLogitCols]]
+  * is the built-in column formulation kept as its bit-identical
+  * semantic spec (EquivalenceSpec fuzz). Integer milli-units; the
+  * caller applies the sigmoid. */
+case class LinearLogit(child: Expression, buckets: Int) extends UnaryExpression {
+  require(buckets > 0, s"linear_logit needs buckets > 0, got $buckets")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"linear_logit needs array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.linearLogit(a.asInstanceOf[ArrayData], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.linearLogit($a, $buckets);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct sorted n-gram shingle HASHES of a token array in one
   * codegen'd call — the verify-side companion of [[MinHashSigs]]: set
   * similarity is computed over mod-P gram hashes instead of gram
@@ -652,6 +678,8 @@ object GraftExpressions {
   def email_count(s: Column): Column = column(EmailCount(expression(s)))
   def half_to_float(b: Column): Column = column(HalfToFloat(expression(b)))
   def sim_hash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
+  def linear_logit(tokens: Column, buckets: Int): Column =
+    column(LinearLogit(expression(tokens), buckets))
   def minhash_sigs(tokens: Column, n: Int, k: Int): Column =
     column(MinHashSigs(expression(tokens), n, k))
   def shingle_hashes(tokens: Column, n: Int): Column =

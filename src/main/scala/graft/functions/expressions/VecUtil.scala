@@ -448,6 +448,43 @@ object VecUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** fastText-style linear text-classifier logit in integer milli-units:
+    * the feature bag is every unigram occurrence plus every adjacent
+    * bigram occurrence, each hashed into `buckets` buckets (unigram hash
+    * = [[polyHash]] of the token; bigram hash = polyHash of
+    * "w1 w2" built incrementally like [[bigramHashPairs]]), and each
+    * bucket carries the fixed deterministic pseudo-weight
+    * `w(b) = ((b*2654435761 + 40503) mod 2001) - 1000` — milli-units in
+    * [-1000, 1000], a stand-in for trained weights (the container has no
+    * model artifacts; swapping in a real weight table changes only this
+    * one arithmetic line). The sum over all 2t-1 features is exact
+    * BIGINT — order-free and engine-portable; callers derive the
+    * sigmoid score from (logit_milli, n_features) at the end. */
+  def linearLogit(tokens: ArrayData, buckets: Int): Long = {
+    val t = tokens.numElements()
+    var sum = 0L
+    var prevH = 0L
+    var i = 0
+    while (i < t) {
+      val s = tokens.getUTF8String(i)
+      val h = polyHash(s, 31L)
+      sum += featWeight(h % buckets)
+      if (i > 0) {
+        val bg = (((prevH * 31 + 32) % P) * pow31(s) + h) % P
+        sum += featWeight(bg % buckets)
+      }
+      prevH = h
+      i += 1
+    }
+    sum
+  }
+
+  /** The fixed pseudo-weight table as arithmetic: Knuth-mix the bucket
+    * id into [-1000, 1000] milli-units. b < 2^31 keeps b*2654435761
+    * within int64. */
+  @inline private def featWeight(b: Long): Long =
+    ((b * 2654435761L + 40503L) % 2001L) - 1000L
+
   /** 31^steps(s) mod P, where steps is the number of fold steps
     * [[polyHash]] takes for `s` (bytes on the ASCII fast path,
     * codepoints otherwise). */

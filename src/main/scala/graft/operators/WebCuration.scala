@@ -37,4 +37,14 @@ object WebCuration {
         row_number().over(Window.partitionBy(col("host")).orderBy(order: _*)))
       .filter(col("host_rank") <= n)
   }
+
+  /** Drop documents whose `host` appears in a blocklist (the C4-style
+    * badlist step). `blocked` must have a single `host` column and is
+    * assumed dimension-sized (curated blocklists are thousands to
+    * millions of rows — far under the broadcast threshold): the filter
+    * is a broadcast LEFT ANTI join, so the corpus never shuffles. */
+  def blocklistFilter(df: DataFrame, host: Column, blocked: DataFrame): DataFrame = {
+    val b = broadcast(blocked.select(col("host").as("__blocked_host")).distinct())
+    df.join(b, host === col("__blocked_host"), "left_anti")
+  }
 }

@@ -229,6 +229,26 @@ class EquivalenceSpec extends GraftSpec {
     assert(bad.isEmpty, s"kernel/column divergence on: ${bad.take(5).mkString(", ")}")
   }
 
+  test("native linear_logit kernel equals the HOF formulation on corpus + fuzz") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def mism(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.filter(TextFunctions.classifierLogitMilli(c, 1 << 20)
+        =!= TextFunctions.classifierLogitCols(c, 1 << 20))
+    assert(mism(Tables.documents(spark, sf), col("text")).count() === 0L)
+    // fuzz: tiny vocabulary (dense bigram repeats), empty tokens from
+    // double spaces, single tokens, non-ASCII — the bigram hash must
+    // equal polyHash of the joined "w1 w2" string in every case
+    val words = Array("a", "b", "ab", "", "héllo", "😀", "the")
+    val rnd = new scala.util.Random(991)
+    val fuzz = (1 to 5000).map { _ =>
+      val len = 1 + rnd.nextInt(10)
+      (1 to len).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }.toDF("t")
+    val bad = mism(fuzz, col("t")).collect()
+    assert(bad.isEmpty, s"kernel/column divergence on: ${bad.take(5).mkString(", ")}")
+  }
+
   test("native quality_score / stopword_count / term_counts_text equal column forms") {
     import spark.implicits._
     import graft.functions.TextFunctions

@@ -162,6 +162,36 @@ class OperatorsSpec extends GraftSpec {
     }
   }
 
+  test("blocklistFilter removes exactly the blocked hosts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .withColumn("host", concat(lit("h"), pmod(col("doc_id"), lit(5)).cast("string")))
+    val blocked = Seq("h1", "h3", "h999").toDF("host")
+    val kept = WebCuration.blocklistFilter(docs, col("host"), blocked)
+    assert(kept.filter(col("host").isin("h1", "h3")).count() === 0)
+    assert(kept.count() === docs.filter(!col("host").isin("h1", "h3")).count())
+  }
+
+  test("CMS estimate dominates the exact count; exact on a collision-free vocab") {
+    import spark.implicits._
+    val terms = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+    // every returned estimate must be >= its exact count (CMS guarantee)
+    val hh = graft.functions.Sketches.cmsHeavyHitters(terms, col("term"),
+      width = 512, hhDenom = 200).collect()
+    assert(hh.nonEmpty)
+    hh.foreach(r => assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_n"), r))
+    // a sketch wider than the vocabulary has no collisions in practice
+    // for a tiny term set -> estimate == exact
+    val tiny = Seq.fill(40)("alpha") ++ Seq.fill(10)("beta") ++ Seq.fill(2)("gamma")
+    // threshold = 52/6 ≈ 8.7 occurrences: alpha and beta in, gamma out
+    val exact = graft.functions.Sketches.cmsHeavyHitters(
+      tiny.toDF("term"), col("term"), width = 1 << 16, hhDenom = 6).collect()
+    assert(exact.map(r => r.getString(0) -> r.getAs[Long]("cms_est")).toMap
+      === Map("alpha" -> 40L, "beta" -> 10L))
+    exact.foreach(r => assert(r.getAs[Long]("cms_est") === r.getAs[Long]("exact_n")))
+  }
+
   test("upperGram matches the local brute-force computation") {
     val emb = Tables.embeddings(spark, sf)
     def collectGram(df: org.apache.spark.sql.DataFrame) =

@@ -110,6 +110,25 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("classifier scoring is shuffle-free (row-local kernel, no Exchange)") {
+    val p = plan("text_classifier_score")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("linearlogit") || p.contains("LinearLogit"), p.take(2000))
+  }
+
+  test("CMS joins the sketch and the total back broadcast; corpus never re-shuffles") {
+    val p = plan("sketch_cms_heavy_hitters")
+    // sketch (d*w rows) and the 1-row total both broadcast
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("curation pipeline: broadcast anti-join blocklist + partial host-cap limit") {
+    val p = plan("pipeline_corpus_curation")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("no gated query plans an unpartitioned ordered window (scale-killer guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val exempt = Set(
