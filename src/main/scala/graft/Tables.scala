@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided test tables (TESTDATA.md). */
 object Tables {
@@ -12,9 +12,16 @@ object Tables {
     // to TimestampType at µs precision — identical to DuckDB's ns→µs
     // truncation, keeping oracle parity. `div` (integer floor) avoids the
     // double-precision loss of `/` on epoch-nanos magnitudes.
-    raw.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
+    val nanosFixed = raw.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
       .foldLeft(raw)((df, f) =>
         df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))
+    // µs-naive layouts read as TIMESTAMP_NTZ when a session predates
+    // GraftSession's inferTimestampNTZ=false default: normalize to LTZ
+    // (session zone is UTC, so the mapping is value-identical to DuckDB's
+    // naive read). No-op under GraftSession-built sessions.
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = apply(spark, d, "lineitem")
