@@ -401,6 +401,20 @@ object SparkEntry {
       NearDup.removeDuplicatedSpans(Tables.documents(s, d), col("doc_id"),
         col("text"), n = 5)
     },
+    "dedup_line_level" -> { (s, d) =>
+      // C4-style boilerplate-line removal: "lines" are disjoint 10-token
+      // segments (the corpus stores single-line token streams; real
+      // crawl text would pass split(text, "\n")); a line shared across
+      // documents survives only in its minimum-id holder
+      val toks = TextFunctions.tokenize(col("text"))
+      val nL = ceil(size(toks) / 10.0).cast("int")
+      val lines = when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nL - 1),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")))
+      NearDup.removeDuplicateLines(
+        Tables.documents(s, d).select(col("doc_id"), lines.as("lines")),
+        col("doc_id"), col("lines"))
+    },
     "dedup_ngram_jaccard" -> { (s, d) =>
       // dfCap = 20: stop-shingles (df > 20) are dropped before the
       // self-join — bounds the join fanout to df² ≤ 400 rows per shingle
@@ -1909,6 +1923,24 @@ object SparkEntry {
          |built AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS ct FROM keep GROUP BY doc_id)
          |SELECT tok.doc_id, coalesce(b.ct, '') AS clean_text
          |FROM tok LEFT JOIN built b USING (doc_id)""".stripMargin,
+    // same min-holder-keeps rule at LINE granularity; lines group by the
+    // same poly-hash the engine exchanges, so collisions merge identically
+    "dedup_line_level" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, CAST(ceil(len(toks)/10.0) AS BIGINT) AS n_lines FROM t),
+         |l0 AS (SELECT doc_id, toks,
+         |    unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos FROM t),
+         |l AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(list_slice(toks, pos*10+1, pos*10+10), ' ') AS line FROM l0),
+         |lh AS (SELECT doc_id, pos, line, ${OracleFragments.polyHashSql("line")} AS h FROM l),
+         |m AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM lh GROUP BY h),
+         |k AS (SELECT lh.doc_id, lh.pos, lh.line FROM lh JOIN m USING (h)
+         |  WHERE m.mn = m.mx OR lh.doc_id = m.mn),
+         |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY doc_id)
+         |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text, b.n_lines,
+         |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM b LEFT JOIN r USING (doc_id)""".stripMargin,
     // positions are 1-based here vs 0-based in Spark; the union LENGTH
     // of [pos, pos+5) intervals is shift-invariant so the aggregates
     // agree exactly

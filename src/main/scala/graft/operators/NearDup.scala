@@ -501,4 +501,56 @@ object NearDup {
             tokenize(col("__text")),
             col("iv.s"), col("iv.e"))).as("clean_text"))
   }
+
+  // ---- line-level (boilerplate) deduplication --------------------------
+
+  /** C4-style line-level corpus dedup: rewrite every document dropping
+    * the LINES whose content also appears in some other document, keeping
+    * the copy held by the MINIMUM-id document (one instance of every
+    * line survives the corpus) — the boilerplate-removal pass web-corpus
+    * pipelines run between doc-level near-dup and span excision (nav
+    * bars, cookie banners, footers repeat verbatim across pages whose
+    * bodies differ; the reference's pipelines stop at doc granularity).
+    *
+    * Input is the caller's segmentation (`lines`: array<string> —
+    * typically `split(text, "\n")`), so "line" can equally be a
+    * sentence or fixed-token segment. Lines repeated WITHIN a single
+    * document only are untouched (cross-doc sharing is the boilerplate
+    * signal). Output: one row per input doc —
+    * (doc_id, clean_text = surviving lines re-joined with \n in original
+    * order, n_lines, n_kept); a fully-boilerplate doc keeps its row with
+    * an empty clean_text, letting callers decide its fate.
+    *
+    * Scale design: occurrences are exploded once and exchanged by the
+    * 8-byte [[graft.functions.expressions.PolyHash]] of the line (never
+    * the line text as key); cross-doc sharing is the same streamed
+    * min/max-doc window trick as [[duplicatedSpans]] (min(doc) ≠
+    * max(doc) ⇔ ≥2 distinct holders — mergeable state, no
+    * countDistinct); the rebuild is one exchange by doc with per-doc
+    * state bounded by the doc's own line count. Hash collisions merge
+    * distinct lines on both the engine and the oracle (the oracle
+    * groups by the same hash), exactly like the shingle pipelines. */
+  def removeDuplicateLines(docs: DataFrame, id: Column, lines: Column): DataFrame = {
+    val base = Parallelism.ensureDefault(
+      docs.select(id.as("doc_id"), lines.as("__lines")))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("__lines")).as(Seq("pos", "line")))
+      .withColumn("h", graft.functions.expressions.GraftExpressions.poly_hash(col("line")))
+    val wh = Window.partitionBy("h")
+    val kept = occ
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .where(col("mn") === col("mx") || col("doc_id") === col("mn"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("kl"))
+      .select(col("doc_id"),
+        array_join(col("kl.line"), "\n").as("clean_text"),
+        size(col("kl")).cast("long").as("n_kept"))
+    base.select(col("doc_id"), size(col("__lines")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -175,6 +175,22 @@ class NearDupSpec extends GraftSpec {
     assert(got === Set((1L, -1, -1), (2L, -1, -1)))
   }
 
+  test("line dedup: shared lines survive only in the min-id holder") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, Seq("common header", "body one")),
+      (2L, Seq("common header", "body two")),
+      (3L, Seq("body three", "body three")), // intra-doc repeat: untouched
+      (4L, Seq("common header"))             // fully boilerplate
+    ).toDF("doc_id", "lines")
+    val out = NearDup.removeDuplicateLines(in, col("doc_id"), col("lines"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("common header\nbody one", 2L, 2L))) // keeper keeps its copy
+    assert(out(2L) === (("body two", 2L, 1L)))
+    assert(out(3L) === (("body three\nbody three", 2L, 2L)))
+    assert(out(4L) === (("", 1L, 0L))) // row survives with empty text
+  }
+
   test("jaccard dfCap drops stop-shingle-only pairs, keeps rare-shingle pairs") {
     import spark.implicits._
     // every doc shares the stop shingle "x y z" (df = 12 > cap); docs 1
