@@ -500,6 +500,15 @@ object SparkEntry {
         threshold = 0.3, bits = 8)
     },
 
+    "dedup_semantic_prune" -> { (s, d) =>
+      // SemDeDup-shaped cluster-then-prune: trained k-means cells, then
+      // within-cell smaller-id-neighbor pruning at cosine >= 0.3 —
+      // survivors with their cell ids. The oracle RE-TRAINS the model
+      // from scratch (integer-grid k-means is bit-reproducible).
+      Ivf.semanticPrune(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.3, k = 8, iters = 2, scale = 1000.0)
+    },
     "dedup_embedding_neardup_wide" -> { (s, d) =>
       // the scale knob demonstrated: 12 sign bits -> 4096 buckets. Within-
       // bucket pair volume shrinks ~16x vs bits=8 (recall trades away
@@ -1067,6 +1076,41 @@ object SparkEntry {
           col("l_suppkey"),
           graft.functions.expressions.GraftExpressions.z_order(
             col("l_partkey").cast("long"), col("l_suppkey").cast("long")).as("zval"))
+    },
+
+    // ---- stream-stream event-time interval join ------------------------
+    "stream_stream_join" -> { (s, d) =>
+      // TRUE two-stream join: views and purchases arrive as independent
+      // file streams (2 micro-batches each, cross-batch matches must come
+      // from buffered state); a purchase attributes to every view by the
+      // same user within the prior 4 hours. The replay-spanning watermark
+      // makes the result exactly the batch inequality join.
+      val dir = GateFixtures.dir("stream_ssj", d) { target =>
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .repartition(2).write.mode("overwrite").parquet(target + "/views")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .repartition(2).write.mode("overwrite").parquet(target + "/purchases")
+      }
+      val vSchema = s.read.parquet(dir + "/views").schema
+      val pSchema = s.read.parquet(dir + "/purchases").schema
+      val name = "gate_ssj_" + math.abs(dir.hashCode)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingOps.intervalJoin(
+            StreamingOps.fileStream(s, dir + "/views", vSchema),
+            StreamingOps.fileStream(s, dir + "/purchases", pSchema),
+            "user_id", "4 hours", "35 days")
+          .select(col("l.event_id").as("view_id"), col("r.event_id").as("purchase_id"),
+            col("l.user_id").as("user_id"),
+            expr("(unix_micros(r.ts) - unix_micros(l.ts)) div 1000000").as("secs_after"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(name)
     },
 
     // ---- stream-static enrichment join (streaming embedding lookup) ----
@@ -2108,6 +2152,20 @@ object SparkEntry {
          |SELECT c.cid AS cluster_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_vectors,
          |  array_to_string(c.cent, ',') AS centroid
          |FROM cents c LEFT JOIN cnt ON cnt.cid = c.cid""".stripMargin,
+    // same re-trained model as ivf_kmeans_clusters, then within-cell
+    // smaller-id near-dup pruning (the SemDeDup keep-one rule)
+    "dedup_semantic_prune" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |${OracleFragments.quantizeCte(1000.0)},
+         |${OracleFragments.kmeansCtes(8, 2)},
+         |${OracleFragments.ivfAssignCte},
+         |nva AS (SELECT nv.vec_id, nv.v, nv.nrm, asg.cid
+         |  FROM nv JOIN asg ON asg.vec_id = nv.vec_id),
+         |dropped AS (SELECT DISTINCT b.vec_id FROM nva a JOIN nva b
+         |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${OracleFragments.cosineSql("a", "b")} >= 0.3)
+         |SELECT vec_id AS id, CAST(cid AS BIGINT) AS cluster_id FROM nva
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "ann_topk_ivf" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |${OracleFragments.quantizeCte(1000.0)},
@@ -2678,6 +2736,14 @@ object SparkEntry {
     "stream_enrich_join" ->
       """SELECT event_id, user_id, label
         |FROM events LEFT JOIN embeddings ON user_id = vec_id""".stripMargin,
+    // batch mirror of the stream-stream interval join (the gate's
+    // replay-spanning watermark drops nothing, so equality is exact)
+    "stream_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS secs_after
+        |FROM events v JOIN events p ON p.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR""".stripMargin,
     "ann_topk_multiprobe" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT vec_id, v, nrm, ${OracleFragments.signBucketSql(6)} AS bucket FROM nv),

@@ -118,6 +118,35 @@ object Ivf {
     Ann.topK(c.join(broadcast(q), Seq("cid")).filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /** SemDeDup-shaped semantic dedup (cluster-then-prune): train the
+    * coarse quantizer, assign every vector to its cell, and within each
+    * cell drop every vector that has a smaller-id neighbor with cosine
+    * ≥ `threshold` — keeping one representative of each semantic
+    * near-dup group without ever comparing across cells. This is the
+    * corpus-scale semantic-dedup recipe (k-means partitions make the
+    * within-cell all-pairs block corpus/k-sized; the cross-cell pairs
+    * are the documented recall trade, exactly as in
+    * [[Ann.cosineNearDups]]'s sign buckets — here the cells ADAPT to
+    * the corpus geometry instead of being data-oblivious).
+    *
+    * Output: surviving (id, cluster_id). Training and assignment are
+    * bit-reproducible (integer grid); only the final cosine is FP,
+    * through the same ordered-fold kernel as every ANN path. */
+  def semanticPrune(corpus: DataFrame, threshold: Double,
+      k: Int, iters: Int, scale: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val cq = quantized(corpus, col("id"), col("vec"), scale)
+    val cents = kmeans(cq, k, iters)
+    val asg = cq.select(col("id"), col("vec"),
+      nearestCentroid(col("qv"), cents).as("cluster_id"))
+    val dropped = asg.as("a").join(asg.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("b.id").as("id"))
+    asg.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+  }
+
   /** Symmetric int8 compression of an embedding column: codes =
     * floor(v * 127/max|v|) per vector (range [-128, 127] — floor rounds
     * toward -infinity) plus the dequantization scale (max|v|/127). 4x

@@ -95,6 +95,32 @@ object StreamingOps {
       .groupBy("doc_id").agg(max(col("preceded")).as("dup"))
       .where(!col("dup")).select("doc_id")
 
+  /** Stream–stream event-time interval join: left rows match right rows
+    * sharing `key` with `r.ts` in `[l.ts, l.ts + within]` — the
+    * attribution shape (view → purchase within the window) as a TRUE
+    * two-stream join, where neither side is static and both arrive in
+    * micro-batches.
+    *
+    * Both sides carry the same watermark, and the time-bound join
+    * condition is what lets Spark size the state store: a buffered left
+    * row is evictable once the watermark passes `l.ts + within`, a right
+    * row once it passes `r.ts` — state is bounded by (watermark + within)
+    * worth of rows per side, NOT the full history. Results are exactly
+    * the batch inequality join as long as no event arrives later than
+    * the watermark allows (late rows are dropped — the documented
+    * streaming trade; a `watermark` spanning the whole replay makes the
+    * equality unconditional, which is how the gate runs it). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
+      "inner")
+  }
+
   /** Stateful streaming exact-dedup on a key: emit a row the first time
     * its key is seen, drop re-occurrences across micro-batches — the
     * streaming form of `dropDuplicates` with explicit keyed state. */

@@ -46,6 +46,29 @@ class IvfSpec extends GraftSpec {
     assert(cmp.filter(col("icos") > col("bcos") + 1e-12).count() === 0)
   }
 
+  test("semanticPrune: survivors are pairwise below threshold within a cell, " +
+      "and every dropped vector has a smaller-id in-cell witness") {
+    import graft.functions.VectorFunctions.cosine
+    val tau = 0.3
+    val surv = Ivf.semanticPrune(emb, threshold = tau, k = 4, iters = 2, scale = 1000.0)
+    val q = Ivf.quantized(emb, col("id"), col("vec"), 1000.0)
+    val cents = Ivf.kmeans(q, k = 4, iters = 2)
+    val asg = q.select(col("id"), col("vec"), Ivf.nearestCentroid(col("qv"), cents).as("cid"))
+    // survivors: no within-cell pair at or above the threshold can remain
+    val sv = asg.join(surv.select("id"), Seq("id"))
+    val offending = sv.as("a").join(sv.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.vec"), col("b.vec")) >= tau)
+    assert(offending.count() === 0L)
+    // dropped: each must have a smaller-id in-cell neighbor at >= tau
+    val dropped = asg.join(surv.select("id"), Seq("id"), "left_anti")
+    val unwitnessed = dropped.as("b").join(asg.as("a"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id") &&
+          cosine(col("a.vec"), col("b.vec")) >= tau, "left_anti")
+    assert(unwitnessed.count() === 0L)
+    assert(dropped.count() > 0L) // the sf corpus has semantic near-dups
+  }
+
   test("int8 codes are bounded and reconstruct within one quantization step") {
     val q = Ivf.quantizeInt8(emb, col("id"), col("vec"))
     val bad = q.select(explode(col("codes")).as("c"))

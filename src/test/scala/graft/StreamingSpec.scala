@@ -95,6 +95,41 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch inequality join") {
+    val ev = Tables.events(spark, sf)
+    val vDir = Files.createTempDirectory("graft_ssj_v").toString
+    val pDir = Files.createTempDirectory("graft_ssj_p").toString
+    ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts").repartition(2)
+      .write.mode("overwrite").parquet(vDir)
+    ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").repartition(2)
+      .write.mode("overwrite").parquet(pDir)
+    val vSchema = spark.read.parquet(vDir).schema
+    val pSchema = spark.read.parquet(pDir).schema
+    val q = StreamingOps.intervalJoin(
+        StreamingOps.fileStream(spark, vDir, vSchema),
+        StreamingOps.fileStream(spark, pDir, pSchema),
+        "user_id", "4 hours", "35 days")
+      .select(col("l.event_id"), col("r.event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val v = spark.read.parquet(vDir).alias("l")
+      val p = spark.read.parquet(pDir).alias("r")
+      val batch = v.join(p,
+          col("l.user_id") === col("r.user_id") &&
+            col("r.ts") >= col("l.ts") &&
+            col("r.ts") <= col("l.ts") + expr("INTERVAL 4 hours"))
+        .select(col("l.event_id"), col("r.event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits each key exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup").toString
