@@ -238,6 +238,26 @@ object OracleFragments {
        |      ORDER BY ${sqDistSql("t.q", "c.cent")}, c.cid) AS rn
        |  FROM iq t CROSS JOIN cents c) WHERE rn = 1)""".stripMargin
 
+  /** Unrolled integer-nano PageRank mirror of
+    * [[graft.operators.Graph.pageRankNano]] over an edge CTE `e(src,
+    * dst)`. CTE names: deg, r0..r<iters>, each rᵢ = (id, pr). Floor
+    * division (`//`) on non-negative BIGINTs matches Spark's `div`
+    * exactly, and the overflow-safe (s div 1e9 / s mod 1e9)
+    * decomposition is mirrored term-for-term. */
+  def pageRankCtes(iters: Int, dampNano: Long = 850000000L): String = {
+    val teleport = 1000000000L - dampNano
+    val deg = "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)"
+    val r0 = "r0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS pr FROM deg)"
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS id, SUM(r.pr // d.deg) AS s
+         |  FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT id, $teleport + (s // 1000000000) * $dampNano
+         |  + ((s % 1000000000) * $dampNano) // 1000000000 AS pr FROM s$i)""".stripMargin
+    }
+    (Seq(deg, r0) ++ steps).mkString(",\n")
+  }
+
   /** Sign bucket over the first `bits` dims of double vector `v`. */
   def signBucketSql(bits: Int): String =
     (0 until bits).map(k => s"(CASE WHEN v[${k + 1}] > 0 THEN ${1L << k} ELSE 0 END)")

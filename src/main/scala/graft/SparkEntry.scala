@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, Fusion, Gram, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, Fusion, Gram, Graph, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -500,6 +500,15 @@ object SparkEntry {
         threshold = 0.3, bits = 8)
     },
 
+    "graph_pagerank" -> { (s, d) =>
+      // item centrality over the co-purchase graph: parts sharing an
+      // order are linked (both directions); 3 integer-nano PageRank
+      // sweeps, bit-reproduced by the oracle's unrolled SQL
+      val edges = Graph.coOccurrenceEdges(Tables.lineitem(s, d),
+        col("l_orderkey"), col("l_partkey"))
+      Graph.pageRankNano(edges, iters = 3)
+        .select(col("id").as("part_id"), col("rank").as("rank_nano"))
+    },
     "dedup_semantic_prune" -> { (s, d) =>
       // SemDeDup-shaped cluster-then-prune: trained k-means cells, then
       // within-cell smaller-id-neighbor pruning at cosine >= 0.3 —
@@ -1113,6 +1122,30 @@ object SparkEntry {
       s.table(name)
     },
 
+    // ---- exactly-once streaming FILE sink ------------------------------
+    "stream_file_sink" -> { (s, d) =>
+      // the durable-sink surface (every other streaming gate uses the
+      // memory sink): events stream micro-batch-by-micro-batch into a
+      // parquet directory with a checkpoint; the _spark_metadata commit
+      // log is what makes failed/duplicate attempts invisible to
+      // readers (exactly-once). The sink is written ONCE at fixture
+      // staging; the gate result is the committed read-back, which must
+      // be the identity of the batch table.
+      val dir = GateFixtures.dir("stream_sink", d) { target =>
+        val srcDir = target + "/src"
+        Tables.events(s, d).select("event_id", "user_id", "value")
+          .repartition(2).write.mode("overwrite").parquet(srcDir)
+        val schema = s.read.parquet(srcDir).schema
+        val q = StreamingOps.fileStream(s, srcDir, schema)
+          .writeStream.format("parquet")
+          .option("path", target + "/sink")
+          .option("checkpointLocation", target + "/ckpt")
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(dir + "/sink")
+    },
+
     // ---- stream-static enrichment join (streaming embedding lookup) ----
     "stream_enrich_join" -> { (s, d) =>
       // real readStream (2 files -> 2 micro-batches) left-joined per
@@ -1282,6 +1315,21 @@ object SparkEntry {
       // TakeOrderedAndProject top-k of an 8-byte hash — the estimate is
       // reproduced bit-for-bit by the oracle from the same hash
       Sketches.kmvDistinct(Tables.events(s, d), col("user_id"), k = 64, seed = 11L)
+    },
+    "sketch_kmv_per_group" -> { (s, d) =>
+      // one O(k) KMV sketch per event type (k=64 < the 150 distinct
+      // users, so the estimator path — not the exact-count shortcut —
+      // is what the oracle must reproduce)
+      Sketches.kmvDistinctPerGroup(Tables.events(s, d),
+        col("event_type"), col("user_id"), k = 64, seed = 17L)
+        .withColumnRenamed("grp", "event_type")
+    },
+    "agg_grid_quantiles" -> { (s, d) =>
+      // deterministic two-pass grid quantiles over event values: exact
+      // min/max/count, 256-cell integer occupancy, midpoint read-out —
+      // the mergeable, engine-portable alternative to approx_percentile
+      Sketches.gridQuantiles(Tables.events(s, d), col("value"),
+        buckets = 256, qs = Seq(0.5, 0.9, 0.99))
     },
     "sketch_cms_heavy_hitters" -> { (s, d) =>
       // count-min-sketch frequent terms: 3x512 counters of bounded state
@@ -2152,6 +2200,12 @@ object SparkEntry {
          |SELECT c.cid AS cluster_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_vectors,
          |  array_to_string(c.cent, ',') AS centroid
          |FROM cents c LEFT JOIN cnt ON cnt.cid = c.cid""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         |e AS (SELECT DISTINCT a.it AS src, b.it AS dst
+         |  FROM li a JOIN li b ON a.bk = b.bk AND a.it <> b.it),
+         |${OracleFragments.pageRankCtes(3)}
+         |SELECT id AS part_id, pr AS rank_nano FROM r3""".stripMargin,
     // same re-trained model as ivf_kmeans_clusters, then within-cell
     // smaller-id near-dup pruning (the SemDeDup keep-one rule)
     "dedup_semantic_prune" ->
@@ -2486,6 +2540,36 @@ object SparkEntry {
          |SELECT CASE WHEN n_hashes_kept < 64 THEN CAST(n_hashes_kept AS DOUBLE)
          |       ELSE 63.0 * ${TextFunctions.P} / hk END AS kmv_estimate, n_hashes_kept
          |FROM s""".stripMargin,
+    "sketch_kmv_per_group" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${OracleFragments.modPHashSql("user_id", 17L)} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes_kept, max(h) AS hk
+         |  FROM r WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type,
+         |  CASE WHEN n_hashes_kept < 64 THEN CAST(n_hashes_kept AS DOUBLE)
+         |       ELSE 63.0 * ${TextFunctions.P} / hk END AS kmv_estimate,
+         |  n_hashes_kept
+         |FROM k""".stripMargin,
+    // grid math mirrored term-for-term: same bucket expression, same
+    // ceil(q*n) target rank, same midpoint read-out
+    "agg_grid_quantiles" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n FROM v),
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(255, CAST(floor((v - lo) / ((hi - lo) / 256)) AS INT)) END AS b
+        |  FROM v, mm),
+        |c AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY b),
+        |cum AS (SELECT a.b, SUM(x.c) AS cum FROM c a JOIN c x ON x.b <= a.b GROUP BY a.b),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |t AS (SELECT q, lo, hi, n,
+        |    greatest(1, CAST(ceil(q * n) AS BIGINT)) AS tgt FROM qs, mm),
+        |m AS (SELECT t.q, t.lo, t.hi, t.n, min(cum.b) AS mb
+        |  FROM t JOIN cum ON cum.cum >= t.tgt GROUP BY t.q, t.lo, t.hi, t.n)
+        |SELECT q, round(lo + (CAST(mb AS DOUBLE) + 0.5) * ((hi - lo) / 256), 9)
+        |    AS grid_quantile, n
+        |FROM m""".stripMargin,
     // the oracle rebuilds the same 3x512 sketch from the same hash
     // families (CmsMults) and takes the same min-over-rows estimate
     "sketch_cms_heavy_hitters" -> {
@@ -2736,6 +2820,9 @@ object SparkEntry {
     "stream_enrich_join" ->
       """SELECT event_id, user_id, label
         |FROM events LEFT JOIN embeddings ON user_id = vec_id""".stripMargin,
+    // the streamed-through-sink rows must be exactly the batch table
+    "stream_file_sink" ->
+      "SELECT event_id, user_id, value FROM events",
     // batch mirror of the stream-stream interval join (the gate's
     // replay-spanning watermark drops nothing, so equality is exact)
     "stream_stream_join" ->

@@ -46,6 +46,71 @@ object Sketches {
         col("n_hashes_kept"))
   }
 
+  /** Per-group [[kmvDistinct]]: one O(k) sketch per group key (distinct
+    * users per event type, distinct URLs per host, ...). The per-group
+    * k-minimum is a rank-over-window on the 8-byte hash, which Spark
+    * plans with a partial WindowGroupLimit — each map partition forwards
+    * at most k hashes PER GROUP before the exchange, so the shuffle is
+    * bounded by k × groups regardless of corpus size.
+    *
+    * Returns one row per group: (group, kmv_estimate, n_hashes_kept). */
+  def kmvDistinctPerGroup(df: DataFrame, group: Column, key: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k > 1, s"kmvDistinctPerGroup: k must be > 1, got $k")
+    val hashed = df.select(group.as("grp"), Sampling.modPHash(key, seed).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("h")
+    hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("grp").agg(count(lit(1)).as("n_hashes_kept"), max(col("h")).as("hk"))
+      .select(col("grp"),
+        when(col("n_hashes_kept") < k, col("n_hashes_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * P / col("hk")).as("kmv_estimate"),
+        col("n_hashes_kept"))
+  }
+
+  /** Deterministic fixed-grid quantile estimates: two passes — exact
+    * (min, max, count), then integer occupancy of an equi-width
+    * `buckets`-cell grid — and a midpoint read-out at each requested
+    * quantile: the smallest bucket whose cumulative count reaches
+    * ceil(q·n). Error is bounded by one grid cell of the value RANGE
+    * (vs approx_percentile's rank-error bound), and unlike t-digest/KLL
+    * the state is mergeable integers with NO estimator freedom — any
+    * engine mirroring the arithmetic reproduces the estimate
+    * bit-for-bit, which is what makes it gateable (and auditable)
+    * cross-engine.
+    *
+    * Plan shape: both passes are map-side-combinable aggregates (the
+    * grid has `buckets` groups); the cumulative sum runs on the
+    * bucket×bucket triangle join (≤ buckets² tiny integer rows) rather
+    * than a single-partition window, so nothing in the plan is
+    * unpartitioned. Returns one row per q: (q, grid_quantile, n). */
+  def gridQuantiles(df: DataFrame, value: Column, buckets: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(buckets > 1 && qs.nonEmpty,
+      s"gridQuantiles: need buckets > 1 and qs nonempty, got $buckets / $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(value.cast("double").as("v")).where(col("v").isNotNull)
+    val mm = v.agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    val bucketed = v.crossJoin(broadcast(mm))
+      .select(when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(lit(buckets - 1),
+          floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / buckets)).cast("int")))
+        .as("b"))
+    val counts = bucketed.groupBy("b").agg(count(lit(1)).as("c"))
+    val cum = counts.as("a").join(counts.as("x"), col("x.b") <= col("a.b"))
+      .groupBy(col("a.b").as("b")).agg(sum(col("x.c")).as("cum"))
+    val targets = qs.toDF("q").crossJoin(broadcast(mm))
+      .select(col("q"), col("lo"), col("hi"), col("n"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("tgt"))
+    targets.join(cum, col("cum") >= col("tgt"))
+      .groupBy(col("q"), col("lo"), col("hi"), col("n"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("q"),
+        round(col("lo") + (col("mb").cast("double") + 0.5) *
+          ((col("hi") - col("lo")) / buckets), 9).as("grid_quantile"),
+        col("n"))
+  }
+
   /** Count-min sketch hash families: independent polyHash multipliers
     * (row i of the sketch uses [[CmsMults]](i)) — the single source the
     * oracle SQL mirrors. */

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph link analysis over relational edge lists.
+  *
+  * Training-data curation ranks sources by graph centrality (host link
+  * graphs for web corpora) and recommenders rank items by co-engagement
+  * centrality; the reference's pipelines stop at per-row features, so
+  * this is part of the beyond-reference curation suite. Everything here
+  * is expressed as joins + map-side-combinable aggregates — the classic
+  * "PageRank as iterated SpMV" shape that scales to billions of edges
+  * (each iteration is one equi-join on the 8-byte src key and one
+  * partial-aggregated shuffle by dst; no adjacency ever materializes
+  * per-node beyond its degree).
+  *
+  * Determinism: ranks are held in integer NANO units with floor
+  * division everywhere, so every aggregate is an order-free BIGINT sum
+  * and the result is bit-reproducible by any engine mirroring the
+  * arithmetic — the same discipline as the bigram-LM and k-means
+  * oracles. The decomposition `(s div 1e9)*d + ((s mod 1e9)*d) div 1e9`
+  * equals `floor(s*d/1e9)` exactly while keeping every intermediate
+  * below 2^63 out to ~10^9 nodes.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges from a (basket, item) relation:
+    * distinct ordered pairs of distinct items sharing a basket, emitted
+    * in both directions. Basket size bounds the per-row fanout (the
+    * standard market-basket constraint — the reference's workloads cap
+    * the analogous per-user history the same way). */
+  def coOccurrenceEdges(df: DataFrame, basket: Column, item: Column): DataFrame = {
+    val b = df.select(basket.as("bk"), item.as("it")).distinct()
+    b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") =!= col("b.it"))
+      .select(col("a.it").as("src"), col("b.it").as("dst"))
+      .distinct()
+  }
+
+  /** Fixed-iteration PageRank over a directed edge list, in integer
+    * nano units: rank₀ = 1e9 for every node with an out-edge;
+    * rankᵢ₊₁(v) = (1e9 − damp) + floor(damp × Σ_{u→v} floor(rankᵢ(u) /
+    * deg(u)) / 1e9). Every node of an undirected (symmetrized) edge
+    * list both sends and receives, so no dangling-mass correction is
+    * needed — the co-occurrence / link-exchange case this targets.
+    *
+    * `iters` is fixed (unrolled into the plan): curation runs a small
+    * constant number of sweeps, and a fixed unroll keeps the whole
+    * computation one declarative plan Catalyst can see through.
+    * Callers iterating to convergence should checkpoint `edges` (and
+    * each rank frontier) the way [[DedupClusters.connectedComponents]]
+    * does. */
+  def pageRankNano(edges: DataFrame, iters: Int,
+      dampNano: Long = 850000000L): DataFrame = {
+    require(iters >= 1 && dampNano >= 0 && dampNano <= 1000000000L,
+      s"pageRankNano: need iters >= 1 and damp in [0, 1e9], got $iters / $dampNano")
+    val teleport = 1000000000L - dampNano
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ej = edges.join(deg, "src") // (src, dst, deg), built once
+    val init = deg.select(col("src").as("id"), lit(1000000000L).as("rank"))
+    (1 to iters).foldLeft(init) { (rank, _) =>
+      ej.join(rank, ej("src") === rank("id"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .select(col("dst").as("id"),
+          (lit(teleport) +
+            expr(s"(s div 1000000000) * $dampNano") +
+            expr(s"((s % 1000000000) * $dampNano) div 1000000000")).as("rank"))
+    }
+  }
+}

@@ -91,6 +91,35 @@ class LlmPrepSpec extends GraftSpec {
     assert(relErr < 2.0 / math.sqrt(32), s"exact=$exact est=$est relErr=$relErr")
   }
 
+  test("kmvDistinctPerGroup: every group estimate within the KMV envelope") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.kmvDistinctPerGroup(ev, col("event_type"), col("user_id"),
+        k = 32, seed = 3L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (g, e) =>
+      val relErr = math.abs(e - exact(g)) / exact(g)
+      assert(relErr < 2.0 / math.sqrt(32), s"group=$g exact=${exact(g)} est=$e")
+    }
+  }
+
+  test("gridQuantiles: within one grid cell of the exact percentile") {
+    val ev = Tables.events(spark, sf)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = Sketches.gridQuantiles(ev, col("value"), buckets = 256, qs = qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val Array(lo, hi) = ev.agg(min(col("value")), max(col("value"))).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val cell = (hi - lo) / 256
+    val exact = ev.stat.approxQuantile("value", qs.toArray, 0.0) // relErr 0 = exact
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= cell + 1e-9,
+        s"q=$q exact=$ex est=${est(q)} cell=$cell")
+    }
+  }
+
   test("incremental dedup equals the full-corpus pair set restricted to cross-split pairs") {
     import graft.operators.NearDup
     val newB = docs.filter(pmod(col("doc_id"), lit(5)) === 0)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BlockDedup, Multimodal}
+import graft.operators.{BlockDedup, Graph, Multimodal}
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
 import org.apache.spark.sql.functions._
@@ -38,6 +38,32 @@ class MiscSpec extends GraftSpec {
     // schemeless: only the fragment is stripped, host is empty
     assert(got("no-scheme/relative#frag") === (("no-scheme/relative", "")))
     assert(got("") === (("", "")))
+  }
+
+  test("pageRankNano: hand-computed path-graph golden and layout invariance") {
+    import spark.implicits._
+    // undirected path a(1)-b(2)-c(3): deg 1,2,1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRankNano(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: a = c = .15e9 + .85*(1e9/2) = 575000000; b = .15e9 + .85*2e9 = 1850000000
+    // iter2: a = c = .15e9 + floor(.85 * (1850000000/2)) = 936250000
+    //        b = .15e9 + floor(.85 * (575000000*2))      = 1127500000
+    assert(out === Map(1L -> 936250000L, 2L -> 1127500000L, 3L -> 936250000L))
+    val shuffled = Graph.pageRankNano(edges.repartition(7), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === out)
+  }
+
+  test("coOccurrenceEdges: symmetric, no self-loops, basket-bounded") {
+    import spark.implicits._
+    val b = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 4L))
+      .toDF("bk", "it")
+    val e = Graph.coOccurrenceEdges(b, col("bk"), col("it"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 4L), (4L, 1L))
+    assert(e === expected)
   }
 
   test("approx_count_distinct (HLL sketch) lands within 5% of exact") {
