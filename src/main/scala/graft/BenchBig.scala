@@ -36,7 +36,8 @@ object BenchBig {
     "hybrid_rrf_fusion", "encode_categorical", "ordinal_stable_ids",
     "web_url_normalize", "web_host_cap", "embedding_gram_matrix",
     "sample_negatives", "ann_hard_negatives",
-    "sketch_cms_heavy_hitters", "text_classifier_score", "pipeline_corpus_curation")
+    "sketch_cms_heavy_hitters", "text_classifier_score", "pipeline_corpus_curation",
+    "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")

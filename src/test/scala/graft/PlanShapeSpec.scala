@@ -45,7 +45,8 @@ class PlanShapeSpec extends GraftSpec {
 
   test("near-dup pipelines plan no cartesian product") {
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_neardup",
-      "dedup_incremental_pairs", "dedup_ingest_novel")
+      "dedup_incremental_pairs", "dedup_ingest_novel", "dedup_line_level",
+      "dedup_semantic_prune", "graph_pagerank")
       .foreach { q => assert(!plan(q).contains("CartesianProduct"), q) }
   }
 
