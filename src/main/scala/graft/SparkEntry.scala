@@ -41,7 +41,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("pipeline_taobao_shaped")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ Relational.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val dec = (c: String) => col(c).cast(DecimalType(12, 2))
@@ -1644,7 +1647,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Relational.oracleSql ++ Map(
     // plan variants share their base query's oracle: results must be
     // bit-identical, only the physical strategy differs
     "q1_pricing_summary_cents" -> oracleSqlBase("q1_pricing_summary"),

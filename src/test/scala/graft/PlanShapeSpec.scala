@@ -130,6 +130,26 @@ class PlanShapeSpec extends GraftSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("relational suite: EXISTS/NOT EXISTS plan as hash semi/anti joins, top-ks distribute") {
+    // q4's EXISTS is a semi join whose build side is the pre-filtered
+    // returned-line keys; q21 stacks a semi AND an anti on the same fact;
+    // q22's anti side is the URGENT-order key list. None may degrade to
+    // a cartesian or a nested loop over the fact.
+    val q4 = plan("q4_order_priority")
+    assert(q4.contains("LeftSemi"), q4.take(2000))
+    val q21 = plan("q21_waiting_supplier")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(2000))
+    assert(!q21.contains("BroadcastNestedLoopJoin") && !q21.contains("CartesianProduct"))
+    val q22 = plan("q22_global_sales")
+    assert(q22.contains("LeftAnti"), q22.take(2000))
+    // ordered LIMITs distribute (no global sort feeding a limit)
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
+    assert(plan("q18_large_volume").contains("TakeOrderedAndProject"))
+    // q15's scalar-subquery max broadcasts one row, never sorts globally
+    val q15 = plan("q15_top_supplier")
+    assert(q15.contains("BroadcastHashJoin") && !q15.contains("GlobalLimit"), q15.take(2000))
+  }
+
   test("no gated query plans an unpartitioned ordered window (scale-killer guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val exempt = Set(
