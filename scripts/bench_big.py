@@ -33,6 +33,14 @@ HEADLINE = [
     "join_orders_customer", "metric_gauc", "metric_gauc_sorted",
     "dedup_block_roundtrip",
 ]
+REL = [
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_nation_margin", "q10_returned_items", "q12_priority_class",
+    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
+    "q17_small_quantity", "q18_large_volume", "q19_discounted_revenue",
+    "q21_waiting_supplier", "q22_global_sales",
+]
 LLM = [
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_cluster_components", "dedup_incremental_pairs",
@@ -222,7 +230,8 @@ def main():
     big_dir, oracle_path = sys.argv[1:3]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     names_arg = sys.argv[4] if len(sys.argv) > 4 else "headline"
-    names = {"headline": HEADLINE, "llm": LLM}.get(names_arg, names_arg.split(","))
+    names = {"headline": HEADLINE, "llm": LLM, "rel": REL}.get(
+        names_arg, names_arg.split(","))
     with open(oracle_path) as f:
         oracle = json.load(f)
     con = duckdb.connect()

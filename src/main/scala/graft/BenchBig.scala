@@ -39,12 +39,24 @@ object BenchBig {
     "sketch_cms_heavy_hitters", "text_classifier_score", "pipeline_corpus_curation",
     "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles")
 
+  /** The relational (TPC-H-shaped) suite: semi/anti joins, correlated
+    * subqueries, outer-join aggregation, disjunctive pushdown — the
+    * shapes the sf0.1 gate can only measure on the scheduling floor. */
+  val Rel: Seq[String] = Seq(
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_nation_margin", "q10_returned_items", "q12_priority_class",
+    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
+    "q17_small_quantity", "q18_large_volume", "q19_discounted_revenue",
+    "q21_waiting_supplier", "q22_global_sales")
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/benchdata/x50")
     val names =
       if (args.length > 1) args(1) match {
         case "headline" => Headline
         case "llm" => Llm
+        case "rel" => Rel
         case s => s.split(",").toSeq
       }
       else Headline

@@ -26,16 +26,33 @@ object GraftSession {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // Runtime bloom-filter semi-join reduction: build a bloom from the
+    // selective side of a shuffle join and prune the fact scan before its
+    // exchange — the mechanism that keeps fact⋈dim-chain joins from
+    // shuffling unmatched fact rows at 100 TB. Stock thresholds (10 MB
+    // creation / 10 GB application-scan) are sized for cluster scans and
+    // never trip on single-node bench data; these express the same
+    // intent at bench scale: gates and the sf0.1 bench stay under 512 MB
+    // (no plan change, no bloom-build overhead on floor-bound queries),
+    // the replicated x200 fact scans cross it and get pruned.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "2GB")
+    .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "512MB")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   def local(cores: String = "4", shufflePartitions: Option[Int] = None): SparkSession = {
-    val s = configure(
+    val b = configure(
       SparkSession.builder()
         .master(s"local[$cores]")
         .withExtensions(new GraftExtensions)
         .config("spark.sql.shuffle.partitions",
           shufflePartitions.map(_.toString).getOrElse(cores)))
-      .getOrCreate()
+    // ad-hoc conf overrides for experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    val withOverrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .collect { case Array(k, v) => (k, v) }
+      .foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    val s = withOverrides.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -16,27 +16,44 @@ import org.apache.spark.sql.types._
   * supplycost, q11, q16, q20 are unexpressible and the date-lag
   * predicates are re-cut on the columns that exist).
   *
-  * Numeric discipline matches SparkEntry: money accumulates in
-  * DECIMAL(12,2) (exact, order-free) and is cast to DOUBLE only in the
-  * final projection, so both engines agree bitwise. Every limit is
-  * tie-broken on a key column.
+  * Numeric discipline matches SparkEntry: money accumulates EXACTLY —
+  * integer cents ([[cents]], the q1_pricing_summary_cents fast path) on
+  * the hot fact sums, DECIMAL(12,2) on the small dimensions — and is
+  * cast to DOUBLE only in the final projection with the same expression
+  * shape as the oracle's decimal→double cast, so both engines agree
+  * bitwise. Every limit is tie-broken on a key column.
   *
   * Scale notes (100 TB): every join below is either a broadcast of a
   * true dimension (nation/region/part/supplier at their TPC-H
-  * proportions) or an equi-shuffle on the fact key Catalyst plans as a
-  * hash join; semi/anti variants keep the build side to the filtered
-  * probe list. No query materializes an unbounded intermediate: the
-  * correlated-avg in q17 is a pre-aggregated per-key join, q13's outer
-  * join aggregates before the distribution count, and the q15/q22
-  * scalar subqueries broadcast one row.
+  * proportions) or an equi-shuffle on the fact key; the fact⋈orders
+  * exchanges carry a `shuffle_hash` hint — the build side is the
+  * boundedly-proportioned orders slice (≤ |orders|/partitions rows per
+  * task), so the hash build skips SMJ's per-partition O(n log n) fact
+  * sort while AQE skew handling still applies. Semi/anti variants keep
+  * the build side to the filtered probe list. No query materializes an
+  * unbounded intermediate: the correlated-avg in q17 is a pre-aggregated
+  * per-key join, q13's outer join aggregates before the distribution
+  * count, the q18 HAVING sum IS the output sum (one fact pass), q21's
+  * EXISTS pair decorrelates to per-order min/max aggregates, and the
+  * q15/q22 scalar subqueries broadcast one row.
   */
 object Relational {
 
   private val D12 = DecimalType(12, 2)
   private def dec(c: String): Column = col(c).cast(D12)
-  private val oneMinusDisc: Column = lit(1).cast(DecimalType(4, 2)) - dec("l_discount")
-  private def revenueSum: Column =
-    sum(dec("l_extendedprice") * oneMinusDisc).cast(DoubleType)
+  /** 2-dp money as exact integer cents — the q1_pricing_summary_cents
+    * accumulation discipline: primitive-long partial aggregation in
+    * codegen (~2.5× the boxed Decimal path on wide scans) with the SAME
+    * bit-exact result as the DECIMAL oracle (both are exact integer
+    * arithmetic; the one double division at the end mirrors the oracle's
+    * decimal→double cast). Overflow envelope as documented on q1_cents:
+    * Σ price_cents·(100−disc_cents) stays under 2^63 to ~9×10⁹ max-price
+    * rows per group; ANSI mode throws beyond it rather than wrapping. */
+  private def cents(c: String): Column = round(col(c) * 100).cast("long")
+  /** Σ extendedprice·(1−discount) in 1e-4 dollar units. */
+  private def revCentsE4: Column =
+    sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+  private def revenueSum: Column = revCentsE4.cast(DoubleType) / 10000.0
   private def ts(s: String): Column = lit(s).cast(TimestampType)
 
   /** Shared oracle fragment for sum(extendedprice * (1 - discount)). */
@@ -53,7 +70,7 @@ object Relational {
         .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-07-01"))
       val ret = Tables.lineitem(s, d)
         .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
-      o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
+      o.join(ret.hint("shuffle_hash"), o("o_orderkey") === ret("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
@@ -68,7 +85,8 @@ object Relational {
         .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.orders(s, d).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
@@ -86,11 +104,12 @@ object Relational {
       val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
       val suppNation = Tables.nation(s, d)
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-      val rev = dec("l_extendedprice") * oneMinusDisc
+      val revE4 = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
       Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(Tables.orders(s, d)
-          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+          .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -98,9 +117,11 @@ object Relational {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg((sum(when(col("supp_nation") === "NATION_8", rev)
-            .otherwise(lit(0).cast(D12))).cast(DoubleType)
-          / sum(rev).cast(DoubleType)).as("mkt_share"))
+        // the /10000.0 on BOTH sums mirrors the oracle's decimal→double
+        // casts exactly (cancelling the factors would round differently)
+        .agg(((sum(when(col("supp_nation") === "NATION_8", revE4).otherwise(lit(0L)))
+            .cast(DoubleType) / 10000.0)
+          / (sum(revE4).cast(DoubleType) / 10000.0)).as("mkt_share"))
         .orderBy(col("o_year"))
     },
     "q9_nation_margin" -> { (s, d) =>
@@ -108,15 +129,16 @@ object Relational {
       // no partsupp table): per-nation, per-year margin with a mixed
       // +/− DECIMAL amount that must accumulate exactly.
       val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
-      val amount = dec("l_extendedprice") * oneMinusDisc -
-        dec("p_retailprice") * dec("l_quantity")
+      val amountE4 = cents("l_extendedprice") * (lit(100L) - cents("l_discount")) -
+        cents("p_retailprice") * cents("l_quantity")
       Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.orders(s, d).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+        .agg((sum(amountE4).cast(DoubleType) / 10000.0).as("sum_profit"))
         .orderBy(col("n_name"), col("o_year").desc)
     },
     "q10_returned_items" -> { (s, d) =>
@@ -124,7 +146,8 @@ object Relational {
       // agg + TakeOrdered).
       Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
         .join(Tables.orders(s, d)
-          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01")),
+          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01"))
+          .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -139,7 +162,8 @@ object Relational {
       val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.orders(s, d).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_linestatus"))
         .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
@@ -151,7 +175,7 @@ object Relational {
       // count, then the distribution of counts.
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey") &&
+      c.join(o.hint("shuffle_hash"), c("c_custkey") === o("o_custkey") &&
           o("o_orderpriority") =!= "1-URGENT", "left_outer")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("c_count"))
@@ -180,26 +204,32 @@ object Relational {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
       val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
-        .agg((sum(dec("l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"))
+        .agg((sum(cents("l_quantity")).cast(DoubleType) / 100.0 / count(lit(1)))
+          .as("avg_qty"))
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(perPart, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-        .agg((sum(dec("l_extendedprice")).cast(DoubleType) / 7.0).as("avg_yearly"))
+        .agg((sum(cents("l_extendedprice")).cast(DoubleType) / 100.0 / 7.0)
+          .as("avg_yearly"))
     },
     "q18_large_volume" -> { (s, d) =>
-      // Q18 shape: HAVING on a grouped fact → IN-subquery semi join,
-      // then the detail re-aggregation.
+      // Q18 shape: HAVING on a grouped fact. The textbook form re-scans
+      // lineitem through an IN-subquery semi join and re-aggregates the
+      // detail; since the outer GROUP BY key set is functionally
+      // determined by the order key, the per-order sum computed for the
+      // HAVING IS the final sum_qty — one lineitem aggregation total,
+      // and the surviving handful of big orders joins orders/customer
+      // as a broadcast. Identical output, half the fact passes.
       val li = Tables.lineitem(s, d)
       val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
-        .agg(sum(dec("l_quantity")).as("b_qty"))
-        .filter(col("b_qty") > 300).select(col("b_orderkey"))
+        .agg(sum(cents("l_quantity")).as("b_qty_cents"))
+        .filter(col("b_qty_cents") > 300L * 100)
       val o = Tables.orders(s, d)
-      li.join(big, col("l_orderkey") === col("b_orderkey"), "left_semi")
-        .join(o, col("l_orderkey") === o("o_orderkey"))
+      big.join(o, col("b_orderkey") === o("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          (col("b_qty_cents").cast(DoubleType) / 100.0).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     },
@@ -221,23 +251,31 @@ object Relational {
     "q21_waiting_supplier" -> { (s, d) =>
       // Q21 shape (adapted: returnflag='R' stands in for the
       // receipt>commit lateness predicate): EXISTS another supplier in
-      // the order (semi) AND NOT EXISTS another late supplier (anti),
-      // both as hash joins on the order key with a <> residual.
+      // the order AND NOT EXISTS another late supplier. The textbook
+      // form is two self-joins of the fact (semi + anti, order key with
+      // a <> residual); both EXISTS conditions are per-order facts, so
+      // they reduce to plain min/max aggregates instead — "another
+      // supplier exists" ⟺ min(supp) ≠ max(supp), "exactly one late
+      // supplier" ⟺ min(late supp) = max(late supp), and every late line
+      // then belongs to that one supplier. One map-side-combined
+      // aggregation of the fact replaces ~3× the fact through semi/anti
+      // exchanges with sorts; identical output.
       val li = Tables.lineitem(s, d)
-      val l1 = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-      val l3 = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val lateS = when(col("l_returnflag") === "R", col("l_suppkey"))
+      val per = li.groupBy(col("l_orderkey").as("g_ok"))
+        .agg(min(col("l_suppkey")).as("minS"), max(col("l_suppkey")).as("maxS"),
+          min(lateS).as("minRS"), max(lateS).as("maxRS"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nR"))
+        .filter(col("minS") =!= col("maxS") &&
+          col("minRS").isNotNull && col("minRS") === col("maxRS"))
       val n = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
-      l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
-        .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      per.hint("shuffle_hash")
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          col("g_ok") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("minRS") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("nR")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },

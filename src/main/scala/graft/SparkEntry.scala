@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, Fusion, Gram, Graph, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, FeatureScale, Fusion, Gram, Graph, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Rolling, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -127,12 +127,21 @@ object SparkEntry {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2))
-          * (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(12, 2)))))
-          .cast(DoubleType).as("revenue"))
+      // integer-cents accumulation (q1_pricing_summary_cents discipline):
+      // exact, primitive-long codegen, same result as the DECIMAL oracle.
+      // The aggregation is pushed BELOW the join: the group key equals the
+      // join key, and the customer-segment predicate filters whole orders,
+      // so per-order revenue can be reduced first (map-side partial agg
+      // collapses lines/order before the exchange) and joined to the
+      // segment-filtered orders after — the shuffle carries order-grained
+      // rows, not line-grained (4× less at TPC-H line fan-out).
+      val cts = (n: String) => round(col(n) * 100).cast("long")
+      val revPerOrder = l.groupBy(col("l_orderkey"))
+        .agg((sum(cts("l_extendedprice") * (lit(100L) - cts("l_discount")))
+          .cast(DoubleType) / 10000.0).as("revenue"))
+      val bldgOrders = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      revPerOrder.join(bldgOrders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -178,12 +187,14 @@ object SparkEntry {
       // TPC-H Q14 shape: join + conditional aggregation (CASE inside SUM)
       val p = Tables.part(s, d)
       val l = Tables.lineitem(s, d)
-      val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
-        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(12, 2)))
+      // integer-cents accumulation; the /10000.0 on each sum mirrors the
+      // oracle's per-sum decimal→double cast before the share division
+      val cts = (n: String) => round(col(n) * 100).cast("long")
+      val revE4 = cts("l_extendedprice") * (lit(100L) - cts("l_discount"))
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .agg((sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2))))
-          .cast(DoubleType) * 100.0
-          / sum(rev).cast(DoubleType)).as("promo_share"))
+        .agg(((sum(when(col("p_type") === "PROMO", revE4).otherwise(lit(0L)))
+          .cast(DoubleType) / 10000.0) * 100.0
+          / (sum(revE4).cast(DoubleType) / 10000.0)).as("promo_share"))
     },
     "scalar_strings" -> { (s, d) =>
       Tables.part(s, d).select(
@@ -705,17 +716,32 @@ object SparkEntry {
       // TPC-H Q5 shape: 6-way join chain + filtered agg; exercises
       // Catalyst join ordering + broadcast selection across dims
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-      val joined = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(Tables.supplier(s, d),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      // Selective-first join order (what a stats-fed CBO would pick):
+      // region→nation→customer reduce orders to the ASIA slice BEFORE
+      // the fact join, so (a) the one non-broadcast join builds the
+      // 1/|regions| orders slice as a shuffle_hash (no SMJ fact sort),
+      // and (b) the slice is runtime-filter-eligible — Spark builds a
+      // bloom over its order keys and prunes the lineitem scan ahead of
+      // its exchange (GraftSession enables the rule; at cluster scans
+      // >10 GB the stock defaults fire on their own).
+      val asiaNations = Tables.nation(s, d)
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      joined.groupBy(col("n_name"))
-        .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2))
-          * (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(12, 2)))))
-          .cast(DoubleType).as("revenue"))
+      val custAsia = Tables.customer(s, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      // no broadcast hint on the customer slice: AQE broadcasts it at
+      // bench proportions from stats; at cluster scale it's a shuffle
+      // join at orders grain (25× smaller than line grain)
+      val ordersAsia = Tables.orders(s, d)
+        .join(custAsia.select(col("c_custkey"), col("c_nationkey"), col("n_name")),
+          col("o_custkey") === col("c_custkey"))
+      val cts = (n: String) => round(col(n) * 100).cast("long")
+      Tables.lineitem(s, d)
+        .join(ordersAsia.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(cts("l_extendedprice") * (lit(100L) - cts("l_discount")))
+          .cast(DoubleType) / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc)
     },
 
@@ -1632,6 +1658,24 @@ object SparkEntry {
       s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
           col("c_mktsegment"))
+    },
+
+    "window_trailing_range" -> { (s, d) =>
+      // Trailing event-time RANGE window: per-user count + exact sum
+      // over the last hour at every event — the point-in-time feature
+      // primitive (operators.Rolling).
+      Rolling.trailingSumCount(Tables.events(s, d),
+          col("user_id"), col("ts"), col("value"), 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          col("trailing_cnt"), col("trailing_sum"))
+    },
+    "embedding_standardize" -> { (s, d) =>
+      // Per-dimension standardization on the micro-integer grid
+      // (operators.FeatureScale): exact integer Σx/Σx² per dim, one-row
+      // broadcast back, row-local z-transform.
+      val z = FeatureScale.standardize(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"))
+      z.select(col("id").as("vec_id"), numCsv(col("z")).as("z"))
     },
 
     // ---- multimodal binary plumbing ------------------------------------
@@ -2909,5 +2953,27 @@ object SparkEntry {
     "join_bucketed_colocated" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "window_trailing_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS trailing_cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "embedding_standardize" ->
+      """WITH x AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS p, embedding
+        |  FROM embeddings),
+        |xm AS (SELECT vec_id, p - 1 AS pos,
+        |  CAST(round(CAST(embedding[p] AS DOUBLE) * 1e6) AS BIGINT) AS xm FROM x),
+        |st AS (SELECT pos, SUM(xm) AS s, SUM(xm * xm) AS ss, COUNT(*) AS n
+        |  FROM xm GROUP BY pos),
+        |z AS (SELECT vec_id, pos,
+        |    (CAST(xm AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |      / sqrt(CAST(ss AS DOUBLE) / n
+        |             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS zv
+        |  FROM xm JOIN st USING (pos))
+        |SELECT vec_id,
+        |  string_agg(CAST(CAST(round(zv * 1e6) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS z
+        |FROM z GROUP BY vec_id""".stripMargin,
   )
 }

@@ -113,4 +113,47 @@ class MiscSpec extends GraftSpec {
         FieldSpec("u", DecimalType(20, 0)))))
     assert(back.collect().head.getDecimal(1) === big.bigDecimal)
   }
+
+  test("trailing range window: exact (t-span, t] semantics, no future leakage") {
+    import spark.implicits._
+    import graft.operators.Rolling
+    // events at t = 0s, 30s, 3600s, 3601s, 7300s for one user; span 1h.
+    // The 3600s event still sees t=0 (inclusive lower bound at exactly
+    // span); the 3601s event sees 30/3600/3601 but NOT 0; 7300 only itself.
+    val e = Seq(
+      (1L, 0L, 1.0), (2L, 30L, 2.0), (3L, 3600L, 4.0),
+      (4L, 3601L, 8.0), (5L, 7300L, 16.0))
+      .toDF("event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("user_id", lit(7L))
+    val got = Rolling.trailingSumCount(e, col("user_id"), col("ts"),
+        col("value"), 3600L * 1000000L)
+      .select(col("event_id"), col("trailing_cnt"), col("trailing_sum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((1L, 1.0)))
+    assert(got(2L) === ((2L, 3.0)))
+    assert(got(3L) === ((3L, 7.0)))   // includes t=0: frame is [t-span, t]
+    assert(got(4L) === ((3L, 14.0)))  // t=0 aged out
+    assert(got(5L) === ((1L, 16.0)))
+  }
+
+  test("standardize: layout-invariant, zero-mean/unit-variance on the grid") {
+    import graft.operators.FeatureScale
+    val base = Tables.embeddings(spark, sf)
+    val z1 = FeatureScale.standardize(base, col("vec_id"), col("embedding"))
+    val z8 = FeatureScale.standardize(base.repartition(8), col("vec_id"), col("embedding"))
+    val r1 = z1.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val r8 = z8.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(r1 === r8) // exact integer stats -> layout cannot change the output
+    // per-dimension population mean ~0 and variance ~1 after the transform
+    val n = r1.length
+    val dim = r1.head._2.length
+    (0 until dim).foreach { i =>
+      val xs = r1.map(_._2(i))
+      val mu = xs.sum / n
+      val varr = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(mu) < 1e-9, s"dim $i mean $mu")
+      assert(math.abs(varr - 1.0) < 1e-6, s"dim $i var $varr")
+    }
+  }
 }

@@ -137,8 +137,11 @@ class PlanShapeSpec extends GraftSpec {
     // a cartesian or a nested loop over the fact.
     val q4 = plan("q4_order_priority")
     assert(q4.contains("LeftSemi"), q4.take(2000))
+    // q21's EXISTS/NOT-EXISTS pair is decorrelated to per-order min/max
+    // aggregates — the fact must NOT flow through self-join exchanges
     val q21 = plan("q21_waiting_supplier")
-    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(2000))
+    assert(q21.contains("partial_min") && !q21.contains("LeftSemi") &&
+      !q21.contains("LeftAnti"), q21.take(2000))
     assert(!q21.contains("BroadcastNestedLoopJoin") && !q21.contains("CartesianProduct"))
     val q22 = plan("q22_global_sales")
     assert(q22.contains("LeftAnti"), q22.take(2000))
@@ -148,6 +151,20 @@ class PlanShapeSpec extends GraftSpec {
     // q15's scalar-subquery max broadcasts one row, never sorts globally
     val q15 = plan("q15_top_supplier")
     assert(q15.contains("BroadcastHashJoin") && !q15.contains("GlobalLimit"), q15.take(2000))
+  }
+
+  test("trailing window partitions by key; standardize broadcasts one-row stats") {
+    val wt = plan("window_trailing_range")
+    // the RANGE frame must ride a key-partitioned window (the global
+    // no-unpartitioned-window guard below also covers this; here we
+    // additionally pin the frame kind and that both aggregates share ONE
+    // Window operator (one sort pass)
+    assert(wt.contains("RangeFrame") && wt.contains("hashpartitioning(user_id"), wt.take(2000))
+    assert("\\+- Window ".r.findAllIn(wt).size == 1, wt.take(2000))
+    val st = plan("embedding_standardize")
+    // per-dim stats come back as a one-row broadcast, not a join shuffle
+    assert(st.contains("BroadcastNestedLoopJoin") || st.contains("BroadcastExchange"), st.take(2000))
+    assert(!st.contains("SortMergeJoin"), st.take(2000))
   }
 
   test("no gated query plans an unpartitioned ordered window (scale-killer guard)") {
