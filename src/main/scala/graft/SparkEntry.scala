@@ -1660,6 +1660,20 @@ object SparkEntry {
           col("c_mktsegment"))
     },
 
+    "text_bpe_tokens" -> { (s, d) =>
+      // Real BPE tokenization (operators.Bpe): 40 merges trained on the
+      // corpus itself (one distributed word-freq aggregation + driver
+      // merge loop over the bounded dictionary), then the codegen'd
+      // greedy-rank encode. No SQL oracle exists for the iterative merge
+      // (driver records the rows-only check); determinism, goldens and
+      // losslessness are spec-asserted (LlmPrepSpec).
+      val docs = Tables.documents(s, d)
+      val merges = operators.Bpe.train(docs, col("text"), numMerges = 40)
+      val toks = operators.Bpe.encode(col("text"), merges)
+      docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_bpe_tokens"),
+        rawCsv(slice(toks, 1, 8)).as("head_tokens"))
+    },
     "window_trailing_range" -> { (s, d) =>
       // Trailing event-time RANGE window: per-user count + exact sum
       // over the last hour at every event — the point-in-time feature

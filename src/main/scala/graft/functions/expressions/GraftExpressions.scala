@@ -652,6 +652,42 @@ case class HalfToFloat(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Greedy BPE inference over a fixed merge table ([[VecUtil.bpeEncode]]):
+  * whitespace words split to characters, then the lowest-rank adjacent
+  * pair merges repeatedly until no ranked pair remains — the standard
+  * encode loop of a trained byte-pair-encoding tokenizer. The merge
+  * table (rank-ordered "left right" pairs, from [[graft.operators.Bpe.train]])
+  * rides into codegen as a reference object; the per-row loop is
+  * O(word·symbols²) worst case with tiny constants, no shuffle, no UDF. */
+case class BpeEncode(child: Expression, merges: Array[String]) extends UnaryExpression {
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_encode needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.bpeEncode(s.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.bpeEncode($s, $ref);")
+  }
+
+  override def prettyName: String = "bpe_encode"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -690,4 +726,6 @@ object GraftExpressions {
     column(ZOrder2(expression(x), expression(y)))
   def excise_spans(tokens: Column, starts: Column, ends: Column): Column =
     column(ExciseSpans(expression(tokens), expression(starts), expression(ends)))
+  def bpe_encode(s: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncode(expression(s), merges.map { case (a, b) => s"$a $b" }.toArray))
 }

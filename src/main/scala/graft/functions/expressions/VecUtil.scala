@@ -810,4 +810,51 @@ object VecUtil {
     }
     h
   }
+
+  /** Greedy BPE encode: whitespace words → per-word repeated
+    * lowest-rank adjacent merge until no ranked pair remains (the
+    * standard BPE inference loop — rank order reproduces training-time
+    * merge order). `ranks` maps "left right" (space-joined symbol pair)
+    * to merge rank. Symbols start as single UTF-16 chars (BMP
+    * simplification, documented on the operator). */
+  def bpeEncode(s: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val text = s.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      var j = i
+      while (j < n && text.charAt(j) != ' ') j += 1
+      if (j > i) { bpeWord(text.substring(i, j), ranks, out); i = j }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  private def bpeWord(w: String, ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[AnyRef]): Unit = {
+    val syms = new java.util.ArrayList[String](w.length)
+    var k = 0
+    while (k < w.length) { syms.add(String.valueOf(w.charAt(k))); k += 1 }
+    var done = syms.size < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var t = 0
+      while (t < syms.size - 1) {
+        val r = ranks.get(syms.get(t) + " " + syms.get(t + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = t }
+        t += 1
+      }
+      if (best < 0) done = true
+      else {
+        syms.set(best, syms.get(best) + syms.get(best + 1))
+        syms.remove(best + 1)
+        done = syms.size < 2
+      }
+    }
+    var t = 0
+    while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
+  }
 }

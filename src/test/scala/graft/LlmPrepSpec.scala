@@ -212,4 +212,35 @@ class LlmPrepSpec extends GraftSpec {
       .select(TextFunctions.redactPii(col("t"))).collect().map(_.getString(0))
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g === want) }
   }
+
+  test("BPE: hand-computed merges, rank-greedy encode, losslessness, layout invariance") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    // corpus: aaab ×2, ab ×1 → pair stats (a,a)=4, (a,b)=3
+    // merge 1 = (a,a) → words [aa,a,b]×2, [a,b]
+    // merge 2 = (a,b) (freq 3: 2 from aaab's tail + 1 from ab) → [aa,ab]×2, [ab]
+    // merge 3 = (aa,ab) (freq 2)
+    val corpus = Seq("aaab aaab ab").toDF("text")
+    val merges = Bpe.train(corpus, col("text"), numMerges = 3)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // encode reproduces the training segmentation via rank order
+    val enc = Seq("aaab ab aab zq").toDF("t")
+      .select(Bpe.encode(col("t"), merges).as("toks"))
+      .collect().head.getSeq[String](0)
+    // aaab → aaab (rank path a,a → aa | a,b → ab | aa,ab → aaab)
+    // aab  → aa, b (merge (a,a) first; (a,b) gone once 'a a' merged)
+    // zq   → unknown chars stay single symbols
+    assert(enc === Seq("aaab", "ab", "aa", "b", "z", "q"))
+    // losslessness: per-doc token concatenation == text without spaces
+    val docs = Tables.documents(spark, sf)
+    val trained = Bpe.train(docs, col("text"), numMerges = 20)
+    val bad = docs.select(col("text"),
+        concat_ws("", Bpe.encode(col("text"), trained)).as("rejoined"))
+      .filter(replace(col("text"), lit(" "), lit("")) =!= col("rejoined"))
+      .count()
+    assert(bad === 0L)
+    // training is layout-invariant (deterministic top-k + tie-breaks)
+    val trained8 = Bpe.train(docs.repartition(8), col("text"), numMerges = 20)
+    assert(trained === trained8)
+  }
 }
