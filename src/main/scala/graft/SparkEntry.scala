@@ -988,6 +988,33 @@ object SparkEntry {
       s.table(name)
     },
 
+    "stream_dedup_watermark" -> { (s, d) =>
+      // dropDuplicatesWithinWatermark under a REAL 2-micro-batch stream:
+      // per-key state expires with the watermark (bounded state — the
+      // production dedup for bounded-lateness duplicates). The delay is
+      // set far past the data span so no row is late-dropped and the
+      // output is exactly the distinct key set; only the key is emitted,
+      // so which duplicate survives (arrival-order-dependent) cannot
+      // affect the gate.
+      val dir = GateFixtures.dir("stream_wm", d) { target =>
+        Tables.events(s, d).select(col("user_id"), col("ts"))
+          .repartition(2).write.mode("overwrite").parquet(target)
+      }
+      val schema = s.read.parquet(dir).schema
+      val name = "gate_wmdedup_" + math.abs(dir.hashCode)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingOps.watermarkDedup(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+            Seq("user_id"), "3650 days")
+          .select(col("user_id"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(name)
+    },
+
     "stream_session_windows" -> { (s, d) =>
       // native session_window executed under a REAL 2-micro-batch file
       // stream — sessions must merge across the batch boundary through
@@ -2855,6 +2882,8 @@ object SparkEntry {
         |FROM o""".stripMargin,
     "stream_dedup_ids" ->
       "SELECT DISTINCT event_id FROM events",
+    "stream_dedup_watermark" ->
+      "SELECT DISTINCT user_id FROM events",
     "stream_session_windows" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),

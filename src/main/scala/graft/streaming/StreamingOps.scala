@@ -121,6 +121,16 @@ object StreamingOps {
       "inner")
   }
 
+  /** Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`):
+    * exact key dedup whose per-key state EXPIRES with the event-time
+    * watermark — bounded state regardless of key cardinality, the
+    * production alternative to [[statefulDedup]]'s unbounded keyed state
+    * whenever duplicates can only arrive within a bounded lateness
+    * window (at-least-once ingestion retries, log replays). `events`
+    * must carry an event-time `ts` column. */
+  def watermarkDedup(events: DataFrame, keys: Seq[String], watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
   /** Stateful streaming exact-dedup on a key: emit a row the first time
     * its key is seen, drop re-occurrences across micro-batches — the
     * streaming form of `dropDuplicates` with explicit keyed state. */

@@ -148,6 +148,30 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("watermark dedup suppresses duplicates across the batch boundary, state is bounded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wmdedup").toString
+    // duplicate keys split ACROSS the two micro-batches: suppression
+    // must come from the state store, not intra-batch dedup
+    Seq((10L, "2024-01-01 00:00:01"), (20L, "2024-01-01 00:00:02"))
+      .toDF("user_id", "tss").withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .write.parquet(s"$dir/f1")
+    Seq((10L, "2024-01-01 00:10:00"), (30L, "2024-01-01 00:10:01"))
+      .toDF("user_id", "tss").withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val q = StreamingOps.watermarkDedup(stream, Seq("user_id"), "1 hour")
+      .select("user_id")
+      .writeStream.outputMode("append").format("memory").queryName("wmdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wmdedup_out").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(10L, 20L, 30L))
+    } finally q.stop()
+  }
+
   test("streaming LSH dedup equals the batch precedence semantics across batches") {
     import graft.operators.NearDup
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
