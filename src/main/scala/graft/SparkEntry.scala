@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, FeatureScale, Fusion, Gram, Graph, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Rolling, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, FeatureScale, FuzzyJoin, Fusion, Gram, Graph, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Rolling, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -1687,6 +1687,32 @@ object SparkEntry {
           col("c_mktsegment"))
     },
 
+    "fuzzy_join_lev1" -> { (s, d) =>
+      // SymSpell deletion-neighborhood fuzzy self-join: equi-join over
+      // single-deletion variants finds EVERY Levenshtein<=1 pair (exact
+      // recall, proof in FuzzyJoin scaladoc); the oracle is the O(n²)
+      // all-pairs semantic definition. Customer names are 9-digit-coded,
+      // so one-digit-apart keys form a real fuzzy population.
+      FuzzyJoin.selfJoinLev1(Tables.customer(s, d), col("c_custkey"), col("c_name"))
+    },
+    "embedding_pca_project" -> { (s, d) =>
+      // PCA top-4 projection via the distributed Gram sufficient
+      // statistic + driver Jacobi (FeatureScale.pcaProject). No SQL
+      // oracle for the eigensolve (rows-only check); determinism,
+      // eigens golden and variance ordering are spec-asserted (MiscSpec).
+      val p = FeatureScale.pcaProject(s, Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), d = 64, k = 4)
+      p.select(col("id").as("vec_id"), numCsv(col("proj")).as("proj"))
+    },
+    "text_clean" -> { (s, d) =>
+      // native one-pass scrub vs DuckDB's nfc_normalize + regex chain:
+      // deterministic dirt (combining accent, BEL, TAB, pad runs) is
+      // injected around the clean corpus text so every stage of the
+      // kernel is exercised and hash-checked
+      val dirty = concat(lit("  e\u0301x\u0007y\t"), col("text"), lit("  tail  "))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.cleanText(dirty).as("clean"))
+    },
     "text_bpe_tokens" -> { (s, d) =>
       // Real BPE tokenization (operators.Bpe): 40 merges trained on the
       // corpus itself (one distributed word-freq aggregation + driver
@@ -2884,6 +2910,18 @@ object SparkEntry {
       "SELECT DISTINCT event_id FROM events",
     "stream_dedup_watermark" ->
       "SELECT DISTINCT user_id FROM events",
+    "fuzzy_join_lev1" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('  e' || chr(769) || 'x' || chr(7) || 'y' || chr(9)
+        |      || text || '  tail  '),
+        |    '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
     "stream_session_windows" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),

@@ -31,6 +31,11 @@ object TextFunctions {
     * (non-overlapping `[a-z]+` word runs). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z]+"))
 
+  /** Corpus text scrub in one native pass: NFC normalization, C0/DEL
+    * controls → space, space-run collapse, trim
+    * ([[expressions.CleanText]]). */
+  def cleanText(text: Column): Column = expressions.GraftExpressions.clean_text(text)
+
   /** Characters of a string as an array, with the zero-width artifacts
     * of regex-split removed (Java split can emit "" elements). */
   def chars(s: Column): Column = filter(split(s, ""), c => length(c) > 0)

@@ -652,6 +652,31 @@ case class HalfToFloat(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass corpus text cleaning ([[VecUtil.cleanText]]): NFC
+  * normalization + C0/DEL control chars → space + space-run collapse +
+  * trim — the standard pre-tokenization scrub. Both the JDK and the
+  * oracle's `nfc_normalize` implement the same Unicode canonical
+  * composition, so results are byte-identical across engines. */
+case class CleanText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"clean_text needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.cleanText(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.cleanText($s);")
+
+  override def prettyName: String = "clean_text"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Greedy BPE inference over a fixed merge table ([[VecUtil.bpeEncode]]):
   * whitespace words split to characters, then the lowest-rank adjacent
   * pair merges repeatedly until no ranked pair remains — the standard
@@ -728,4 +753,5 @@ object GraftExpressions {
     column(ExciseSpans(expression(tokens), expression(starts), expression(ends)))
   def bpe_encode(s: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(s), merges.map { case (a, b) => s"$a $b" }.toArray))
+  def clean_text(s: Column): Column = column(CleanText(expression(s)))
 }

@@ -811,6 +811,32 @@ object VecUtil {
     h
   }
 
+  /** Corpus text cleaning in one pass: Unicode NFC normalization
+    * (canonical composition — both the JDK and RE2-family engines
+    * implement the same Unicode algorithm, so an external oracle's
+    * `nfc_normalize` agrees byte-for-byte), C0/DEL control chars →
+    * space, space runs collapsed, ends trimmed. */
+  def cleanText(s: UTF8String): UTF8String = {
+    val norm = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val n = norm.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < n) {
+      val c = norm.charAt(i)
+      val isSpace = c == ' ' || c < ' ' || c == '\u007f'
+      if (isSpace) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Greedy BPE encode: whitespace words → per-word repeated
     * lowest-rank adjacent merge until no ranked pair remains (the
     * standard BPE inference loop — rank order reproduces training-time

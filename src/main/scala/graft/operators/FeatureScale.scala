@@ -26,6 +26,119 @@ import org.apache.spark.sql.functions._
   */
 object FeatureScale {
 
+  /** PCA projection onto the top-`k` principal components — the rotated
+    * complement of [[standardize]], built on the [[Gram]] sufficient
+    * statistic: ONE distributed pass produces the d-dim sums and the
+    * d²/2 quantized-grid pair sums (shuffle carries one buffer per
+    * partition, never rows — Gram's design), the d×d covariance
+    * eigensolves on the DRIVER (cyclic Jacobi; d ≤ a few hundred makes
+    * this microseconds — the bounded-model-materialization discipline
+    * of [[Ivf.kmeans]] centroids), and the projection itself is a
+    * row-local straight-line expression over the eigenvector literals
+    * (codegen'd arithmetic, zero additional shuffle).
+    *
+    * Determinism: covariance derives from exact integer sums on the
+    * quantize_vec grid, Jacobi sweeps in fixed cyclic order, eigenpairs
+    * sort by (eigenvalue desc, index), and each component's sign is
+    * normalized so its largest-magnitude coordinate is positive —
+    * identical output on any partition layout (spec-asserted).
+    *
+    * Output: (id, proj: array<double> of length k), proj = Vᵀ(x − μ)
+    * on the grid-quantized coordinates.
+    */
+  def pcaProject(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      id: Column, vec: Column, d: Int, k: Int,
+      scale: Double = 1000.0): DataFrame = {
+    require(k >= 1 && k <= d, s"pcaProject: need 1 <= k <= d, got k=$k d=$d")
+    val q = graft.functions.expressions.GraftExpressions.quantize_vec(vec, scale)
+    val base = df.select(id.as("__id"), q.as("__q"))
+    // one tiny stats pass: n + per-dim integer sums
+    val sumsRow = base.select(posexplode(col("__q")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val n = sumsRow.head.getLong(2)
+    val s1 = new Array[Double](d)
+    sumsRow.foreach(r => s1(r.getInt(0)) = r.getLong(1).toDouble)
+    // pair sums from the Gram aggregate (d²/2 rows)
+    val s2 = Array.ofDim[Double](d, d)
+    Gram.upperGram(spark, df, vec, d, scale).collect().foreach { r =>
+      val (i, j, g) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toDouble)
+      s2(i)(j) = g; s2(j)(i) = g
+    }
+    val mu = s1.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => s2(i)(j) / n - mu(i) * mu(j))
+    val (eval, evec) = jacobiEigen(cov) // evec columns are eigenvectors
+    val order = eval.indices.sortBy(i => (-eval(i), i)).take(k)
+    // sign convention: largest-|coordinate| entry positive
+    val comps: Seq[Array[Double]] = order.map { c =>
+      val col0 = Array.tabulate(d)(i => evec(i)(c))
+      val m = col0.indices.maxBy(i => (math.abs(col0(i)), -i))
+      if (col0(m) < 0) col0.map(x => -x) else col0
+    }
+    val proj = array(comps.map { w =>
+      (0 until d).map(i =>
+        lit(w(i)) * (element_at(col("__q"), i + 1).cast("double") - lit(mu(i))))
+        .reduce(_ + _)
+    }: _*)
+    base.select(col("__id").as("id"), proj.as("proj"))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, V) with V's COLUMNS the eigenvectors. Fixed sweep
+    * order → deterministic to the bit for identical input. */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-22) {
+      var p = 0
+      while (p < d - 1) {
+        var qq = p + 1
+        while (qq < d) {
+          val apq = a(p)(qq)
+          if (apq != 0.0) {
+            val theta = (a(qq)(qq) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(qq)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(qq) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(qq)(i)
+              a(p)(i) = c * api - s * aqi
+              a(qq)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(qq)
+              v(i)(p) = c * vip - s * viq
+              v(i)(qq) = s * vip + c * viq
+              i += 1
+            }
+          }
+          qq += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   /** Standardize `vec` per dimension. Output: (id, z) where
     * `z[i] = (xm[i] − μ_i) / σ_i` in double, `xm` the micro-grid
     * quantization and μ/σ the micro-grid population mean / stddev.

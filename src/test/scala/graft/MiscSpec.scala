@@ -137,6 +137,28 @@ class MiscSpec extends GraftSpec {
     assert(got(5L) === ((1L, 16.0)))
   }
 
+  test("pcaProject: known eigensystem, descending variance, layout invariance") {
+    import graft.operators.FeatureScale
+    // golden: [[2,1],[1,2]] has eigenvalues {3,1}
+    val (ev, _) = FeatureScale.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(ev.map(x => math.round(x * 1e9) / 1e9).sorted.toSeq === Seq(1.0, 3.0))
+    val emb = Tables.embeddings(spark, sf)
+    val p1 = FeatureScale.pcaProject(spark, emb, col("vec_id"), col("embedding"), 64, 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val p8 = FeatureScale.pcaProject(spark, emb.repartition(8),
+        col("vec_id"), col("embedding"), 64, 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(p1 === p8) // integer stats + fixed-order Jacobi -> bit-identical
+    // component variances descend (they ARE the top eigenvalues)
+    val n = p1.length
+    val vars = (0 until 4).map { c =>
+      val xs = p1.map(_._2(c))
+      val mu = xs.sum / n
+      xs.map(x => (x - mu) * (x - mu)).sum / n
+    }
+    assert(vars.sliding(2).forall(w => w(0) >= w(1) - 1e-6), vars.toString)
+  }
+
   test("standardize: layout-invariant, zero-mean/unit-variance on the grid") {
     import graft.operators.FeatureScale
     val base = Tables.embeddings(spark, sf)
