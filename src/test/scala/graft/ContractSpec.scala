@@ -6,11 +6,20 @@ package graft
   * gate. */
 class ContractSpec extends GraftSpec {
 
+  /** Queries the driver checks rows-only BY DESIGN: their defining
+    * computation is iterative (BPE merge training, Jacobi eigensolve)
+    * and has no ANSI-SQL expression. Each must carry spec-level goldens
+    * + determinism proofs instead (LlmPrepSpec / MiscSpec). Additions
+    * here need that justification — an oracle-able query must stay
+    * oracled. */
+  private val rowsOnlyByDesign = Set("text_bpe_tokens", "embedding_pca_project")
+
   test("every oracle key has a query; every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle keys without a query: ${o -- q}")
-    assert((q -- o).isEmpty, s"queries without an oracle (rows-only): ${q -- o}")
+    assert((q -- o) == rowsOnlyByDesign,
+      s"queries without an oracle beyond the documented rows-only set: ${q -- o -- rowsOnlyByDesign}")
   }
 
   test("entry() returns rows (driver smoke contract)") {
