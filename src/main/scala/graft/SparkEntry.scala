@@ -1687,6 +1687,39 @@ object SparkEntry {
           col("c_mktsegment"))
     },
 
+    "upsert_scd2" -> { (s, d) =>
+      // SCD-2 history merge: open rows of matched keys close at the
+      // update timestamp, updates append as new open rows, closed
+      // history is immutable (Upsert.scd2; one key shuffle + union)
+      val ts = (x: String) => lit(x).cast(TimestampType)
+      val c = Tables.customer(s, d)
+      val open = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        ts("2020-01-01").as("valid_from"),
+        lit(null).cast(TimestampType).as("valid_to"))
+      val closedOld = c.filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") * 0.5).as("c_acctbal"),
+          ts("2018-01-01").as("valid_from"), ts("2020-01-01").as("valid_to"))
+      val hist = closedOld.unionByName(open)
+      val upd = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          ts("2024-06-01").as("ts"))
+      Upsert.scd2(hist, upd, Seq("c_custkey"), "ts")
+    },
+    "snapshot_diff" -> { (s, d) =>
+      // reconciliation: classify keys of two snapshots added / removed /
+      // changed (NULL-safe attr compare), unchanged dropped
+      val a = Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val b = a.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 89 === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(a.filter(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      Upsert.snapshotDiff(a, b, Seq("c_custkey"))
+    },
     "fuzzy_join_lev1" -> { (s, d) =>
       // SymSpell deletion-neighborhood fuzzy self-join: equi-join over
       // single-deletion variants finds EVERY Levenshtein<=1 pair (exact
@@ -2910,6 +2943,45 @@ object SparkEntry {
       "SELECT DISTINCT event_id FROM events",
     "stream_dedup_watermark" ->
       "SELECT DISTINCT user_id FROM events",
+    "upsert_scd2" ->
+      """WITH open AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    TIMESTAMP '2020-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer),
+        |closedOld AS (
+        |  SELECT c_custkey, c_name, c_acctbal * 0.5 AS c_acctbal,
+        |    TIMESTAMP '2018-01-01' AS valid_from, TIMESTAMP '2020-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |hist AS (SELECT * FROM closedOld UNION ALL SELECT * FROM open),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+        |    TIMESTAMP '2024-06-01' AS uts
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT h.c_custkey, h.c_name, h.c_acctbal, h.valid_from,
+        |  CASE WHEN h.valid_to IS NULL AND u.c_custkey IS NOT NULL
+        |       THEN u.uts ELSE h.valid_to END AS valid_to
+        |FROM hist h LEFT JOIN upd u ON h.c_custkey = u.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, uts AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to
+        |FROM upd""".stripMargin,
+    "snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |b AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM a WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal FROM a WHERE c_custkey % 101 = 0),
+        |j AS (
+        |  SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |    CASE WHEN a.c_custkey IS NULL THEN 'added'
+        |         WHEN b.c_custkey IS NULL THEN 'removed'
+        |         WHEN a.c_name IS DISTINCT FROM b.c_name
+        |           OR a.c_acctbal IS DISTINCT FROM b.c_acctbal THEN 'changed'
+        |    END AS status
+        |  FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+        |SELECT c_custkey, status FROM j WHERE status IS NOT NULL""".stripMargin,
     "fuzzy_join_lev1" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

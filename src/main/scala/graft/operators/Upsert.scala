@@ -42,4 +42,72 @@ object Upsert {
     }
     merged.select(out.toSeq: _*)
   }
+
+  /** SCD-2 history merge: `history` carries validity intervals
+    * (`validFrom`, `validTo` — NULL validTo = current row); `updates`
+    * carries new attribute versions at an effective timestamp `ts`.
+    * Matched current rows CLOSE (validTo := update ts) and the update
+    * appends as the new open row; unmatched update keys append as
+    * brand-new open rows; closed history is immutable. One update per
+    * key per batch (the [[merge]] precondition — reduce a raw change
+    * stream to latest-per-key first).
+    *
+    * Scale: one equi-shuffle of the history on the key (hash join with
+    * the delta, delta side built) + a union of the delta — exactly the
+    * plan `MERGE INTO` engines run for SCD-2; no window, no sort.
+    */
+  def scd2(history: DataFrame, updates: DataFrame, keys: Seq[String],
+      tsCol: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "scd2: need at least one key column")
+    val attrs = history.columns.filterNot(c =>
+      keys.contains(c) || c == validFrom || c == validTo).toSeq
+    require(updates.columns.toSet == (keys ++ attrs :+ tsCol).toSet,
+      s"scd2: updates must carry keys + attrs + $tsCol, got ${updates.columns.mkString(",")}")
+    val u = updates.select((keys ++ attrs :+ tsCol).map(col): _*)
+      .withColumnRenamed(tsCol, "__uts").hint("SHUFFLE_HASH").as("u")
+    val h = history.as("h")
+    val cond = keys.map(k => col(s"u.$k") === col(s"h.$k")).reduce(_ && _)
+    // left join: history rows pick up the matching update's ts (if any);
+    // only OPEN rows close — closed intervals are immutable
+    val closed = h.join(u, cond, "left")
+      .select(history.columns.map { c =>
+        if (c == validTo)
+          when(col(s"h.$validTo").isNull && col("__uts").isNotNull, col("__uts"))
+            .otherwise(col(s"h.$validTo")).as(validTo)
+        else col(s"h.$c").as(c)
+      }.toSeq: _*)
+    val fresh = updates.select(
+      (keys.map(col) ++ attrs.map(col) :+ col(tsCol).as(validFrom)
+        :+ lit(null).cast(history.schema(validTo).dataType).as(validTo)): _*)
+      .select(history.columns.map(col).toSeq: _*) // column order
+    closed.unionByName(fresh)
+  }
+
+  /** Snapshot reconciliation: classify every key of two same-schema
+    * snapshots as `added` (only in `b`), `removed` (only in `a`) or
+    * `changed` (present in both, any non-key column differs — NULL-safe
+    * comparison). Unchanged keys are dropped (the interesting output of
+    * a reconciliation is the diff, and at 100 TB the `same` class is
+    * ~everything). One full-outer equi-shuffle, no sort.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: need at least one key column")
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"snapshotDiff: schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val attrs = a.columns.filterNot(keys.contains).toSeq
+    val aa = a.withColumn("__ina", lit(true)).as("a")
+    val bb = b.withColumn("__inb", lit(true)).as("b")
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val differs = attrs.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    aa.join(bb, cond, "full_outer")
+      .withColumn("status",
+        when(col("__ina").isNull, lit("added"))
+          .when(col("__inb").isNull, lit("removed"))
+          .when(differs, lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k))
+        :+ col("status"): _*)
+  }
 }

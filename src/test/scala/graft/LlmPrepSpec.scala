@@ -213,6 +213,29 @@ class LlmPrepSpec extends GraftSpec {
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g === want) }
   }
 
+  test("scd2: closed history immutable, open rows close at ts, new versions/keys append open") {
+    import graft.operators.Upsert
+    import spark.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x + " 00:00:00")
+    val hist = Seq(
+      (1L, "a-v1", t("2018-01-01"), t("2020-01-01")), // closed: must not change
+      (1L, "a-v2", t("2020-01-01"), null),            // open: must close
+      (2L, "b-v1", t("2020-01-01"), null))            // untouched key
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val upd = Seq((1L, "a-v3", t("2024-06-01")), (3L, "c-v1", t("2024-06-01")))
+      .toDF("k", "attr", "ts")
+    val got = Upsert.scd2(hist, upd, Seq("k"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(2)).map(_.toString).orNull,
+        Option(r.getTimestamp(3)).map(_.toString).orNull)).toSet
+    assert(got === Set(
+      (1L, "a-v1", "2018-01-01 00:00:00.0", "2020-01-01 00:00:00.0"),
+      (1L, "a-v2", "2020-01-01 00:00:00.0", "2024-06-01 00:00:00.0"),
+      (1L, "a-v3", "2024-06-01 00:00:00.0", null),
+      (2L, "b-v1", "2020-01-01 00:00:00.0", null),
+      (3L, "c-v1", "2024-06-01 00:00:00.0", null)))
+  }
+
   test("BPE: hand-computed merges, rank-greedy encode, losslessness, layout invariance") {
     import graft.operators.Bpe
     import spark.implicits._
