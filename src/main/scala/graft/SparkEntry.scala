@@ -988,6 +988,44 @@ object SparkEntry {
       s.table(name)
     },
 
+    "stream_upsert_apply" -> { (s, d) =>
+      // streaming CDC apply: two ordered micro-batches of events MERGE
+      // into a versioned parquet snapshot (latest-per-key per batch,
+      // then Upsert.merge) — the warehouse MERGE-INTO-from-CDC loop.
+      // Files split on the order column with staggered mtimes, so the
+      // final snapshot is exactly latest-event-per-user (the oracle).
+      val dir = GateFixtures.dir("stream_ups", d) { target =>
+        val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val mid = e.agg(max(col("event_id"))).head.getLong(0) / 2
+        def stage(part: DataFrame, name: String, age: Long): Unit = {
+          val tmp = target + "_" + name
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val src = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(target, name + ".parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(src.toPath, dst.toPath)
+          dst.setLastModified(System.currentTimeMillis() - age)
+          GateFixtures.deleteRecursively(new java.io.File(tmp).toPath)
+        }
+        stage(e.filter(col("event_id") <= mid), "b0", 120000L)
+        stage(e.filter(col("event_id") > mid), "b1", 60000L)
+      }
+      val schema = s.read.parquet(dir).schema
+      val snap = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = StreamingOps.upsertApply(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+            snap, Seq("user_id"), "event_id")
+          .option("checkpointLocation", snap + "_ck")
+          .start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      StreamingOps.latestSnapshot(s, snap).get
+        .select(col("user_id"), col("event_id"), col("value"))
+    },
     "stream_dedup_watermark" -> { (s, d) =>
       // dropDuplicatesWithinWatermark under a REAL 2-micro-batch stream:
       // per-key state expires with the watermark (bounded state — the
@@ -2943,6 +2981,9 @@ object SparkEntry {
       "SELECT DISTINCT event_id FROM events",
     "stream_dedup_watermark" ->
       "SELECT DISTINCT user_id FROM events",
+    "stream_upsert_apply" ->
+      """SELECT user_id, event_id, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""".stripMargin,
     "upsert_scd2" ->
       """WITH open AS (
         |  SELECT c_custkey, c_name, c_acctbal,

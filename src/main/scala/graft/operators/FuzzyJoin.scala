@@ -23,21 +23,55 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** All unordered pairs (idA < idB) whose strings are within
-    * Levenshtein distance 1. Output: (id_a, id_b, dist). */
+    * Levenshtein distance 1. Output: (id_a, id_b, dist).
+    *
+    * Variants are tagged with their deletion POSITION (−1 for the
+    * identity variant): a substitution pair shares the variant obtained
+    * by deleting the SAME position from both strings, and an
+    * insertion/deletion pair matches the shorter string's identity
+    * against one deletion of the longer — so candidates join on
+    * (variant, pos) plus a variant-equal/identity-residual pass, which
+    * prunes the distance-2 pairs that share a variant via two DIFFERENT
+    * deletions (on low-entropy keys — zero-padded ids, URLs — those are
+    * the overwhelming bulk of untagged collisions). */
   def selfJoinLev1(df: DataFrame, id: Column, str: Column): DataFrame = {
     val base = df.select(id.as("__fid"), str.as("__fs"))
     val dels = when(length(col("__fs")) > 0,
       transform(sequence(lit(1), length(col("__fs"))),
-        i => concat(col("__fs").substr(lit(1), i - 1),
-          col("__fs").substr(i + 1, length(col("__fs"))))))
-      .otherwise(array().cast("array<string>"))
-    val variants = base.select(col("__fid"), col("__fs"),
-      explode(array_union(array(col("__fs")), dels)).as("__v"))
-    val a = variants.select(col("__fid").as("id_a"), col("__fs").as("sa"), col("__v"))
-    val b = variants.select(col("__fid").as("id_b"), col("__fs").as("sb"), col("__v").as("__vb"))
-    a.join(b, col("__v") === col("__vb") && col("id_a") < col("id_b"))
+        i => struct(
+          concat(col("__fs").substr(lit(1), i - 1),
+            col("__fs").substr(i + 1, length(col("__fs")))).as("v"),
+          i.as("pos"))))
+      .otherwise(array().cast("array<struct<v:string,pos:int>>"))
+    val taggedDels = base.select(col("__fid"), col("__fs"),
+      explode(array_distinct(dels)).as("__t"))
+      .select(col("__fid"), col("__fs"), col("__t.v").as("__v"), col("__t.pos").as("__p"))
+    // three structurally-bounded candidate joins, no bare-variant join:
+    // (1) substitution: deletions meet deletions on (variant, SAME pos) —
+    //     bucket mates must agree on every other character
+    val dA = taggedDels.select(col("__fid").as("id_a"), col("__fs").as("sa"),
+      col("__v"), col("__p"))
+    val dB = taggedDels.select(col("__fid").as("id_b"), col("__fs").as("sb"),
+      col("__v").as("__vb"), col("__p").as("__pb"))
+    val subs = dA.join(dB,
+      col("__v") === col("__vb") && col("__p") === col("__pb") &&
+        col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
-      .distinct() // a pair can share several variants (repeated chars)
+    // (2) insertion/deletion: a full string meets the other's deletion —
+    //     the identity side is corpus-sized (no variant blow-up) and a
+    //     match requires the deletion to EQUAL a real string
+    val idsA = base.select(col("__fid").as("ia"), col("__fs").as("fa"))
+    val indel = idsA.join(dB, col("fa") === col("__vb") && col("ia") =!= col("id_b"))
+      .select(least(col("ia"), col("id_b")).as("id_a"),
+        greatest(col("ia"), col("id_b")).as("id_b"),
+        when(col("ia") < col("id_b"), col("fa")).otherwise(col("sb")).as("sa"),
+        when(col("ia") < col("id_b"), col("sb")).otherwise(col("fa")).as("sb"))
+    // (3) exact duplicates: identities meet identities
+    val idsB = base.select(col("__fid").as("id_b"), col("__fs").as("fb"))
+    val dups = idsA.join(idsB, col("fa") === col("fb") && col("ia") < col("id_b"))
+      .select(col("ia").as("id_a"), col("id_b"), col("fa").as("sa"), col("fb").as("sb"))
+    subs.unionByName(indel).unionByName(dups)
+      .distinct() // a pair can share several tagged variants (repeated chars)
       .filter(levenshtein(col("sa"), col("sb")) <= 1)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("sa"), col("sb")).cast("long").as("dist"))

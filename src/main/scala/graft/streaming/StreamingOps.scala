@@ -121,6 +121,52 @@ object StreamingOps {
       "inner")
   }
 
+  /** Streaming CDC-apply sink: each micro-batch reduces to its
+    * latest-per-key rows (max `orderCol`, exact struct-max argmax — the
+    * [[graft.operators.Upsert.merge]] unique-key precondition) and
+    * MERGEs into a parquet snapshot. Snapshots are versioned per batch
+    * (`$snapshotDir/v$batchId`) so a reader never races a partial
+    * overwrite and every batch's state is audit-able; [[latestSnapshot]]
+    * resolves the newest version. This is the streaming maintenance
+    * loop warehouse formats run under `MERGE INTO` from a CDC feed,
+    * expressed over plain parquet.
+    *
+    * Scale: per batch, one key shuffle of (batch ∪ snapshot) — the
+    * snapshot side is the big one, so the merge inherits Upsert.merge's
+    * delta-side hash build; state lives in files, not executor memory.
+    */
+  def upsertApply(stream: DataFrame, snapshotDir: String, keys: Seq[String],
+      orderCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val cols = batch.columns.toSeq
+      // exact latest-per-key: struct-max on (orderCol, rest) — total and
+      // deterministic as long as orderCol is unique per key within a batch
+      val latest = batch.groupBy(keys.map(col): _*)
+        .agg(max(struct((orderCol +: cols.filterNot(c =>
+          keys.contains(c) || c == orderCol)).map(col): _*)).as("__m"))
+        .select(keys.map(col) ++
+          cols.filterNot(keys.contains).map(c => col(s"__m.$c").as(c)): _*)
+        .select(cols.map(col): _*)
+      val merged = latestSnapshot(spark, snapshotDir) match {
+        case Some(cur) => graft.operators.Upsert.merge(cur.select(cols.map(col): _*), latest, keys)
+        case None => latest
+      }
+      merged.write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
+      ()
+    }
+  }
+
+  /** Newest versioned snapshot written by [[upsertApply]], if any. */
+  def latestSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
+    val d = new java.io.File(snapshotDir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
+      .sortBy(_._1).lastOption
+      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
+  }
+
   /** Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`):
     * exact key dedup whose per-key state EXPIRES with the event-time
     * watermark — bounded state regardless of key cardinality, the
