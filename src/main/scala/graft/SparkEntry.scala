@@ -272,6 +272,26 @@ object SparkEntry {
         "user_id", cache, "vec_id")
       misses
     },
+    "input_layer_assemble" -> { (s, d) =>
+      // the reference's embedding-column input layer (hb.dense_features,
+      // docs/high_level_api.md:76-100) as engine-side data prep: two
+      // categorical id columns — an id bucket and a hashed string
+      // feature (Categorical.featureHash) — looked up in the embeddings
+      // table via broadcast joins, lookup misses zero-filled (both paths
+      // real at sf0.01: 500 vectors vs 1024/512 buckets), concatenated
+      // with the scaled dense features into one array<double> tensor per
+      // example
+      EmbeddingLookup.inputLayer(
+        Tables.events(s, d),
+        col("event_id"),
+        numerics = Seq(
+          round(col("value") / 200.0, 9),
+          round(log(lit(1.0) + abs(col("value"))), 9)),
+        cats = Seq(
+          pmod(col("user_id"), lit(1024L)),
+          Categorical.featureHash(col("event_type"), 512)),
+        table = Tables.embeddings(s, d), keyCol = "vec_id", vecCol = "embedding")
+    },
 
     "join_salted_skew" -> { (s, d) =>
       // skew-mitigated equi-join: result set identical to the plain join
@@ -1074,6 +1094,33 @@ object SparkEntry {
           .select(col("user_id"),
             col("session_window.start").cast("long").as("session_start"),
             col("session_window.end").cast("long").as("session_end"), col("n"))
+          .writeStream.outputMode("complete").format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(name)
+    },
+    "stream_metric_auc" -> { (s, d) =>
+      // the §2.7 thresholded-AUC Aggregator under a REAL 2-micro-batch
+      // file stream in complete mode: the 402-long confusion-matrix
+      // buffer merges across micro-batches through the streaming state
+      // store — the metric-accumulation loop the reference runs inside
+      // its training session (metrics/auc.py:38-185), matching the batch
+      // oracle bit-for-bit
+      val dir = GateFixtures.dir("stream_auc", d) { target =>
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+          .repartition(2).write.mode("overwrite").parquet(target)
+      }
+      val schema = s.read.parquet(dir).schema
+      val name = "gate_streamauc_" + math.abs(dir.hashCode)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val agg = udaf(new Metrics.ThresholdedAuc(200))
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+          .select(
+            when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"),
+            least(col("value") / 200.0, lit(1.0)).as("p"))
+          .agg(round(agg(col("y"), col("p")), 9).as("auc"))
           .writeStream.outputMode("complete").format("memory").queryName(name).start()
         q.processAllAvailable(); q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -1903,6 +1950,33 @@ object SparkEntry {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
 
+  /** Thresholded-AUC oracle (tf.metrics.auc threshold layout) — shared by
+    * the batch and streaming gates, which must agree bit-for-bit. */
+  private def thresholdedAucOracle: String =
+    """WITH base AS (
+      |  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+      |         least(value / 200.0, 1.0) AS p
+      |  FROM events),
+      |th AS (
+      |  SELECT i, CASE WHEN i = 0 THEN -0.0000001
+      |                 WHEN i = 199 THEN 1.0000001
+      |                 ELSE i / 199.0 END AS t
+      |  FROM range(200) r(i)),
+      |cm AS (
+      |  SELECT i,
+      |    SUM(CASE WHEN p > t AND y = 1 THEN 1 ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN p > t AND y = 0 THEN 1 ELSE 0 END) AS fp
+      |  FROM th CROSS JOIN base GROUP BY i),
+      |tot AS (SELECT SUM(y) AS pos, SUM(1 - y) AS neg FROM base),
+      |seg AS (
+      |  SELECT i,
+      |    tp / CAST(pos AS DOUBLE) AS tpr, fp / CAST(neg AS DOUBLE) AS fpr,
+      |    lead(tp) OVER (ORDER BY i) / CAST(pos AS DOUBLE) AS tprN,
+      |    lead(fp) OVER (ORDER BY i) / CAST(neg AS DOUBLE) AS fprN
+      |  FROM cm, tot)
+      |SELECT ROUND(SUM((fpr - fprN) * (tpr + tprN) / 2.0), 9) AS auc
+      |FROM seg WHERE i < 199""".stripMargin
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2023,6 +2097,22 @@ object SparkEntry {
     "lookup_cache_miss" ->
       """SELECT event_id, user_id FROM events
         |WHERE user_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id < 50)""".stripMargin,
+    "input_layer_assemble" ->
+      s"""WITH dim AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |z AS (SELECT list_transform(range(MIN(len(embedding))), x -> 0.0) AS zv
+         |  FROM embeddings),
+         |e AS (SELECT event_id,
+         |  round(value / 200.0, 9) AS n0,
+         |  round(ln(1 + abs(value)), 9) AS n1,
+         |  ((user_id % 1024) + 1024) % 1024 AS c0,
+         |  ${OracleFragments.polyHashSql("event_type")} % 512 AS c1
+         |  FROM events)
+         |SELECT e.event_id AS id,
+         |  [e.n0, e.n1] || COALESCE(l0.v, z.zv) || COALESCE(l1.v, z.zv) AS features
+         |FROM e CROSS JOIN z
+         |LEFT JOIN dim l0 ON e.c0 = l0.vec_id
+         |LEFT JOIN dim l1 ON e.c1 = l1.vec_id""".stripMargin,
     "join_salted_skew" ->
       """SELECT user_id, event_id, label
         |FROM events JOIN embeddings ON user_id = vec_id""".stripMargin,
@@ -2573,30 +2663,10 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "metric_auc_thresholded" ->
-      """WITH base AS (
-        |  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
-        |         least(value / 200.0, 1.0) AS p
-        |  FROM events),
-        |th AS (
-        |  SELECT i, CASE WHEN i = 0 THEN -0.0000001
-        |                 WHEN i = 199 THEN 1.0000001
-        |                 ELSE i / 199.0 END AS t
-        |  FROM range(200) r(i)),
-        |cm AS (
-        |  SELECT i,
-        |    SUM(CASE WHEN p > t AND y = 1 THEN 1 ELSE 0 END) AS tp,
-        |    SUM(CASE WHEN p > t AND y = 0 THEN 1 ELSE 0 END) AS fp
-        |  FROM th CROSS JOIN base GROUP BY i),
-        |tot AS (SELECT SUM(y) AS pos, SUM(1 - y) AS neg FROM base),
-        |seg AS (
-        |  SELECT i,
-        |    tp / CAST(pos AS DOUBLE) AS tpr, fp / CAST(neg AS DOUBLE) AS fpr,
-        |    lead(tp) OVER (ORDER BY i) / CAST(pos AS DOUBLE) AS tprN,
-        |    lead(fp) OVER (ORDER BY i) / CAST(neg AS DOUBLE) AS fprN
-        |  FROM cm, tot)
-        |SELECT ROUND(SUM((fpr - fprN) * (tpr + tprN) / 2.0), 9) AS auc
-        |FROM seg WHERE i < 199""".stripMargin,
+    "metric_auc_thresholded" -> thresholdedAucOracle,
+    // identical accumulation, streamed over 2 micro-batches — the gate
+    // proves streaming==batch==oracle for the Aggregator path
+    "stream_metric_auc" -> thresholdedAucOracle,
     "ragged_to_coo" ->
       """SELECT doc_id,
         |  generate_subscripts(string_split(text,' '), 1) - 1 AS pos,

@@ -66,6 +66,64 @@ object EmbeddingLookup {
     ids.join(fetched, Seq(idCol), "left")
   }
 
+  /** Dense input-layer assembly — the data-prep form of the reference's
+    * embedding-column input layer (`hb.dense_features` /
+    * `tf.feature_column`: docs/high_level_api.md:76-100,
+    * embedding/deeprecev.py): each categorical id is looked up in the
+    * embedding table, misses are default-filled with a zero vector (the
+    * reference's lookup-miss default), and the per-example input tensor
+    * is the concatenation [numerics ++ embedding(cat0) ++ embedding(cat1)
+    * ++ …] as one `array<double>` column — exactly what an estimator's
+    * input layer would see, produced by the engine instead of inside the
+    * model graph.
+    *
+    * Scale: one broadcast hash join per categorical column (embedding
+    * tables are vocabulary-sized; pass `broadcastDim = false` for
+    * beyond-memory vocabularies to shuffle on the key instead), zero-fill
+    * dimension travels as a broadcast one-row aggregate — no collect, no
+    * shuffle of the example side on the broadcast path.
+    *
+    * @param examples  one row per training example
+    * @param exampleId output key column
+    * @param numerics  dense feature expressions (cast to double, caller
+    *                  does any scaling/rounding)
+    * @param cats      categorical id expressions (long-castable), e.g.
+    *                  [[Categorical.featureHash]] output
+    * @param table     embedding table
+    * @param keyCol    id column of `table`
+    * @param vecCol    float/double array column of `table`
+    */
+  def inputLayer(
+      examples: DataFrame,
+      exampleId: Column,
+      numerics: Seq[Column],
+      cats: Seq[Column],
+      table: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      broadcastDim: Boolean = true): DataFrame = {
+    require(cats.nonEmpty, "inputLayer: at least one categorical column")
+    val dim0 = table.select(col(keyCol).cast("long").as("__k"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val dim = if (broadcastDim) broadcast(dim0) else dim0
+    // zero-fill width from a broadcast one-row aggregate (plan stays lazy)
+    val width = broadcast(table.agg(min(size(col(vecCol))).as("__zdim")))
+    val base = examples.select(
+      exampleId.as("id") +:
+        (numerics.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__n$i") } ++
+          cats.zipWithIndex.map { case (c, i) => c.cast("long").as(s"__c$i") }): _*)
+      .crossJoin(width)
+    val joined = cats.indices.foldLeft(base) { (df, i) =>
+      df.join(dim.as(s"__dim$i"), col(s"__c$i") === col(s"__dim$i.__k"), "left")
+        .withColumn(s"__e$i",
+          coalesce(col(s"__dim$i.__v"), array_repeat(lit(0.0), col("__zdim"))))
+        .drop(col(s"__dim$i.__k")).drop(col(s"__dim$i.__v"))
+    }
+    val numArr = array(numerics.indices.map(i => col(s"__n$i")): _*)
+    joined.select(col("id"),
+      concat(numArr +: cats.indices.map(i => col(s"__e$i")): _*).as("features"))
+  }
+
   /** Cache split — the `HbLookup` hit/miss partition (reference:
     * embedding/lookup_ops.cc:38-47): split keys into those present in
     * the cache table and those missing. */

@@ -210,6 +210,20 @@ class OperatorsSpec extends GraftSpec {
     assert(collectGram(emb.repartition(9)) === got)
   }
 
+  test("inputLayer concatenates numerics + hit embeddings, zero-fills misses") {
+    import spark.implicits._
+    val ex = Seq((1L, 0.5, 10L, 20L), (2L, -1.5, 11L, 99L)).toDF("id0", "x", "k1", "k2")
+    val tab = Seq((10L, Seq(1.0f, 2.0f)), (11L, Seq(3.0f, 4.0f)), (20L, Seq(5.0f, 6.0f)))
+      .toDF("key", "vec")
+    val got = EmbeddingLookup.inputLayer(ex, col("id0"), Seq(col("x")),
+      Seq(col("k1"), col("k2")), tab, "key", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    // id 1: both cats hit — [x, vec(10), vec(20)]
+    assert(got(1L) === List(0.5, 1.0, 2.0, 5.0, 6.0))
+    // id 2: k2=99 misses — zero-filled at the table's width
+    assert(got(2L) === List(-1.5, 3.0, 4.0, 0.0, 0.0))
+  }
+
   test("clipLists keeps only in-window history elements") {
     import spark.implicits._
     val df = Seq((100L, Seq(10L, 95L, 99L, 100L, 105L), Seq("a", "b", "c", "d", "e")))

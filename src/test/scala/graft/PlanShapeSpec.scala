@@ -29,6 +29,13 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan("lookup_join").contains("BroadcastHashJoin"))
   }
 
+  test("input layer: every embedding lookup broadcasts; example side never shuffles") {
+    val p = plan("input_layer_assemble")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("BM25 broadcasts the query/df sides; corpus tf rows never shuffle by term") {
     val p = plan("text_bm25_topk")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
