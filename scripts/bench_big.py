@@ -56,6 +56,7 @@ LLM = [
     "web_url_normalize", "web_host_cap", "embedding_gram_matrix",
     "sample_negatives", "ann_hard_negatives",
     "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles",
+    "input_layer_assemble",
 ]
 
 # SINGLE-SOURCE WARNING: these constants mirror the Scala side

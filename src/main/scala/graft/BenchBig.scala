@@ -37,7 +37,8 @@ object BenchBig {
     "web_url_normalize", "web_host_cap", "embedding_gram_matrix",
     "sample_negatives", "ann_hard_negatives",
     "sketch_cms_heavy_hitters", "text_classifier_score", "pipeline_corpus_curation",
-    "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles")
+    "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles",
+    "input_layer_assemble")
 
   /** The relational (TPC-H-shaped) suite: semi/anti joins, correlated
     * subqueries, outer-join aggregation, disjunctive pushdown — the

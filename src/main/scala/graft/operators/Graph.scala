@@ -56,30 +56,38 @@ object Graph {
     * is LAZILY localCheckpoint'ed once — an edge derivation like
     * [[coOccurrenceEdges]] is a multi-hundred-million-row self-join
     * that would otherwise re-execute inside EVERY sweep's plan (the
-    * measured cost at x200 was 2× the whole query) — and each rank
-    * frontier is checkpointed too, cutting the superlinear lineage
-    * growth driver-loop iteration always produces. Checkpointed blocks
-    * are released by the ContextCleaner when the frames go out of
-    * scope (no session-lifetime persist leak); multi-hour convergence
-    * jobs should prefer `setCheckpointDir` + `.checkpoint()`
+    * measured cost at x200 was 2× the whole query) — and the rank
+    * frontier is checkpointed every `checkpointEvery` sweeps, cutting
+    * the superlinear lineage growth driver-loop iteration always
+    * produces. Per-sweep frontier checkpoints are NOT free: each one
+    * materializes + caches the node-sized frame and breaks the unrolled
+    * plan into synchronous stages (measured ~30% of the whole 3-sweep
+    * query at sf0.1 AND x200), while a handful of unrolled sweeps is
+    * exactly what Catalyst handles well — so shallow runs (iters <
+    * checkpointEvery) run as ONE plan over the checkpointed edge frame
+    * and only deep convergence loops pay the periodic cut. Checkpointed
+    * blocks are released by the ContextCleaner when the frames go out
+    * of scope (no session-lifetime persist leak); multi-hour
+    * convergence jobs should prefer `setCheckpointDir` + `.checkpoint()`
     * durability, structure identical. */
   def pageRankNano(edges: DataFrame, iters: Int,
-      dampNano: Long = 850000000L): DataFrame = {
+      dampNano: Long = 850000000L, checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1 && dampNano >= 0 && dampNano <= 1000000000L,
       s"pageRankNano: need iters >= 1 and damp in [0, 1e9], got $iters / $dampNano")
+    require(checkpointEvery >= 1, s"pageRankNano: checkpointEvery >= 1, got $checkpointEvery")
     val teleport = 1000000000L - dampNano
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ej = edges.join(deg, "src").localCheckpoint(false) // (src, dst, deg), built once
     val init = ej.select(col("src").as("id"), lit(1000000000L).as("rank")).distinct()
-    (1 to iters).foldLeft(init) { (rank, _) =>
-      ej.join(rank, ej("src") === rank("id"))
+    (1 to iters).foldLeft(init) { (rank, i) =>
+      val nxt = ej.join(rank, ej("src") === rank("id"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
         .select(col("dst").as("id"),
           (lit(teleport) +
             expr(s"(s div 1000000000) * $dampNano") +
             expr(s"((s % 1000000000) * $dampNano) div 1000000000")).as("rank"))
-        .localCheckpoint(false)
+      if (i % checkpointEvery == 0 && i < iters) nxt.localCheckpoint(false) else nxt
     }
   }
 }
