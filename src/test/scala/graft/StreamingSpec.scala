@@ -130,6 +130,37 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("CDC upsert apply: later micro-batch overrides earlier snapshot values") {
+    import spark.implicits._
+    // batch 0: keys 1,2; batch 1: key 2 updated + key 3 inserted. Files
+    // get staggered mtimes so the file source delivers them in order.
+    val dir = Files.createTempDirectory("graft_cdc").toString
+    def stage(rows: Seq[(Long, Long, String)], name: String, age: Long): Unit = {
+      val tmp = dir + "_" + name
+      rows.toDF("k", "ord", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name + ".parquet")
+      dst.getParentFile.mkdirs()
+      Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+    }
+    stage(Seq((1L, 10L, "a0"), (2L, 11L, "b0"), (2L, 12L, "b1")), "b0", 120000L)
+    stage(Seq((2L, 20L, "b2"), (3L, 21L, "c0")), "b1", 60000L)
+    val schema = spark.read.parquet(dir).schema
+    val snap = Files.createTempDirectory("graft_cdc_snap").toString
+    val q = StreamingOps.upsertApply(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+        snap, Seq("k"), "ord")
+      .option("checkpointLocation", snap + "_ck")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = StreamingOps.latestSnapshot(spark, snap).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // key 1 from batch 0; key 2's batch-0 latest (b1) overridden by batch
+    // 1's b2; key 3 inserted in batch 1
+    assert(got === Set((1L, 10L, "a0"), (2L, 20L, "b2"), (3L, 21L, "c0")))
+  }
+
   test("stateful streaming dedup emits each key exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup").toString
