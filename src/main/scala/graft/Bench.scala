@@ -34,18 +34,9 @@ object Bench {
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // UNTIMED session hygiene between measurements: some gates leave
-      // state behind — streaming memory-sink tables (full result held on
-      // the driver), localCheckpoint blocks (freed only when the GC'd
-      // reference reaches ContextCleaner), cached frames. Accumulated
-      // over 170+ queries that storage pressure steals unified memory
-      // from execution and inflates LATER queries (measured: q1 read
-      // 6× its isolated time near the end of the alphabet). Each query
-      // is measured against clean session state instead.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.listTables().collect().filter(_.isTemporary)
-        .foreach(t => spark.catalog.dropTempView(t.name))
+      // UNTIMED hygiene between measurements — each query measured
+      // against clean session state (see GraftSession.clearSessionState)
+      GraftSession.clearSessionState(spark)
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

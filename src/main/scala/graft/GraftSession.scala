@@ -40,6 +40,26 @@ object GraftSession {
     .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "512MB")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
+  /** Between-query session hygiene for the multi-query mains (Bench,
+    * Verify): gates can leave state behind — streaming memory-sink
+    * tables (full result held on the driver), localCheckpoint blocks
+    * (freed only when the GC'd reference reaches ContextCleaner),
+    * cached frames — and accumulated over 170+ queries that storage
+    * pressure steals unified memory from execution (q1 measured 6× its
+    * isolated time near the end of the alphabet before this existed).
+    * Best-effort by design: cleanup failure must never abort the suite
+    * the callers' per-query try/catch protects. */
+  def clearSessionState(spark: SparkSession): Unit =
+    try {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[session-hygiene] cleanup failed (continuing): ${e.getMessage}")
+    }
+
   def local(cores: String = "4", shufflePartitions: Option[Int] = None): SparkSession = {
     val b = configure(
       SparkSession.builder()

@@ -27,6 +27,12 @@ object SparkEntry {
     * round), so arrays of floats/doubles travel as CSV of micro-scaled
     * integers. Array-typed forms stay available via the operators and
     * are covered by ScalaTest specs. */
+  /** Run a started streaming query to completion and ALWAYS stop it — a
+    * throwing processAllAvailable must not leak an active query (state
+    * stores + memory sink) into the rest of a 177-gate session. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.processAllAvailable() finally q.stop()
+
   private def numCsv(arr: Column): Column =
     concat_ws(",", transform(arr, x => round(x.cast("double") * lit(1e6)).cast("long").cast("string")))
 
@@ -978,7 +984,7 @@ object SparkEntry {
             s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir))
           .toDF("doc_id", "preceded")
           .writeStream.outputMode("append").format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       StreamingOps.lshStreamSurvivors(s.table(name))
     },
@@ -1003,7 +1009,7 @@ object SparkEntry {
           s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir).as[Long])
           .toDF("event_id")
           .writeStream.outputMode("append").format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
     },
@@ -1041,7 +1047,7 @@ object SparkEntry {
             snap, Seq("user_id"), "event_id")
           .option("checkpointLocation", snap + "_ck")
           .start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       StreamingOps.latestSnapshot(s, snap).get
         .select(col("user_id"), col("event_id"), col("value"))
@@ -1068,7 +1074,7 @@ object SparkEntry {
             Seq("user_id"), "3650 days")
           .select(col("user_id"))
           .writeStream.outputMode("append").format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
     },
@@ -1095,7 +1101,7 @@ object SparkEntry {
             col("session_window.start").cast("long").as("session_start"),
             col("session_window.end").cast("long").as("session_end"), col("n"))
           .writeStream.outputMode("complete").format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
     },
@@ -1122,7 +1128,7 @@ object SparkEntry {
             least(col("value") / 200.0, lit(1.0)).as("p"))
           .agg(round(agg(col("y"), col("p")), 9).as("auc"))
           .writeStream.outputMode("complete").format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
     },
@@ -1258,7 +1264,7 @@ object SparkEntry {
             col("l.user_id").as("user_id"),
             expr("(unix_micros(r.ts) - unix_micros(l.ts)) div 1000000").as("secs_after"))
           .writeStream.outputMode("append").format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
     },
@@ -1282,7 +1288,7 @@ object SparkEntry {
           .option("path", target + "/sink")
           .option("checkpointLocation", target + "/ckpt")
           .outputMode("append").start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       }
       s.read.parquet(dir + "/sink")
     },
@@ -1305,7 +1311,7 @@ object SparkEntry {
           StreamingOps.fileStream(s, dir, schema),
           Tables.embeddings(s, d), "user_id", "vec_id", Seq("label"))
           .writeStream.outputMode("append").format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        drain(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
     },

@@ -16,12 +16,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // same between-query session hygiene as Bench: leaked gate state
-      // (memory-sink tables, checkpoint blocks, cached frames) otherwise
-      // accumulates across 170+ queries and slows the tail of the run
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.listTables().collect().filter(_.isTemporary)
-        .foreach(t => spark.catalog.dropTempView(t.name))
+      // otherwise slows the tail of the 170+ query run
+      GraftSession.clearSessionState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -55,6 +55,21 @@ class MiscSpec extends GraftSpec {
     assert(shuffled === out)
   }
 
+  test("pageRankNano: periodic frontier checkpointing is result-invariant") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    // 6 sweeps with checkpointEvery=2 exercises the mid-loop checkpoint
+    // branch (i = 2 and 4 checkpoint, i = 6 is final and does not);
+    // checkpointEvery=10 never checkpoints — both must be bit-identical
+    val ck = Graph.pageRankNano(edges, iters = 6, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val noCk = Graph.pageRankNano(edges, iters = 6, checkpointEvery = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ck === noCk)
+    assert(ck.size === 4 && ck.values.forall(_ > 0L))
+  }
+
   test("coOccurrenceEdges: symmetric, no self-loops, basket-bounded") {
     import spark.implicits._
     val b = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 4L))
