@@ -29,7 +29,7 @@ object SparkEntry {
     * are covered by ScalaTest specs. */
   /** Run a started streaming query to completion and ALWAYS stop it — a
     * throwing processAllAvailable must not leak an active query (state
-    * stores + memory sink) into the rest of a 177-gate session. */
+    * stores + memory sink) into the rest of a multi-gate session. */
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try q.processAllAvailable() finally q.stop()
 
@@ -668,6 +668,23 @@ object SparkEntry {
       out.select(col("doc_id"), col("lang_idx"), col("source_idx"),
         Categorical.featureHash(col("lang"), 1024).as("lang_hash"),
         Categorical.featureHash(col("source"), 1024).as("source_hash"))
+    },
+    "encode_target_loo" -> { (s, d) =>
+      // leave-one-out smoothed target encoding of event_type against the
+      // value label (m=10): per-row feature excluding the row's own
+      // label, exact-DECIMAL sums, single-member categories -> prior
+      Categorical.targetEncodeLoo(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"), col("value"), smoothing = 10L)
+        .select(col("event_id"), col("event_type"), col("target_enc"))
+    },
+    "feature_quantile_bin" -> { (s, d) =>
+      // equal-mass deciles of event value by exact global rank (ties
+      // share a bin); distributed rank via the bucketed prefix-sum, no
+      // global window
+      FeatureScale.quantileBin(
+        Tables.events(s, d), col("event_id"), col("value"), bins = 10)
+        .select(col("id").as("event_id"), col("v").as("value"), col("bin"))
     },
     "hybrid_rrf_fusion" -> { (s, d) =>
       // the full hybrid-retrieval composition: BM25 lexical top-20 +
@@ -2200,6 +2217,22 @@ object SparkEntry {
          |  ${OracleFragments.polyHashSql("lang")} % 1024 AS lang_hash,
          |  ${OracleFragments.polyHashSql("source")} % 1024 AS source_hash
          |FROM documents JOIN li ON lang = li.v JOIN si ON source = si.v""".stripMargin,
+    "encode_target_loo" ->
+      """WITH s AS (SELECT event_type,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS sm, COUNT(*) AS cnt
+        |  FROM events GROUP BY event_type),
+        |p AS (SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS prior
+        |  FROM events)
+        |SELECT event_id, e.event_type,
+        |  round((CAST(s.sm AS DOUBLE) - CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE)
+        |      + 10 * p.prior) / (s.cnt - 1 + 10), 9) AS target_enc
+        |FROM events e JOIN s ON e.event_type = s.event_type CROSS JOIN p""".stripMargin,
+    "feature_quantile_bin" ->
+      """WITH v AS (SELECT event_id, CAST(value AS DOUBLE) AS value FROM events
+        |  WHERE value IS NOT NULL)
+        |SELECT event_id, value,
+        |  ((rank() OVER (ORDER BY value) - 1) * 10) // COUNT(*) OVER () AS bin
+        |FROM v""".stripMargin,
     "hybrid_rrf_fusion" ->
       s"""WITH ${bm25OracleCtes(20)},
          |${OracleFragments.vectorCtes},

@@ -44,4 +44,41 @@ object Categorical {
     * across train/serve), at the cost of hash collisions. */
   def featureHash(value: Column, buckets: Int): Column =
     pmod(graft.functions.TextFunctions.polyHash(value), lit(buckets.toLong))
+
+  /** Leakage-safe (leave-one-out) smoothed target encoding: each row's
+    * categorical becomes
+    * `enc = (Σ_cat label − own label + m·prior) / (cnt_cat − 1 + m)`
+    * with `prior` the global label mean — the row's OWN label is
+    * excluded from its encoding (plain mean encoding leaks the target
+    * into the feature; single-member categories collapse to the prior).
+    * `m` is the smoothing pseudo-count pulling rare categories toward
+    * the prior.
+    *
+    * Parity/scale: label sums accumulate in exact DECIMAL(12,2) (the q1
+    * discipline — order-free, so any engine reproduces them
+    * bit-for-bit), one map-side-combinable category aggregate broadcasts
+    * back (category tables are vocabulary-sized), the global prior rides
+    * as a one-row broadcast, and the encoding itself is row-local with
+    * one fixed double expression shape rounded to 9 decimals.
+    *
+    * @return input + `target_enc`
+    */
+  def targetEncodeLoo(df: DataFrame, cat: Column, label: Column,
+      smoothing: Long): DataFrame = {
+    require(smoothing > 0, s"targetEncodeLoo: smoothing must be positive, got $smoothing")
+    val dec = label.cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    val withCat = df.withColumn("__cat", cat).withColumn("__y", dec)
+    val stats = withCat.groupBy(col("__cat"))
+      .agg(sum(col("__y")).as("__sum"), count(lit(1)).as("__cnt"))
+    val prior = withCat.agg(
+      (sum(col("__y")).cast("double") / count(lit(1))).as("__prior"))
+    withCat
+      .join(broadcast(stats), "__cat")
+      .crossJoin(broadcast(prior))
+      .withColumn("target_enc",
+        round((col("__sum").cast("double") - col("__y").cast("double")
+            + lit(smoothing) * col("__prior"))
+          / (col("__cnt") - 1 + lit(smoothing)), 9))
+      .drop("__cat", "__y", "__sum", "__cnt", "__prior")
+  }
 }

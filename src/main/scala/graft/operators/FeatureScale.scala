@@ -26,6 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object FeatureScale {
 
+  /** Equal-mass quantile binning with RANK semantics: each row gets the
+    * bin of its exact global rank among `value` — `bin = (rank−1)·bins
+    * div n`, where tied values share the MINIMUM rank and therefore
+    * always land in the same bin (the property ntile/row_number binning
+    * lacks, and the one that matters for features: equal inputs must
+    * produce equal features). NULL values are excluded — a null has no
+    * rank.
+    *
+    * Scale: the global rank is [[Partitioners.stableIds]]' bucketed
+    * prefix-sum (no single-partition window anywhere), tie collapse is
+    * one `groupBy(value) → min(ordinal)` aggregate joined back on the
+    * value (both map-side combinable / one exchange each), and the bin
+    * arithmetic is exact integer math — bit-reproducible by any engine
+    * with a rank() window (the oracle's formulation at gate scale).
+    *
+    * @return (id, v, bin) with bin in 0..bins−1
+    */
+  def quantileBin(df: DataFrame, id: Column, value: Column, bins: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(bins > 0, s"quantileBin: bins must be positive, got $bins")
+    val base = df.select(id.as("id"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ord = Partitioners.stableIds(base, col("v"), Seq(col("id")), buckets)
+    val ranks = ord.groupBy(col("v")).agg(min(col("ordinal")).as("__rnk"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    ord.join(ranks, "v").crossJoin(broadcast(n))
+      .select(col("id"), col("v"),
+        expr(s"((__rnk - 1) * $bins) div __n").cast("long").as("bin"))
+  }
+
   /** PCA projection onto the top-`k` principal components — the rotated
     * complement of [[standardize]], built on the [[Gram]] sufficient
     * statistic: ONE distributed pass produces the d-dim sums and the

@@ -224,6 +224,37 @@ class OperatorsSpec extends GraftSpec {
     assert(got(2L) === List(-1.5, 3.0, 4.0, 0.0, 0.0))
   }
 
+  test("quantileBin: ties share a bin, exact rank math, layout-invariant") {
+    import spark.implicits._
+    // 8 values incl. a 3-way tie at 5.0 → deciles of n=8 with bins=4:
+    // ranks 1,2,3,3,3,6,7,8 → bin = (rank-1)*4 div 8
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 5.0), (4L, 5.0), (5L, 5.0),
+      (6L, 7.0), (7L, 8.0), (8L, 9.0)).toDF("id", "x")
+    def bins(d: org.apache.spark.sql.DataFrame) =
+      FeatureScale.quantileBin(d, col("id"), col("x"), bins = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = bins(df)
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 3L, 8L -> 3L))
+    assert(bins(df.repartition(5)) === got)
+  }
+
+  test("targetEncodeLoo: own label excluded, singleton category falls to prior") {
+    import spark.implicits._
+    // cat a: labels 10, 20; cat b: single label 40. prior = 70/3
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 40.0))
+      .toDF("id", "c", "y")
+    val got = Categorical.targetEncodeLoo(df, col("c"), col("y"), smoothing = 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val prior = 70.0 / 3
+    def e(sum: Double, own: Double, cnt: Long) =
+      math.round(((sum - own + 2 * prior) / (cnt - 1 + 2)) * 1e9) / 1e9
+    assert(got(1L) === e(30, 10, 2)) // sees only the sibling 20 + prior
+    assert(got(2L) === e(30, 20, 2))
+    assert(got(3L) === e(40, 40, 1)) // singleton: exactly the prior
+    assert(got(3L) === math.round(prior * 1e9) / 1e9)
+  }
+
   test("clipLists keeps only in-window history elements") {
     import spark.implicits._
     val df = Seq((100L, Seq(10L, 95L, 99L, 100L, 105L), Seq("a", "b", "c", "d", "e")))
