@@ -672,10 +672,11 @@ object SparkEntry {
     "encode_target_loo" -> { (s, d) =>
       // leave-one-out smoothed target encoding of event_type against the
       // value label (m=10): per-row feature excluding the row's own
-      // label, exact-DECIMAL sums, single-member categories -> prior
+      // label, exact integer-cents sums (2-dp labels; == the DECIMAL
+      // path, spec-asserted), single-member categories -> prior
       Categorical.targetEncodeLoo(
         Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
-        col("event_type"), col("value"), smoothing = 10L)
+        col("event_type"), col("value"), smoothing = 10L, labelCents = true)
         .select(col("event_id"), col("event_type"), col("target_enc"))
     },
     "feature_quantile_bin" -> { (s, d) =>

@@ -255,6 +255,15 @@ class OperatorsSpec extends GraftSpec {
     assert(got(3L) === math.round(prior * 1e9) / 1e9)
   }
 
+  test("targetEncodeLoo: cents and DECIMAL accumulation are bit-identical") {
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
+    def run(cents: Boolean) =
+      Categorical.targetEncodeLoo(ev, col("event_type"), col("value"),
+        smoothing = 10L, labelCents = cents)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(run(cents = true) === run(cents = false))
+  }
+
   test("clipLists keeps only in-window history elements") {
     import spark.implicits._
     val df = Seq((100L, Seq(10L, 95L, 99L, 100L, 105L), Seq("a", "b", "c", "d", "e")))
