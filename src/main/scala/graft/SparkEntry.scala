@@ -1584,6 +1584,21 @@ object SparkEntry {
             lit("new").as("event_type"), col("value")))
       Upsert.merge(base, updates, Seq("event_id"))
     },
+    "agg_incremental_merge" -> { (s, d) =>
+      // materialized-view maintenance: the corpus arrives as two batches
+      // (even/odd event ids), each aggregated independently, partials
+      // merged with mergeAggState — the oracle aggregates everything at
+      // once, so the gate IS the incremental==full proof. Sums in exact
+      // integer cents (2-dp values).
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def aggOf(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      Upsert.mergeAggState(
+        aggOf(e.filter(pmod(col("event_id"), lit(2)) === 0)),
+        aggOf(e.filter(pmod(col("event_id"), lit(2)) === 1)),
+        Seq("event_type"))
+    },
 
     // ---- LLM training-data prep: packing / chunking / redaction --------
     "pack_sequences" -> { (s, d) =>
@@ -2962,6 +2977,10 @@ object SparkEntry {
         |  CASE WHEN u.event_id IS NOT NULL THEN u.event_type ELSE b.event_type END AS event_type,
         |  CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE b.value END AS value
         |FROM b FULL OUTER JOIN u ON b.event_id = u.event_id""".stripMargin,
+    "agg_incremental_merge" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
     "sample_mixture" ->
       // N derives from the RECIPE left-joined to observed counts (an
       // absent stratum contributes cnt=0 -> N=0 -> empty output),

@@ -84,6 +84,45 @@ object Upsert {
     closed.unionByName(fresh)
   }
 
+  /** Incremental maintenance of a keyed ADDITIVE aggregate — the
+    * materialized-view refresh loop: `state` holds per-key partials
+    * (counts / sums / any commutative-monoid column), `delta` is the
+    * new batch already aggregated to the same schema, and the result is
+    * state ⊕ delta with absent keys treated as zero. Because addition
+    * is associative and commutative, applying batches in ANY split or
+    * order equals aggregating everything at once (gate- and
+    * spec-proved) — historical rows are never re-read, so refresh cost
+    * scales with the batch, not the history.
+    *
+    * Same physical shape as [[merge]]: one full-outer equi-shuffle with
+    * the delta side's hash table built. Non-key columns must be numeric
+    * (the additive contract); averages/variances must be carried as
+    * (sum, count[, sumsq]) partials and finalized at read time —
+    * exactly how engine partial aggregation does it.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeAggState: need at least one key column")
+    require(state.columns.toSeq == delta.columns.toSeq,
+      s"mergeAggState: schemas differ: ${state.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+    val valCols = state.columns.filterNot(keys.contains).toSeq
+    valCols.foreach { c =>
+      require(state.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"mergeAggState: non-key column $c must be numeric (additive), got ${state.schema(c).dataType}")
+    }
+    val s = state.as("a")
+    val d = delta.hint("SHUFFLE_HASH").as("b")
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    s.join(d, cond, "full_outer")
+      .select(state.columns.map { c =>
+        if (keys.contains(c)) coalesce(col(s"a.$c"), col(s"b.$c")).as(c)
+        else {
+          val zero = lit(0).cast(state.schema(c).dataType)
+          (coalesce(col(s"a.$c"), zero) + coalesce(col(s"b.$c"), zero))
+            .cast(state.schema(c).dataType).as(c)
+        }
+      }.toSeq: _*)
+  }
+
   /** Snapshot reconciliation: classify every key of two same-schema
     * snapshots as `added` (only in `b`), `removed` (only in `a`) or
     * `changed` (present in both, any non-key column differs — NULL-safe

@@ -255,6 +255,26 @@ class OperatorsSpec extends GraftSpec {
     assert(got(3L) === math.round(prior * 1e9) / 1e9)
   }
 
+  test("mergeAggState: split-order invariant, zero-init keys, empty delta no-op") {
+    import spark.implicits._
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"))
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L), ("b", 20L))
+      .toDF("k", "v")
+    val full = aggOf(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ab = Upsert.mergeAggState(
+      aggOf(rows.filter(col("v") < 5)), aggOf(rows.filter(col("v") >= 5)), Seq("k"))
+    val ba = Upsert.mergeAggState(
+      aggOf(rows.filter(col("v") >= 5)), aggOf(rows.filter(col("v") < 5)), Seq("k"))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(toSet(ab) === full) // "c" exists only in one batch -> zero-init
+    assert(toSet(ba) === full)
+    val noop = Upsert.mergeAggState(aggOf(rows), aggOf(rows.limit(0)), Seq("k"))
+    assert(toSet(noop) === full)
+  }
+
   test("targetEncodeLoo: cents and DECIMAL accumulation are bit-identical") {
     val ev = events.select(col("event_id"), col("event_type"), col("value"))
     def run(cents: Boolean) =
