@@ -1571,6 +1571,18 @@ object SparkEntry {
       // range; range derived lazily and broadcast, never collected
       Profile.histogram(Tables.events(s, d), col("value"), bins = 20)
     },
+    "profile_expectations" -> { (s, d) =>
+      // snapshot-commit gate: four expectations in ONE scan — a pass, a
+      // ppm-tolerated check, and (deliberately) failing checks so both
+      // verdicts are real; null predicate counts as violation
+      Profile.expect(Tables.events(s, d), Seq(
+        Profile.Expectation("ids_present", col("event_id").isNotNull && col("user_id").isNotNull),
+        Profile.Expectation("known_type",
+          col("event_type").isin("view", "click", "purchase", "error", "login", "logout")),
+        Profile.Expectation("value_in_range", col("value") >= 0 && col("value") < 150,
+          maxPpm = 50000L),
+        Profile.Expectation("value_small", col("value") < 1.0)))
+    },
     "upsert_merge" -> { (s, d) =>
       // SCD-1 snapshot merge: every 10th event re-arrives mutated, every
       // 17th re-arrives under a fresh key; updates win wholesale
@@ -2981,6 +2993,17 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS cnt,
         |  SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin,
+    "profile_expectations" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN COALESCE(event_id IS NOT NULL AND user_id IS NOT NULL, false) THEN 0 ELSE 1 END) AS v0,
+        |  SUM(CASE WHEN COALESCE(event_type IN ('view','click','purchase','error','login','logout'), false) THEN 0 ELSE 1 END) AS v1,
+        |  SUM(CASE WHEN COALESCE(value >= 0 AND value < 150, false) THEN 0 ELSE 1 END) AS v2,
+        |  SUM(CASE WHEN COALESCE(value < 1.0, false) THEN 0 ELSE 1 END) AS v3
+        |  FROM events)
+        |SELECT 'ids_present' AS name, v0 AS violations, n AS n_rows, v0 * 1000000 <= 0 * n AS pass FROM a
+        |UNION ALL SELECT 'known_type', v1, n, v1 * 1000000 <= 0 * n FROM a
+        |UNION ALL SELECT 'value_in_range', v2, n, v2 * 1000000 <= 50000 * n FROM a
+        |UNION ALL SELECT 'value_small', v3, n, v3 * 1000000 <= 0 * n FROM a""".stripMargin,
     "sample_mixture" ->
       // N derives from the RECIPE left-joined to observed counts (an
       // absent stratum contributes cnt=0 -> N=0 -> empty output),

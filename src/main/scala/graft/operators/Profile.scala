@@ -38,6 +38,36 @@ object Profile {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** A declarative data-quality expectation: rows where `pred` is FALSE
+    * OR NULL count as violations (a null input cannot satisfy "value in
+    * range" — the Great-Expectations convention), and the expectation
+    * passes while the violation rate stays within `maxPpm` parts per
+    * million (0 = no violations tolerated). The rate check is exact
+    * integer arithmetic (`violations·10⁶ ≤ maxPpm·n`) — no float
+    * threshold to drift across engines. */
+  final case class Expectation(name: String, pred: Column, maxPpm: Long = 0L)
+
+  /** Evaluate all expectations in ONE aggregation over one scan (N
+    * checks never cost N passes; every conditional sum is map-side
+    * combinable), then unpivot to a row per expectation:
+    * (name, violations, n_rows, pass). The gate a pipeline puts in
+    * front of committing a snapshot. */
+  def expect(df: DataFrame, exps: Seq[Expectation]): DataFrame = {
+    require(exps.nonEmpty, "expect: need at least one expectation")
+    require(exps.map(_.name).distinct.size == exps.size,
+      s"expect: duplicate expectation names in ${exps.map(_.name).mkString(",")}")
+    val aggs = count(lit(1)).as("__n") +: exps.zipWithIndex.map { case (e, i) =>
+      sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = exps.zipWithIndex.map { case (e, i) =>
+      struct(lit(e.name).as("name"), col(s"__v$i").as("violations"),
+        col("__n").as("n_rows"),
+        (col(s"__v$i") * 1000000L <= lit(e.maxPpm) * col("__n")).as("pass"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Equi-width histogram of a numeric column: `bins` buckets over the
     * observed [min, max] (derived lazily, broadcast back — no collect),
     * top bucket closed. Returns (bin, lo, hi, n) rows for non-empty

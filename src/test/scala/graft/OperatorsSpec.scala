@@ -255,6 +255,19 @@ class OperatorsSpec extends GraftSpec {
     assert(got(3L) === math.round(prior * 1e9) / 1e9)
   }
 
+  test("expect: null predicate counts as violation, ppm threshold is exact") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](1.0, 2.0, null, -1.0).toDF("v")
+    val got = Profile.expect(df, Seq(
+      Profile.Expectation("nonneg", col("v") >= 0),            // null + (-1) = 2 violations
+      Profile.Expectation("nonneg_tol", col("v") >= 0, maxPpm = 500000L), // 2/4 = exactly 50%
+      Profile.Expectation("present", col("v").isNotNull)))      // 1 violation
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got("nonneg") === ((2L, false)))
+    assert(got("nonneg_tol") === ((2L, true))) // 2*1e6 <= 500000*4, boundary inclusive
+    assert(got("present") === ((1L, false)))
+  }
+
   test("mergeAggState: split-order invariant, zero-init keys, empty delta no-op") {
     import spark.implicits._
     def aggOf(df: org.apache.spark.sql.DataFrame) =
