@@ -136,13 +136,32 @@ object TfRecordCodec {
     v
   }
 
-  private def skipField(b: Array[Byte], c: Cursor, wireType: Int): Unit = wireType match {
-    case 0 => readVarint(b, c)
-    case 1 => c.p += 8
-    case 2 => val len = readVarint(b, c).toInt; c.p += len
-    case 5 => c.p += 4
-    case w => throw new IOException(s"unsupported protobuf wire type $w")
+  /** Length varint with bounds validation: a malformed length in a
+    * CRC-valid payload (negative after truncation, or past the
+    * enclosing region) must fail as IOException — unchecked it would
+    * move the cursor BACKWARDS and spin the parse loop forever, or
+    * index out of bounds. */
+  private def readLen(b: Array[Byte], c: Cursor, end: Int): Int = {
+    val v = readVarint(b, c)
+    if (v < 0 || v > end - c.p)
+      throw new IOException(s"malformed protobuf length $v at offset ${c.p} (end $end)")
+    v.toInt
   }
+
+  private def advance(c: Cursor, n: Int, end: Int): Unit = {
+    if (n > end - c.p)
+      throw new IOException(s"truncated fixed-width field at offset ${c.p} (end $end)")
+    c.p += n
+  }
+
+  private def skipField(b: Array[Byte], c: Cursor, wireType: Int, end: Int): Unit =
+    wireType match {
+      case 0 => readVarint(b, c)
+      case 1 => advance(c, 8, end)
+      case 2 => val len = readLen(b, c, end); c.p += len
+      case 5 => advance(c, 4, end)
+      case w => throw new IOException(s"unsupported protobuf wire type $w")
+    }
 
   private def floatAt(b: Array[Byte], p: Int): Float =
     java.lang.Float.intBitsToFloat(
@@ -157,52 +176,52 @@ object TfRecordCodec {
       val wt = (tag & 7).toInt
       (field, wt) match {
         case (1, 2) => // BytesList
-          val len = readVarint(b, c).toInt
+          val len = readLen(b, c, end)
           val sub = c.p + len
           val vs = Seq.newBuilder[Array[Byte]]
           while (c.p < sub) {
             val t = readVarint(b, c)
             if ((t >>> 3).toInt == 1 && (t & 7) == 2) {
-              val l = readVarint(b, c).toInt
+              val l = readLen(b, c, sub)
               vs += java.util.Arrays.copyOfRange(b, c.p, c.p + l)
               c.p += l
-            } else skipField(b, c, (t & 7).toInt)
+            } else skipField(b, c, (t & 7).toInt, sub)
           }
           result = BytesList(vs.result())
         case (2, 2) => // FloatList (packed or not)
-          val len = readVarint(b, c).toInt
+          val len = readLen(b, c, end)
           val sub = c.p + len
           val vs = Seq.newBuilder[Float]
           while (c.p < sub) {
             val t = readVarint(b, c)
             ((t >>> 3).toInt, (t & 7).toInt) match {
               case (1, 2) =>
-                val l = readVarint(b, c).toInt
+                val l = readLen(b, c, sub)
                 var i = c.p
                 while (i < c.p + l) { vs += floatAt(b, i); i += 4 }
                 c.p += l
-              case (1, 5) => vs += floatAt(b, c.p); c.p += 4
-              case (_, w) => skipField(b, c, w)
+              case (1, 5) => advance(c, 4, sub); vs += floatAt(b, c.p - 4)
+              case (_, w) => skipField(b, c, w, sub)
             }
           }
           result = FloatList(vs.result())
         case (3, 2) => // Int64List (packed or not)
-          val len = readVarint(b, c).toInt
+          val len = readLen(b, c, end)
           val sub = c.p + len
           val vs = Seq.newBuilder[Long]
           while (c.p < sub) {
             val t = readVarint(b, c)
             ((t >>> 3).toInt, (t & 7).toInt) match {
               case (1, 2) =>
-                val l = readVarint(b, c).toInt
+                val l = readLen(b, c, sub)
                 val packedEnd = c.p + l
                 while (c.p < packedEnd) vs += readVarint(b, c)
               case (1, 0) => vs += readVarint(b, c)
-              case (_, w) => skipField(b, c, w)
+              case (_, w) => skipField(b, c, w, sub)
             }
           }
           result = Int64List(vs.result())
-        case (_, w) => skipField(b, c, w)
+        case (_, w) => skipField(b, c, w, end)
       }
     }
     if (result == null) Int64List(Nil) else result
@@ -215,12 +234,12 @@ object TfRecordCodec {
     while (c.p < b.length) {
       val tag = readVarint(b, c)
       if ((tag >>> 3).toInt == 1 && (tag & 7) == 2) { // Features
-        val fl = readVarint(b, c).toInt
+        val fl = readLen(b, c, b.length)
         val fEnd = c.p + fl
         while (c.p < fEnd) {
           val t = readVarint(b, c)
           if ((t >>> 3).toInt == 1 && (t & 7) == 2) { // map entry
-            val el = readVarint(b, c).toInt
+            val el = readLen(b, c, fEnd)
             val eEnd = c.p + el
             var key: String = null
             var value: Feature = null
@@ -228,20 +247,20 @@ object TfRecordCodec {
               val et = readVarint(b, c)
               ((et >>> 3).toInt, (et & 7).toInt) match {
                 case (1, 2) =>
-                  val l = readVarint(b, c).toInt
+                  val l = readLen(b, c, eEnd)
                   key = new String(b, c.p, l, "UTF-8")
                   c.p += l
                 case (2, 2) =>
-                  val l = readVarint(b, c).toInt
+                  val l = readLen(b, c, eEnd)
                   value = parseFeature(b, c.p, c.p + l)
                   c.p += l
-                case (_, w) => skipField(b, c, w)
+                case (_, w) => skipField(b, c, w, eEnd)
               }
             }
             if (key != null && value != null) out += key -> value
-          } else skipField(b, c, (t & 7).toInt)
+          } else skipField(b, c, (t & 7).toInt, fEnd)
         }
-      } else skipField(b, c, (tag & 7).toInt)
+      } else skipField(b, c, (tag & 7).toInt, b.length)
     }
     out.result()
   }
@@ -321,6 +340,9 @@ object TfRecordSource {
     * contract as the columnar readers, dataframe.py:638-641). */
   def read(spark: SparkSession, paths: Seq[String], fields: Seq[FieldSpec],
       skipCorrupted: Boolean = false): DataFrame = {
+    fields.foreach(f => require(f.raggedRank <= 1 && f.shape.length <= 1,
+      s"TFRecord read supports scalar and rank-1 list specs only; " +
+        s"field ${f.name} declares raggedRank=${f.raggedRank} shape=${f.shape.mkString("x")}"))
     val schema = StructType(fields.map(f =>
       f.structField.copy(nullable = true)))
     val specs = fields.map(f => (f.name, f.leafType, f.raggedRank > 0 || f.shape.nonEmpty,
@@ -335,17 +357,33 @@ object TfRecordSource {
           raw.reset()
           if (m1 == 0x1f && m2 == 0x8b) new java.util.zip.GZIPInputStream(raw) else raw
         }
-        val records = TfRecordCodec.readRecords(open())
+        val in = open()
+        val records = TfRecordCodec.readRecords(in)
+        // close the per-file stream as soon as the iterator is exhausted
+        // (EOF, corrupt bail-out, or a decode error) — thousands of
+        // files per executor would otherwise leak handles until GC
+        def closeQuietly(): Unit = try in.close() catch { case _: IOException => () }
         val guarded =
-          if (!skipCorrupted) records
+          if (!skipCorrupted) new Iterator[Array[Byte]] {
+            override def hasNext: Boolean = {
+              val h = try records.hasNext catch { case e: Throwable => closeQuietly(); throw e }
+              if (!h) closeQuietly()
+              h
+            }
+            override def next(): Array[Byte] = records.next()
+          }
           else new Iterator[Array[Byte]] {
             // corruption truncates the file at the last good record —
             // TFRecord has no sync markers to resync on (TF raises
             // DataLossError at the same point)
             private var failed = false
-            override def hasNext: Boolean = !failed && {
-              try records.hasNext
-              catch { case _: IOException => failed = true; false }
+            override def hasNext: Boolean = {
+              val h = !failed && {
+                try records.hasNext
+                catch { case _: IOException => failed = true; false }
+              }
+              if (!h) closeQuietly()
+              h
             }
             override def next(): Array[Byte] = records.next()
           }
@@ -365,9 +403,18 @@ object TfRecordSource {
   private def featureValue(f: TfRecordCodec.Feature, leaf: DataType,
       isList: Boolean, name: String): Any = {
     import TfRecordCodec._
+    def narrowed(v: Long, lo: Long, hi: Long): Long = {
+      if (v < lo || v > hi) throw new IOException(
+        s"feature $name: int64 value $v does not fit $leaf (no silent truncation)")
+      v
+    }
     def scalars: Seq[Any] = (f, leaf) match {
       case (Int64List(vs), LongType) => vs
-      case (Int64List(vs), IntegerType) => vs.map(_.toInt)
+      case (Int64List(vs), IntegerType) =>
+        vs.map(v => narrowed(v, Int.MinValue, Int.MaxValue).toInt)
+      case (Int64List(vs), ShortType) =>
+        vs.map(v => narrowed(v, Short.MinValue, Short.MaxValue).toShort)
+      case (Int64List(vs), BooleanType) => vs.map(_ != 0L)
       case (FloatList(vs), FloatType) => vs
       case (FloatList(vs), DoubleType) => vs.map(_.toDouble)
       case (BytesList(vs), StringType) => vs.map(new String(_, "UTF-8"))
@@ -387,14 +434,27 @@ object TfRecordSource {
   def write(df: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val schema = df.schema
     val dirPath = dir
+    val hc = df.sparkSession.sparkContext.hadoopConfiguration
+    // OVERWRITE semantics (like DataFrameWriter.mode("overwrite")): a
+    // prior run's part files must not survive — a later write with
+    // fewer partitions would otherwise leave stale parts that a read
+    // silently mixes into the result
+    val target = new org.apache.hadoop.fs.Path(dirPath)
+    target.getFileSystem(hc).delete(target, true)
     // the session's Hadoop settings (credentials, custom filesystems)
     // must reach the executors; Configuration itself is not
-    // serializable, so ship the explicitly-set entries and replay them
+    // serializable, so ship the entries that DIFFER from the stock
+    // defaults (executors reload the same default resources — shipping
+    // all ~1000 default entries would bloat the task closure for
+    // nothing) and replay them
     val confEntries = {
-      val hc = df.sparkSession.sparkContext.hadoopConfiguration
+      val defaults = new org.apache.hadoop.conf.Configuration()
       val it = hc.iterator()
       val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      while (it.hasNext) {
+        val e = it.next()
+        if (defaults.get(e.getKey) != e.getValue) b += e.getKey -> e.getValue
+      }
       b.result()
     }
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
@@ -409,7 +469,7 @@ object TfRecordSource {
         rows.foreach { row =>
           val feats = schema.fields.iterator.zipWithIndex.flatMap { case (sf, i) =>
             if (row.isNullAt(i)) None
-            else Some(sf.name -> toFeature(row, i, sf.dataType))
+            else Some(sf.name -> toFeature(row, i, sf.dataType, sf.name))
           }.toSeq
           TfRecordCodec.writeRecord(out, TfRecordCodec.encodeExample(feats))
         }
@@ -418,8 +478,18 @@ object TfRecordSource {
     }.count(): Unit
   }
 
-  private def toFeature(row: Row, i: Int, dt: DataType): TfRecordCodec.Feature = {
+  private def toFeature(row: Row, i: Int, dt: DataType,
+      name: String): TfRecordCodec.Feature = {
     import TfRecordCodec._
+    // tf.train.Example lists cannot represent a null ELEMENT (only a
+    // missing feature) — fail with the column name instead of a bare
+    // NPE from boxing/getBytes deep in the encoder
+    def noNulls[T](vs: Seq[T]): Seq[T] = {
+      if (vs.exists(_ == null)) throw new IllegalArgumentException(
+        s"TFRecord write: column $name contains a null array element " +
+          "(tf.train.Example lists cannot hold nulls; filter or fill first)")
+      vs
+    }
     dt match {
       case LongType => Int64List(Seq(row.getLong(i)))
       case IntegerType => Int64List(Seq(row.getInt(i).toLong))
@@ -429,12 +499,22 @@ object TfRecordSource {
       case DoubleType => FloatList(Seq(row.getDouble(i).toFloat))
       case StringType => BytesList(Seq(row.getString(i).getBytes("UTF-8")))
       case BinaryType => BytesList(Seq(row.getAs[Array[Byte]](i)))
-      case ArrayType(LongType, _) => Int64List(row.getSeq[Long](i))
-      case ArrayType(IntegerType, _) => Int64List(row.getSeq[Int](i).map(_.toLong))
-      case ArrayType(FloatType, _) => FloatList(row.getSeq[Float](i))
-      case ArrayType(DoubleType, _) => FloatList(row.getSeq[Double](i).map(_.toFloat))
+      case ArrayType(LongType, _) =>
+        Int64List(noNulls(row.getSeq[java.lang.Long](i)).map(_.longValue))
+      case ArrayType(IntegerType, _) =>
+        Int64List(noNulls(row.getSeq[java.lang.Integer](i)).map(_.longValue))
+      case ArrayType(ShortType, _) =>
+        Int64List(noNulls(row.getSeq[java.lang.Short](i)).map(_.longValue))
+      case ArrayType(BooleanType, _) =>
+        Int64List(noNulls(row.getSeq[java.lang.Boolean](i)).map(b => if (b) 1L else 0L))
+      case ArrayType(FloatType, _) =>
+        FloatList(noNulls(row.getSeq[java.lang.Float](i)).map(_.floatValue))
+      case ArrayType(DoubleType, _) =>
+        FloatList(noNulls(row.getSeq[java.lang.Double](i)).map(_.floatValue))
       case ArrayType(StringType, _) =>
-        BytesList(row.getSeq[String](i).map(_.getBytes("UTF-8")))
+        BytesList(noNulls(row.getSeq[String](i)).map(_.getBytes("UTF-8")))
+      case ArrayType(BinaryType, _) =>
+        BytesList(noNulls(row.getSeq[Array[Byte]](i)))
       case t => throw new IllegalArgumentException(
         s"TFRecord write does not support column type ${t.simpleString}")
     }

@@ -89,6 +89,64 @@ class TfRecordSpec extends GraftSpec {
     GateFixtures.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("re-writing a directory overwrites it — stale part files never mix in") {
+    val dir = java.nio.file.Files.createTempDirectory("tfrec_ovr").toString
+    import spark.implicits._
+    TfRecordSource.write(Seq(1L, 2L, 3L, 4L).toDF("id").repartition(4), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tfrecord")) === 4)
+    TfRecordSource.write(Seq(10L).toDF("id").repartition(1), dir)
+    val back = TfRecordSource.read(spark, Seq(dir), Seq(FieldSpec("id", LongType)))
+      .collect().map(_.getLong(0)).toSet
+    assert(back === Set(10L)) // run 1's part-00001..3 are gone
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("short/boolean and binary arrays round-trip; null array element is a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("tfrec_types").toString
+    import spark.implicits._
+    val df = Seq((1L, 7.toShort, true, Seq(Array[Byte](1, 2), Array[Byte](3))),
+      (2L, -3.toShort, false, Seq(Array[Byte]())))
+      .toDF("id", "sh", "flag", "blobs")
+    TfRecordSource.write(df, dir)
+    val back = TfRecordSource.read(spark, Seq(dir), Seq(
+      FieldSpec("id", LongType), FieldSpec("sh", ShortType),
+      FieldSpec("flag", BooleanType), FieldSpec("blobs", BinaryType, raggedRank = 1)))
+      .collect().map(r => (r.getLong(0), r.getShort(1), r.getBoolean(2),
+        r.getSeq[Array[Byte]](3).map(_.toSeq)))
+      .sortBy(_._1)
+    assert(back(0) === ((1L, 7.toShort, true, Seq(Seq[Byte](1, 2), Seq[Byte](3)))))
+    assert(back(1) === ((2L, -3.toShort, false, Seq(Seq[Byte]()))))
+    val nullElem = Seq((1L, Seq("x", null))).toDF("id", "tags")
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecordSource.write(nullElem, dir + "_bad")
+    }
+    assert(e.getMessage.contains("null array element")
+      || Option(e.getCause).exists(_.getMessage.contains("null array element")))
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("int64 that does not fit the declared IntegerType raises, never truncates") {
+    val dir = java.nio.file.Files.createTempDirectory("tfrec_narrow").toString
+    import spark.implicits._
+    TfRecordSource.write(Seq(3000000000L).toDF("id"), dir)
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecordSource.read(spark, Seq(dir), Seq(FieldSpec("id", IntegerType))).collect()
+    }
+    assert(e.getMessage.contains("does not fit")
+      || Option(e.getCause).exists(_.getMessage.contains("does not fit")))
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("malformed protobuf length in a CRC-valid payload fails fast (no spin, no AIOOBE)") {
+    // field 1 wiretype 2 with a 5-byte varint length far past the buffer
+    val bad = Array[Byte](0x0a, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x0f)
+    intercept[java.io.IOException] { decodeExample(bad) }
+    // and a length that would move the cursor backwards via toInt overflow
+    val neg = Array[Byte](0x0a, 0xfe.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    intercept[java.io.IOException] { decodeExample(neg) }
+  }
+
   test("missing features fall back to the spec default") {
     val dir = java.nio.file.Files.createTempDirectory("tfrec_dflt").toString
     import spark.implicits._
