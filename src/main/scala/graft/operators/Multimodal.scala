@@ -79,6 +79,41 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The (media_id, bytes) projection every batched decoder starts
+    * from — one place, so the decoders cannot drift on it. */
+  private def binaryDs(spark: SparkSession, df: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+  }
+
+  /** Decode guard shared by every media decoder: a NULL payload or ANY
+    * decoder failure yields None (→ the marker row), never a task
+    * failure. Catching NonFatal, not just IOException, is load-bearing:
+    * the JDK codecs throw RuntimeExceptions (AIOOBE,
+    * NegativeArraySizeException, IllegalArgumentException) on truncated
+    * or crafted payloads. */
+  private def tryDecode[A](bytes: Array[Byte])(f: Array[Byte] => A): Option[A] =
+    if (bytes == null) None
+    else try Option(f(bytes)) catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact per-channel pixel sums of a decoded image. */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** REAL batched image decode over a (media_id: long, bytes: binary)
     * frame: javax.imageio decodes each payload inside one
     * per-partition JVM call (the mapInPandas-style batch shape) and
@@ -88,28 +123,13 @@ object Multimodal {
     * batch (corrupt-media-skip semantics). */
   def decodeImageStats(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
-    ds.mapPartitions(_.map { case (id, bytes) =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
-      if (img == null) (id, -1, -1, 0L, 0L, 0L)
-      else {
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xff
-            sg += (p >> 8) & 0xff
-            sb += p & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        (id, img.getWidth, img.getHeight, sr, sg, sb)
+    binaryDs(spark, df).mapPartitions(_.map { case (id, bytes) =>
+      tryDecode(bytes)(b =>
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))) match {
+        case None => (id, -1, -1, 0L, 0L, 0L)
+        case Some(img) =>
+          val (sr, sg, sb) = channelSums(img)
+          (id, img.getWidth, img.getHeight, sr, sg, sb)
       }
     }).toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
@@ -123,29 +143,27 @@ object Multimodal {
     * of the RESIZED image; unreadable payloads yield the marker row. */
   def resizeImageStats(spark: SparkSession, df: DataFrame, tw: Int, th: Int): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
-    ds.mapPartitions(_.map { case (id, bytes) =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
-      if (img == null) (id, -1, -1, 0L, 0L, 0L)
-      else {
-        val (sw, sh) = (img.getWidth, img.getHeight)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < th) {
-          var x = 0
-          while (x < tw) {
-            val p = img.getRGB(x * sw / tw, y * sh / th)
-            sr += (p >> 16) & 0xff
-            sg += (p >> 8) & 0xff
-            sb += p & 0xff
-            x += 1
+    binaryDs(spark, df).mapPartitions(_.map { case (id, bytes) =>
+      tryDecode(bytes)(b =>
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))) match {
+        case None => (id, -1, -1, 0L, 0L, 0L)
+        case Some(img) =>
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              // long arithmetic: x*sw wraps Int for gigapixel-wide strips
+              val p = img.getRGB((x.toLong * sw / tw).toInt, (y.toLong * sh / th).toInt)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        (id, tw, th, sr, sg, sb)
+          (id, tw, th, sr, sg, sb)
       }
     }).toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
@@ -179,26 +197,36 @@ object Multimodal {
     * (-1, 0, 0). */
   def decodeAudioStats(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
-    ds.mapPartitions(_.map { case (id, bytes) =>
-      try {
+    binaryDs(spark, df).mapPartitions(_.map { case (id, bytes) =>
+      tryDecode(bytes) { b =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val data = ais.readAllBytes()
-        var (n, sum, sumAbs) = (0L, 0L, 0L)
-        var i = 0
-        while (i + 1 < data.length) {
-          val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
-          n += 1
-          sum += v
-          sumAbs += math.abs(v)
-          i += 2
-        }
-        (id, n, sum, sumAbs)
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException => (id, -1L, 0L, 0L)
+          new java.io.ByteArrayInputStream(b))
+        try {
+          // the sample loop below decodes SIGNED 16-bit LITTLE-ENDIAN
+          // PCM; the JDK also opens AIFF/AU (big-endian) and 8-bit/u-law
+          // payloads, which would byte-swap into silent garbage — those
+          // get the marker row instead of wrong energy features
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            null
+          else {
+            val data = ais.readAllBytes()
+            var (n, sum, sumAbs) = (0L, 0L, 0L)
+            var i = 0
+            while (i + 1 < data.length) {
+              val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+              n += 1
+              sum += v
+              sumAbs += math.abs(v)
+              i += 2
+            }
+            (n, sum, sumAbs)
+          }
+        } finally ais.close()
+      } match {
+        case None => (id, -1L, 0L, 0L)
+        case Some((n, sum, sumAbs)) => (id, n, sum, sumAbs)
       }
     }).toDF("media_id", "n_samples", "sum_val", "sum_abs")
   }
@@ -213,6 +241,7 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -235,7 +264,7 @@ object Multimodal {
       f += 1
     }
     writer.endWriteSequence()
-    ios.close()
+    } finally { writer.dispose(); ios.close() } // file-cache-backed: leaks a temp file otherwise
     out.toByteArray
   }
 
@@ -246,43 +275,38 @@ object Multimodal {
     * Unreadable payloads yield a single (-1, 0, 0, 0) marker row. */
   def sampleFrameStats(spark: SparkSession, df: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
-    ds.mapPartitions(_.flatMap { case (id, bytes) =>
-      try {
+    binaryDs(spark, df).mapPartitions(_.flatMap { case (id, bytes) =>
+      tryDecode(bytes) { b =>
+        // the default ImageInputStream is FILE-cache-backed: close it
+        // (and dispose the reader) on every path or each row leaks a
+        // temp file + descriptor until GC
         val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        val rows = (0 until n by stride).map { f =>
-          val img = reader.read(f)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff
-              sg += (p >> 8) & 0xff
-              sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).map { f =>
+                val (sr, sg, sb) = channelSums(reader.read(f))
+                (id, f.toLong, sr, sg, sb)
+              }
+            } finally reader.dispose()
           }
-          (id, f.toLong, sr, sg, sb)
-        }
-        reader.dispose()
-        rows
-      } catch {
-        case _: Exception => Seq((id, -1L, 0L, 0L, 0L))
-      }
+        } finally iis.close()
+      }.getOrElse(Seq((id, -1L, 0L, 0L, 0L)))
     }).toDF("media_id", "frame_idx", "sum_r", "sum_g", "sum_b")
   }
 
   /** Expression-only feature extraction (for engine-level tests/oracles):
-    * same semantics as decodeStub for UTF-8 ASCII payloads — leading
-    * characters' byte values scaled to [0,1]. Codegen'd, no UDF. */
+    * decodeStub's leading-byte semantics for UTF-8 ASCII payloads —
+    * characters' byte values scaled to [0,1] — EXCEPT that payloads
+    * shorter than `dim` yield a short array (no zero-padding; pad with
+    * concat+array_repeat if a fixed width is required). Codegen'd, no
+    * UDF. */
   def asciiFeatures(payload: Column, dim: Int = 8): Column =
     transform(graft.functions.TextFunctions.chars(substring(payload, 1, dim)),
       c => ascii(c) / 255.0)
@@ -291,7 +315,11 @@ object Multimodal {
     * character index for UTF-8 payloads) — the shape of video
     * frame-sampling over an opaque byte stream. */
   def sampleStride(payload: Column, stride: Int): Column =
-    transform(
-      sequence(lit(1), length(payload), lit(stride)),
-      i => ascii(payload.substr(i, lit(1))))
+    // empty payloads must yield an empty array: sequence(1, 0, stride)
+    // has illegal boundaries and would fail the whole query
+    when(length(payload) > 0,
+      transform(
+        sequence(lit(1), length(payload), lit(stride)),
+        i => ascii(payload.substr(i, lit(1)))))
+      .otherwise(array().cast("array<int>"))
 }

@@ -136,14 +136,17 @@ object TypedParquet {
         .append("i8", ((i % 256) - 128).toInt)
         .append("u8", (i % 256).toInt)
         .append("u16", (i % 65536).toInt)
-        // raw INT32 bits; as unsigned this is 2^32 - 1 - (i % 2^31)
+        // raw INT32 bits; as unsigned this is 2^32 - 1 - (i % (2^31 - 1))
         .append("u32", (-1 - (i % Int.MaxValue)).toInt)
     }(n)
   }
 
   /** `id: int64, halves: list<fp16>` — ragged list of unannotated
     * FLBA(2) halves (surfaces as array<binary>; TabularReader's float16
-    * mapping decodes element-wise). Row i holds i % 4 elements. */
+    * mapping decodes element-wise). Row i holds i % 4 elements; the
+    * i % 4 == 0 rows are EMPTY lists (a written, zero-element group —
+    * distinct from NULL), so readers are exercised on the
+    * empty-but-present case too. */
   def writeFloat16List(path: String, n: Long, halfOf: (Long, Int) => Float): Unit = {
     val schema = Types.buildMessage()
       .required(INT64).named("id")
@@ -154,13 +157,11 @@ object TypedParquet {
     write(path, schema) { (g, i) =>
       val row = g.newGroup().append("id", i)
       val len = (i % 4).toInt
-      if (len > 0) {
-        val list = row.addGroup("halves")
-        (0 until len).foreach { j =>
-          val bits = floatToHalfBits(halfOf(i, j))
-          list.addGroup("list").append("element",
-            Binary.fromConstantByteArray(Array((bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte)))
-        }
+      val list = row.addGroup("halves") // present even when empty
+      (0 until len).foreach { j =>
+        val bits = floatToHalfBits(halfOf(i, j))
+        list.addGroup("list").append("element",
+          Binary.fromConstantByteArray(Array((bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte)))
       }
       row
     }(n)

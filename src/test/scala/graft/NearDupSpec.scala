@@ -168,11 +168,32 @@ class NearDupSpec extends GraftSpec {
 
   test("multimodal: unreadable media yields a marker row, not a task failure") {
     import spark.implicits._
-    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, "not a png".getBytes.toArray))
+    // a TRUNCATED but recognizable PNG makes the JDK decoder throw a
+    // RuntimeException (not IOException) — the guard must absorb it;
+    // null payloads must also land on the marker row
+    val truncated = Multimodal.synthImagePng(5L).take(40)
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, "not a png".getBytes.toArray),
+      (3L, truncated), (4L, null.asInstanceOf[Array[Byte]]))
       .toDF("media_id", "bytes")
     val got = Multimodal.decodeImageStats(spark, junk)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(got === Set((1L, -1, -1), (2L, -1, -1)))
+    assert(got === Set((1L, -1, -1), (2L, -1, -1), (3L, -1, -1), (4L, -1, -1)))
+    // resize and frame-sample take the same guard path
+    assert(Multimodal.resizeImageStats(spark, junk, 4, 4)
+      .collect().forall(_.getInt(1) === -1))
+    assert(Multimodal.sampleFrameStats(spark, junk, 2)
+      .collect().forall(_.getLong(1) === -1L))
+    // a big-endian AIFF payload decodes in the JDK but NOT as the 16-bit
+    // LE PCM the sample loop assumes — marker row, never silent garbage
+    val fmtBe = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = new Array[Byte](64)
+    val aiffOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmtBe, 32),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, aiffOut)
+    val aiff = Seq((7L, aiffOut.toByteArray)).toDF("media_id", "bytes")
+    assert(Multimodal.decodeAudioStats(spark, aiff).collect().head.getLong(1) === -1L)
   }
 
   test("line dedup: shared lines survive only in the min-id holder") {

@@ -114,8 +114,12 @@ class TypedParquetSpec extends GraftSpec {
       TabularReader.Options(fields = Seq(
         FieldSpec("id", LongType), FieldSpec("halves", FloatType, raggedRank = 1))))
     assert(df.schema("halves").dataType.asInstanceOf[ArrayType].elementType === FloatType)
-    val got = df.collect().map(r =>
-      r.getLong(0) -> (if (r.isNullAt(1)) Nil else r.getSeq[Float](1).toList)).toMap
+    // the fixture writes i % 4 == 0 rows as EMPTY lists, not NULL — the
+    // empty-but-present case must decode as a real zero-length array
+    val got = df.collect().map { r =>
+      assert(!r.isNullAt(1), s"row ${r.getLong(0)}: empty list must not read as NULL")
+      r.getLong(0) -> r.getSeq[Float](1).toList
+    }.toMap
     (0L until 100L).foreach { i =>
       val want = (0 until (i % 4).toInt).map(j => (i % 50) + j / 2.0f).toList
       assert(got(i) === want, s"row $i")
