@@ -2589,14 +2589,18 @@ object SparkEntry {
       """WITH m AS (SELECT vec_id, embedding,
         |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
         |  FROM embeddings),
-        |qc AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
-        |    ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT) END) AS c FROM m),
+        |qc AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT) END) AS c,
+        |  CAST(round(mx / 127.0 * 1000000000) AS BIGINT) AS nscale_nano FROM m),
         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(list_zip(q.c, c.c), z -> z[1]*z[2])), (p,x) -> p+x) AS qdot
+        |    list_transform(list_zip(q.c, c.c), z -> z[1]*z[2])), (p,x) -> p+x) AS qdot,
+        |  c.nscale_nano AS ns
         |  FROM qc q JOIN qc c ON c.vec_id != q.vec_id WHERE q.vec_id < 16)
         |SELECT q_id, n_id, qdot,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS BIGINT) AS rn
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY qdot * ns DESC, n_id) AS BIGINT) AS rn
         |FROM p QUALIFY rn <= 5""".stripMargin,
     // the relational (unnest×unnest) formulation of the same integer-grid
     // pair sums — the brute-force semantic definition of the Gram matrix

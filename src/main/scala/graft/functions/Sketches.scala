@@ -34,10 +34,15 @@ object Sketches {
     * partition keeps its local k, only k-row fragments travel. The
     * sketch state is O(k) end-to-end; nothing scales with the corpus.
     *
+    * NULL keys are IGNORED (SQL count-distinct convention) — a NULL
+    * hash would otherwise sort first, occupy a sketch slot, and bias
+    * the estimate high.
+    *
     * Returns 1 row: (kmv_estimate: double, n_hashes_kept: long). */
   def kmvDistinct(df: DataFrame, key: Column, k: Int, seed: Long): DataFrame = {
     require(k > 1, s"kmvDistinct: k must be > 1, got $k")
     val kept = df.select(Sampling.modPHash(key, seed).as("h"))
+      .filter(col("h").isNotNull)
       .distinct().orderBy(col("h")).limit(k)
     kept.agg(count(lit(1)).as("n_hashes_kept"), max(col("h")).as("hk"))
       .select(
@@ -53,11 +58,14 @@ object Sketches {
     * at most k hashes PER GROUP before the exchange, so the shuffle is
     * bounded by k × groups regardless of corpus size.
     *
+    * NULL keys are ignored, as in [[kmvDistinct]].
+    *
     * Returns one row per group: (group, kmv_estimate, n_hashes_kept). */
   def kmvDistinctPerGroup(df: DataFrame, group: Column, key: Column,
       k: Int, seed: Long): DataFrame = {
     require(k > 1, s"kmvDistinctPerGroup: k must be > 1, got $k")
-    val hashed = df.select(group.as("grp"), Sampling.modPHash(key, seed).as("h")).distinct()
+    val hashed = df.select(group.as("grp"), Sampling.modPHash(key, seed).as("h"))
+      .filter(col("h").isNotNull).distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("h")
     hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .groupBy("grp").agg(count(lit(1)).as("n_hashes_kept"), max(col("h")).as("hk"))
@@ -87,6 +95,8 @@ object Sketches {
       qs: Seq[Double]): DataFrame = {
     require(buckets > 1 && qs.nonEmpty,
       s"gridQuantiles: need buckets > 1 and qs nonempty, got $buckets / $qs")
+    require(qs.forall(q => q > 0 && q <= 1),
+      s"gridQuantiles: every q must be in (0, 1], got $qs")
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(value.cast("double").as("v")).where(col("v").isNotNull)
@@ -102,7 +112,9 @@ object Sketches {
     val targets = qs.toDF("q").crossJoin(broadcast(mm))
       .select(col("q"), col("lo"), col("hi"), col("n"),
         greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("tgt"))
-    targets.join(cum, col("cum") >= col("tgt"))
+    // LEFT join: an empty input still emits one row per q (with NULL
+    // grid_quantile and n = 0) instead of silently vanishing
+    targets.join(cum, col("cum") >= col("tgt"), "left")
       .groupBy(col("q"), col("lo"), col("hi"), col("n"))
       .agg(min(col("b")).as("mb"))
       .select(col("q"),
@@ -138,7 +150,11 @@ object Sketches {
   def cmsHeavyHitters(df: DataFrame, term: Column, width: Int, hhDenom: Int): DataFrame = {
     require(width > 1, s"cmsHeavyHitters: width must be > 1, got $width")
     require(hhDenom > 1, s"cmsHeavyHitters: hhDenom must be > 1, got $hhDenom")
-    val t = df.select(term.as("term"))
+    // NULL terms are dropped from BOTH the sketch and the total: a NULL
+    // bucket hash can never join back to the sketch, so counting nulls
+    // in `tot` would only raise the heavy-hitter bar while the null
+    // "term" itself can never surface
+    val t = df.select(term.as("term")).filter(col("term").isNotNull)
     def buckets: Column = array(CmsMults.zipWithIndex.map { case (m, i) =>
       struct(lit(i).as("r"),
         pmod(TextFunctions.polyHashMult(col("term"), m), lit(width.toLong)).as("b"))

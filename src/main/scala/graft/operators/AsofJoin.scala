@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * struct of state) — same skew profile as any per-key sort. For
   * repeated joins against the same right side, pre-bucket both sides on
   * the key (BucketingSpec) and the exchange disappears.
+  *
+  * NULL timestamps have no position in the time order: right rows with
+  * a NULL ts are excluded (they can match nothing), and left rows with
+  * a NULL ts get a NULL match (dropped under `inner`) instead of
+  * whatever the NULLS-FIRST sort happened to place next to them. Among
+  * right rows sharing an identical (key, ts), the lexicographically
+  * GREATEST payload wins — pandas' "last in input order" is
+  * partition-layout-dependent, a deterministic tie-break is not.
   */
 object AsofJoin {
 
@@ -58,27 +66,38 @@ object AsofJoin {
       s"matchedAs '$matchedAs' collides with a left column")
     val rightPayload = struct(right.columns.map(col): _*)
     val rightType = right.select(rightPayload).schema.head.dataType
-    val lSide = left.select(
+    val lAll = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
         lit(null).cast(rightType).as("__r"),
         struct(left.columns.map(col): _*).as("__l")): _*)
+    // a NULL-ts left row has no position in the scan (NULLS FIRST would
+    // hand it a bogus carried match in forward mode): route it straight
+    // to the no-match output
+    val lSide = lAll.filter(col("__ts").isNotNull)
+    val lNullTs = lAll.filter(col("__ts").isNull)
     val rSide = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__side"),
         rightPayload.as("__r"),
-        lit(null).cast(lSide.schema("__l").dataType).as("__l")): _*)
+        lit(null).cast(lAll.schema("__l").dataType).as("__l")): _*)
+      .filter(col("__ts").isNotNull) // a NULL-ts right row matches nothing
     // backward: ascending scan, carry the latest right row forward;
     // forward: descending scan, carry the earliest following right row
-    // back. __side orders right before left at equal ts either way.
+    // back. __side orders right before left at equal ts either way; the
+    // trailing __r.asc makes the carried row among DUPLICATE right
+    // timestamps the lexicographically greatest payload — deterministic
+    // under any partition layout (left rows all have NULL __r, so the
+    // extra key never reorders them).
     val ord =
-      if (forward) Seq(col("__ts").desc, col("__side").asc)
-      else Seq(col("__ts").asc, col("__side").asc)
+      if (forward) Seq(col("__ts").desc, col("__side").asc, col("__r").asc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__r").asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withMatch = lSide.unionByName(rSide)
       .withColumn(matchedAs, last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .unionByName(lNullTs.withColumn(matchedAs, col("__r")))
     val gap = toleranceMicros.map { tol =>
       val d =
         if (forward) unix_micros(col(s"$matchedAs.$rightTs")) - unix_micros(col("__ts"))

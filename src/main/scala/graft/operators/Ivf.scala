@@ -35,9 +35,11 @@ object Ivf {
     * plan literals, by construction. */
   type Centroids = Seq[(Int, Array[Long])]
 
-  /** Corpus projected onto the integer grid: (id, vec, qv). */
+  /** Corpus projected onto the integer grid: (id, vec, qv). The id is
+    * cast to long here so [[kmeans]]' driver-side init (r.getLong) works
+    * for any integral id column, not just LongType. */
   def quantized(corpus: DataFrame, id: Column, vec: Column, scale: Double): DataFrame =
-    corpus.select(id.as("id"), vec.as("vec"), quantize_vec(vec, scale).as("qv"))
+    corpus.select(id.cast("long").as("id"), vec.as("vec"), quantize_vec(vec, scale).as("qv"))
 
   /** argmin over centroid literals: `least` over (dist, cid) structs is
     * a lexicographic min, so ties break toward the smaller cluster id —
@@ -86,7 +88,12 @@ object Ivf {
     * Clusters that attracted no vectors report 0. */
   def clusterSummary(corpus: DataFrame, id: Column, vec: Column,
       k: Int, iters: Int, scale: Double): DataFrame = {
-    val q = quantized(corpus, id, vec, scale)
+    // lazily localCheckpoint: kmeans re-reads this frame iters+1 times
+    // (init + every Lloyd sweep) and the occupancy count once more — an
+    // expensive upstream pipeline would otherwise re-execute per sweep
+    // (the [[graft.operators.Graph]] / DedupClusters iteration
+    // discipline)
+    val q = quantized(corpus, id, vec, scale).localCheckpoint(false)
     val cents = kmeans(q, k, iters)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -106,7 +113,7 @@ object Ivf {
     * scanned, never collected. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
       nClusters: Int, iters: Int, nprobe: Int, scale: Double): DataFrame = {
-    val cq = quantized(corpus, col("id"), col("vec"), scale)
+    val cq = quantized(corpus, col("id"), col("vec"), scale).localCheckpoint(false)
     val cents = kmeans(cq, nClusters, iters)
     val c = cq.select(col("id").as("n_id"), col("vec").as("cv"),
       nearestCentroid(col("qv"), cents).as("cid"))
@@ -135,7 +142,7 @@ object Ivf {
   def semanticPrune(corpus: DataFrame, threshold: Double,
       k: Int, iters: Int, scale: Double): DataFrame = {
     import graft.functions.VectorFunctions.cosine
-    val cq = quantized(corpus, col("id"), col("vec"), scale)
+    val cq = quantized(corpus, col("id"), col("vec"), scale).localCheckpoint(false)
     val cents = kmeans(cq, k, iters)
     val asg = cq.select(col("id"), col("vec"),
       nearestCentroid(col("qv"), cents).as("cluster_id"))
@@ -158,17 +165,28 @@ object Ivf {
       (aggregate(vec, lit(0.0f), (m, x) => greatest(m, abs(x))).cast("double") / 127.0)
         .as("scale"))
 
-  /** Top-k over int8 codes by EXACT integer dot product (the asymmetric
-    * rescale by both scales is monotone per query-neighbor pair and the
-    * codes are rank-preserving to ~1%; ranking in BIGINT keeps the whole
-    * pipeline FP-free and bit-portable). */
+  /** Top-k over int8 codes: the candidate dot is EXACT integer
+    * (`dot_l` over codes), and the RANKING applies the neighbor's
+    * dequantization scale — int8 codes are scale-invariant, so ranking
+    * raw code dots would discard every neighbor's magnitude and can
+    * invert the true dot/cosine order between differently-scaled
+    * neighbors. The query's own scale is constant within its ranking
+    * window and drops out. The scale enters as integer NANO units
+    * (`round(maxabs/127 · 1e9)`), so the score stays a BIGINT product —
+    * FP-free, bit-portable, deterministic ties (score desc, n_id asc).
+    * Overflow envelope: |score| ≤ 127²·dim · maxabs·7.9e6, under 2^63
+    * for maxabs·dim < ~7e6 — far past any embedding this targets. */
   def topKInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("id").as("q_id"), quantize_int8(col("vec")).as("qc")))
-    val c = corpus.select(col("id").as("n_id"), quantize_int8(col("vec")).as("cc"))
+    val c = corpus.select(col("id").as("n_id"), quantize_int8(col("vec")).as("cc"),
+      round(aggregate(col("vec"), lit(0.0f), (m, x) => greatest(m, abs(x))).cast("double")
+        / 127.0 * 1e9).cast("long").as("nscale_nano"))
     val scored = c.crossJoin(q).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), dot_l(col("qc"), col("cc")).as("qdot"))
+      .select(col("q_id"), col("n_id"), dot_l(col("qc"), col("cc")).as("qdot"),
+        col("nscale_nano"))
+      .withColumn("score_nano", col("qdot") * col("nscale_nano"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("qdot").desc, col("n_id").asc)
+      .partitionBy(col("q_id")).orderBy(col("score_nano").desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("qdot"), col("rn"))

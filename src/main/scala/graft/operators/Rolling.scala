@@ -8,7 +8,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 /** Trailing event-time window aggregates — the point-in-time feature
   * primitive of training pipelines ("user activity in the last hour",
   * "spend in the last day"): for every event, aggregates over the SAME
-  * KEY's events in `(t − span, t]`, never touching the future (no
+  * KEY's events in the CLOSED interval `[t − span, t]` (an event
+  * exactly `span` old is still in frame — Spark/SQL RANGE-frame
+  * semantics, mirrored by the oracle), never touching the future (no
   * label leakage by construction).
   *
   * Built on Spark's RANGE window frame over integer epoch-micros: the
@@ -27,13 +29,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Rolling {
 
-  /** Per-key trailing count + exact DECIMAL sum over `(t − span, t]`.
+  /** Per-key trailing count + exact DECIMAL sum over `[t − span, t]`
+    * (both bounds inclusive).
     *
     * @param df     event frame
     * @param key    partition key (e.g. user id)
     * @param ts     event-time timestamp column
     * @param value  numeric column to sum (2-dp money/metric semantics —
-    *               accumulated as DECIMAL(12,2) for order-free exactness)
+    *               accumulated as DECIMAL(12,2) for order-free
+    *               exactness; magnitude envelope |value| < 10^10, the
+    *               DECIMAL(12,2) cap — larger values null out of the
+    *               sum under non-ANSI mode, throw under ANSI)
     * @param spanMicros trailing span in microseconds (inclusive bound)
     */
   def trailingSumCount(df: DataFrame, key: Column, ts: Column, value: Column,

@@ -90,6 +90,42 @@ class AsofRangeSpec extends GraftSpec {
     assert(got.exceptAll(brute).count() === 0)
   }
 
+  test("asof: NULL timestamps match nothing and receive no match") {
+    import spark.implicits._
+    val right = Seq((1L, Some(100L), "real"), (1L, None, "phantom"))
+      .toDF("k", "sec", "x")
+      .withColumn("rts", timestamp_seconds(col("sec"))).drop("sec")
+    val left = Seq((1L, Some(50L), 10L), (1L, Some(200L), 11L), (1L, None, 12L))
+      .toDF("k", "sec", "lid")
+      .withColumn("lts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = AsofJoin.backward(left, right, Seq("k"), "lts", "rts")
+      .select(col("lid"), col("asof.x"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // lid=10 precedes every real right row -> no match (NOT the phantom);
+    // lid=11 matches the 100s row; NULL-ts left -> no match
+    assert(got === Map(10L -> None, 11L -> Some("real"), 12L -> None))
+    // forward direction: the phantom must not ride the descending scan
+    val fwd = AsofJoin.forward(left, right, Seq("k"), "lts", "rts")
+      .select(col("lid"), col("asof.x"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fwd === Map(10L -> Some("real"), 11L -> None, 12L -> None))
+  }
+
+  test("asof: duplicate right timestamps resolve to the greatest payload, any layout") {
+    import spark.implicits._
+    val right = Seq((1L, 100L, "A"), (1L, 100L, "B"), (1L, 100L, "C"))
+      .toDF("k", "sec", "x")
+      .withColumn("rts", timestamp_seconds(col("sec"))).drop("sec")
+    val left = Seq((1L, 150L, 10L)).toDF("k", "sec", "lid")
+      .withColumn("lts", timestamp_seconds(col("sec"))).drop("sec")
+    def run(r: DataFrame) = AsofJoin.backward(left, r, Seq("k"), "lts", "rts")
+      .select(col("asof.x")).collect().head.getString(0)
+    // deterministic winner: lexicographically greatest right payload
+    assert(run(right) === "C")
+    assert(run(right.repartition(7)) === "C")
+    assert(run(right.orderBy(col("x").desc)) === "C")
+  }
+
   test("range join equals the inequality join, across bin widths") {
     val views = events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts").as("v_ts"))

@@ -90,4 +90,36 @@ class IvfSpec extends GraftSpec {
     // rn dense 1..5 per query
     assert(out.groupBy("q_id").agg(sum("rn").as("s")).filter(col("s") =!= 15L).count() === 0)
   }
+
+  test("int8 ranking applies the neighbor scale: raw code dots would invert this order") {
+    import spark.implicits._
+    // query ~ (1, eps, eps, eps). Neighbor A = (1, .9, .9, .9) codes to
+    // (127,114,114,114) -> raw qdot 16129 > B's 14478, but B = (.9,1,0,0)
+    // is closer in true dot AND cosine. Scale-aware ranking must put B first.
+    val e = 0.001f
+    val data = Seq(
+      (100L, Seq(1f, e, e, e)),        // query
+      (1L, Seq(1f, 0.9f, 0.9f, 0.9f)), // A: large scale dilutes codes
+      (2L, Seq(0.9f, 1f, 0f, 0f)))     // B: truly closer
+      .toDF("id", "vec")
+    val got = Ivf.topKInt8(data.filter(col("id") === 100L), data.filter(col("id") < 100L), k = 2)
+      .orderBy(col("rn")).collect().map(_.getLong(1)).toList
+    // true dots: q·A ≈ 1.0027, q·B ≈ 0.901 -> A first. Verify against the
+    // dequantized ranking rather than intuition: score = qdot * scale_n.
+    // codes: q=(127,0,0,0); A=(127,114,114,114) scale .9/127? (mx=1) ->
+    // qdot_A=16129, scale_A=1/127; B=(114,127,0,0) scale 1/127, qdot_B=14478.
+    // Equal scales here, so construct the inversion with UNEQUAL scales:
+    assert(got.head === 1L) // sanity: with equal scales raw order holds
+    val data2 = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.5f, 0f, 0f, 0f)),  // codes (127,0,0,0), scale .5/127 -> true dot 0.5
+      (2L, Seq(2f, 0f, 0f, 0f)))    // codes (127,0,0,0), scale 2/127  -> true dot 2.0
+      .toDF("id", "vec")
+    val got2 = Ivf.topKInt8(data2.filter(col("id") === 100L),
+        data2.filter(col("id") < 100L), k = 2)
+      .orderBy(col("rn")).collect().map(_.getLong(1)).toList
+    // identical raw qdot (127*127) for both neighbors; only the neighbor
+    // scale separates them — 2f must rank first
+    assert(got2 === List(2L, 1L))
+  }
 }

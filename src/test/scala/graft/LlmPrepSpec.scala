@@ -91,6 +91,33 @@ class LlmPrepSpec extends GraftSpec {
     assert(relErr < 2.0 / math.sqrt(32), s"exact=$exact est=$est relErr=$relErr")
   }
 
+  test("kmv: NULL keys are ignored (SQL count-distinct convention)") {
+    import spark.implicits._
+    val withNulls = Seq[Option[Long]](Some(1L), Some(2L), Some(3L), None, None)
+      .toDF("k")
+    // exact branch: nulls are not a distinct value and occupy no slot
+    val got = Sketches.kmvDistinct(withNulls, col("k"), k = 10, seed = 1L).head()
+    assert(got.getDouble(0) === 3.0 && got.getLong(1) === 3L)
+    // estimator branch: the sketch over (non-null ++ nulls) equals the
+    // sketch over non-null alone — a NULL hash must not displace a slot
+    val many = (1L to 100L).map(Option(_)).toDF("k")
+    val spiked = many.unionAll(Seq[Option[Long]](None, None, None).toDF("k"))
+    val a = Sketches.kmvDistinct(many, col("k"), k = 8, seed = 1L).head().getDouble(0)
+    val b = Sketches.kmvDistinct(spiked, col("k"), k = 8, seed = 1L).head().getDouble(0)
+    assert(a === b)
+  }
+
+  test("gridQuantiles: empty input still emits one row per q; bad q rejected") {
+    val ev = Tables.events(spark, sf).filter(lit(false))
+    val out = Sketches.gridQuantiles(ev, col("value"), buckets = 16, qs = Seq(0.5, 0.9))
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r => assert(r.isNullAt(1) && r.getLong(2) === 0L) }
+    intercept[IllegalArgumentException] {
+      Sketches.gridQuantiles(ev, col("value"), buckets = 16, qs = Seq(1.5))
+    }
+  }
+
   test("kmvDistinctPerGroup: every group estimate within the KMV envelope") {
     val ev = Tables.events(spark, sf)
     val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))

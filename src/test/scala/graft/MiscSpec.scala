@@ -129,7 +129,7 @@ class MiscSpec extends GraftSpec {
     assert(back.collect().head.getDecimal(1) === big.bigDecimal)
   }
 
-  test("trailing range window: exact (t-span, t] semantics, no future leakage") {
+  test("trailing range window: exact [t-span, t] semantics, no future leakage") {
     import spark.implicits._
     import graft.operators.Rolling
     // events at t = 0s, 30s, 3600s, 3601s, 7300s for one user; span 1h.
