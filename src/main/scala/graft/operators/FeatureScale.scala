@@ -60,7 +60,11 @@ object FeatureScale {
     * complement of [[standardize]], built on the [[Gram]] sufficient
     * statistic: ONE distributed pass produces the d-dim sums and the
     * d²/2 quantized-grid pair sums (shuffle carries one buffer per
-    * partition, never rows — Gram's design), the d×d covariance
+    * partition, never rows — Gram's design) plus one narrow aggregate
+    * for the per-dimension means (two scans of the input total — the
+    * mean sums could fold into the Gram buffer to make it literally
+    * one pass; at d extra longs per buffer that is the obvious next
+    * squeeze if the scan ever dominates), the d×d covariance
     * eigensolves on the DRIVER (cyclic Jacobi; d ≤ a few hundred makes
     * this microseconds — the bounded-model-materialization discipline
     * of [[Ivf.kmeans]] centroids), and the projection itself is a
@@ -86,6 +90,8 @@ object FeatureScale {
     val sumsRow = base.select(posexplode(col("__q")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
       .collect()
+    require(sumsRow.nonEmpty,
+      "pcaProject: input has no rows (or no non-null vectors) — nothing to fit")
     val n = sumsRow.head.getLong(2)
     val s1 = new Array[Double](d)
     sumsRow.foreach(r => s1(r.getInt(0)) = r.getLong(1).toDouble)

@@ -43,8 +43,11 @@ object FuzzyJoin {
             col("__fs").substr(i + 1, length(col("__fs")))).as("v"),
           i.as("pos"))))
       .otherwise(array().cast("array<struct<v:string,pos:int>>"))
+    // no array_distinct: deletion structs always differ in pos, so it
+    // could never deduplicate — repeated-char pairs collapse in the
+    // final .distinct() instead
     val taggedDels = base.select(col("__fid"), col("__fs"),
-      explode(array_distinct(dels)).as("__t"))
+      explode(dels).as("__t"))
       .select(col("__fid"), col("__fs"), col("__t.v").as("__v"), col("__t.pos").as("__p"))
     // three structurally-bounded candidate joins, no bare-variant join:
     // (1) substitution: deletions meet deletions on (variant, SAME pos) —

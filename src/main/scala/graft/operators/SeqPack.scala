@@ -38,7 +38,10 @@ object SeqPack {
     * @param df       corpus, one row per document
     * @param orderKey numeric column defining the (total) corpus order;
     *                 values must be unique — ties would make
-    *                 `tokens_before` ambiguous
+    *                 `tokens_before` ambiguous. Rows whose TOKEN COUNT
+    *                 is null are excluded too (an unknown length cannot
+    *                 occupy budget; a null would silently undercount
+    *                 every later chunk's totals instead)
     * @param tokens   per-document token count (any numeric expression)
     * @param budget   tokens per training chunk
     * @param buckets  prefix-sum fan-out (each bucket's window sees
@@ -48,7 +51,7 @@ object SeqPack {
       budget: Long, buckets: Int = 1024): DataFrame = {
     require(budget > 0, s"packContiguous: budget must be positive, got $budget")
     val base = df.select(orderKey.as("k"), tokens.cast("long").as("n_tokens"))
-      .filter(col("k").isNotNull)
+      .filter(col("k").isNotNull && col("n_tokens").isNotNull)
     // order-preserving range bucket over [lo, hi] of the key domain; the
     // 1-row stats frame rides along via broadcast so the plan stays lazy
     val stats = base.agg(min(col("k").cast("double")).as("__lo"),

@@ -158,7 +158,9 @@ object TermStats {
     // MATCHING docs emit (term, tf) rows — no full-vocabulary explode,
     // no corpus-side join at all
     val terms = queries.select(col("term")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
+    require(terms.nonEmpty,
+      "bm25TopK: queries must carry at least one non-null term")
     val tfq = base
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("__text")).cast("long").as("dl"),
@@ -178,7 +180,10 @@ object TermStats {
     val tfpart = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
     val scored = tfq
-      .join(broadcast(queries), Seq("term"))
+      // distinct: a repeated (query_id, term) row would double-count
+      // that term's contribution; the kernel's term-set literal is
+      // already deduplicated, the join side must agree
+      .join(broadcast(queries.distinct()), Seq("term"))
       .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
@@ -200,6 +205,8 @@ object TermStats {
     * @return input rows that survive, plus their rounded `quality`
     */
   def qualityFilter(docs: DataFrame, text: Column, quantile: Double): DataFrame = {
+    require(quantile >= 0 && quantile <= 1,
+      s"qualityFilter: quantile must be a fraction in [0, 1], got $quantile")
     val scored = docs.withColumn("quality",
       round(TextFunctions.qualityScore(text), 9))
     val thr = scored.agg(

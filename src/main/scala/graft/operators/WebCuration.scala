@@ -28,14 +28,25 @@ object WebCuration {
     * descending with a unique-id tiebreak — or survivors are
     * nondeterministic under retries). Adds `host` (canonical lowercased
     * host of `url`) and `host_rank` (1-based preference rank within the
-    * host) to the output. */
+    * host) to the output.
+    *
+    * Rows with NO extractable host (relative/path-only/null URLs) BYPASS
+    * the cap with `host_rank` NULL: they share no domain, so capping
+    * them as one giant pseudo-host would both drop valid documents by
+    * accident of URL form and funnel every such row through a single
+    * window partition (a skew cliff at crawl scale). */
   def hostCap(df: DataFrame, url: Column, n: Int, order: Seq[Column]): DataFrame = {
     require(n > 0, s"hostCap needs n > 0, got $n")
     require(order.nonEmpty, "hostCap needs a deterministic preference order")
-    df.withColumn("host", WebFunctions.host(WebFunctions.normalizeUrl(url)))
+    val withHost = df.withColumn("host",
+      WebFunctions.host(WebFunctions.normalizeUrl(url)))
+    val hosted = withHost.filter(col("host").isNotNull && col("host") =!= "")
       .withColumn("host_rank",
         row_number().over(Window.partitionBy(col("host")).orderBy(order: _*)))
       .filter(col("host_rank") <= n)
+    val hostless = withHost.filter(col("host").isNull || col("host") === "")
+      .withColumn("host_rank", lit(null).cast("int"))
+    hosted.unionByName(hostless)
   }
 
   /** Drop documents whose `host` appears in a blocklist (the C4-style

@@ -135,6 +135,22 @@ class OperatorsSpec extends GraftSpec {
     assert(orig.exceptAll(restored).count() === 0)
   }
 
+  test("hostCap: hostless URLs bypass the cap instead of sharing one pseudo-host") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, s"/relative/doc/$i", i))
+      .toDF("doc_id", "url", "n_chars")
+      .unionAll(Seq((100L, "https://real.host/x", 1L),
+        (101L, "https://real.host/y", 2L)).toDF("doc_id", "url", "n_chars"))
+    val out = WebCuration.hostCap(df, col("url"), n = 1,
+      order = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("host"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // all 10 hostless docs survive (no shared pseudo-host cap), and the
+    // real host is capped to 1
+    assert((1L to 10L).forall(out.contains), s"hostless dropped: $out")
+    assert(out.keySet.count(_ >= 100L) === 1)
+  }
+
   test("hostCap caps per host and is invariant to input layout") {
     val docs = Tables.documents(spark, sf)
     val url = concat(lit("https://H"), pmod(col("doc_id"), lit(7)).cast("string"),
