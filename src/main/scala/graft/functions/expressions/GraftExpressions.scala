@@ -57,6 +57,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * hash family (31 default; other odd multipliers give independent
   * families, mirrored by the oracle's parameterized fold). */
 case class PolyHash(child: Expression, mult: Long = 31L) extends UnaryExpression {
+  // h < P ~ 1e9, so h*mult must stay under 2^63: mult beyond ~9e9 would
+  // silently wrap negative and stop computing the documented mod-P hash
+  require(mult > 0 && mult < 1000000007L,
+    s"poly_hash needs 0 < mult < 1e9+7 (the modulus), got $mult")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -343,7 +347,9 @@ case class PositionalShingleHashes(child: Expression, n: Int) extends UnaryExpre
   * engine-portable integer grid the IVF coarse quantizer trains on
   * ([[VecUtil.quantizeVec]]). */
 case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression {
-  require(scale > 0, s"quantize_vec needs scale > 0, got $scale")
+  // infinity passes a bare > 0 check but is not a valid Java literal in
+  // the generated code (Janino fails, interpreted path emits garbage)
+  require(scale > 0 && !scale.isInfinite, s"quantize_vec needs finite scale > 0, got $scale")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -457,9 +463,6 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Distinct terms + in-document counts of a token array, one row-local
-  * call ([[VecUtil.termCounts]]) — replaces the corpus-wide
-  * (doc, term) groupBy in TF-IDF-style pipelines with a narrow map. */
 /** [[TermCounts]] restricted to a small FIXED term set: (term, tf)
   * structs for set terms only, computed by a row-local linear probe
   * ([[VecUtil.termSetCounts]]) — no full-vocabulary explode. The set
@@ -495,6 +498,9 @@ case class TermSetCounts(child: Expression, terms: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct terms + in-document counts of a token array, one row-local
+  * call ([[VecUtil.termCounts]]) — replaces the corpus-wide
+  * (doc, term) groupBy in TF-IDF-style pipelines with a narrow map. */
 case class TermCounts(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -684,7 +690,10 @@ case class CleanText(child: Expression) extends UnaryExpression {
   * table (rank-ordered "left right" pairs, from [[graft.operators.Bpe.train]])
   * rides into codegen as a reference object; the per-row loop is
   * O(word·symbols²) worst case with tiny constants, no shuffle, no UDF. */
-case class BpeEncode(child: Expression, merges: Array[String]) extends UnaryExpression {
+case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpression {
+  // Seq, NOT Array: case-class equality on an Array field is
+  // reference-based, which would defeat plan canonicalization /
+  // common-subexpression elimination for identical encode calls
 
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
@@ -752,6 +761,6 @@ object GraftExpressions {
   def excise_spans(tokens: Column, starts: Column, ends: Column): Column =
     column(ExciseSpans(expression(tokens), expression(starts), expression(ends)))
   def bpe_encode(s: Column, merges: Seq[(String, String)]): Column =
-    column(BpeEncode(expression(s), merges.map { case (a, b) => s"$a $b" }.toArray))
+    column(BpeEncode(expression(s), merges.map { case (a, b) => s"$a $b" }))
   def clean_text(s: Column): Column = column(CleanText(expression(s)))
 }

@@ -10,9 +10,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * `list_reduce`, so swapping implementations cannot change results. */
 object VecUtil {
 
+  /** The kernels require DENSE arrays: through the unsafe accessors a
+    * null element reads as 0.0 / 0 / "" (silently wrong results), and
+    * through the generic path it NPEs with no context. Fail loudly with
+    * the kernel name instead; inputs here are short (embedding dims,
+    * token lists), so the null-bit scan is noise next to the work. */
+  private def requireDense(a: ArrayData, kernel: String): Unit = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$kernel: null array element at position $i — native kernels require " +
+          "dense arrays (filter or fill nulls first)")
+      i += 1
+    }
+  }
+
+  /** Silent min-length truncation would mask corrupt/ragged vectors
+    * (e.g. assigning a short vector to the wrong k-means cell via a
+    * tiny prefix distance) — mismatched lengths are an error. */
+  private def requireSameLen(a: ArrayData, b: ArrayData, kernel: String): Unit =
+    if (a.numElements() != b.numElements()) throw new IllegalArgumentException(
+      s"$kernel: array length mismatch ${a.numElements()} vs ${b.numElements()}")
+
   /** Dot product of two double arrays. */
   def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLen(a, b, "dot_product"); requireDense(a, "dot_product"); requireDense(b, "dot_product")
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -22,7 +46,8 @@ object VecUtil {
   /** Dot product of two float arrays, accumulated in double (each float
     * widens exactly, matching cast-then-multiply semantics). */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLen(a, b, "dot_product"); requireDense(a, "dot_product"); requireDense(b, "dot_product")
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -37,6 +62,7 @@ object VecUtil {
     * quantized grid (and everything k-means derives from it) is
     * engine-portable with NO FP accumulation-order sensitivity. */
   def quantizeVec(a: ArrayData, scale: Double): ArrayData = {
+    requireDense(a, "quantize_vec")
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -54,6 +80,7 @@ object VecUtil {
     * be infinite). One double multiply + floor per dim — exact IEEE,
     * mirrored by the oracle. */
   def quantizeInt8(a: ArrayData): ArrayData = {
+    requireDense(a, "quantize_int8")
     val n = a.numElements()
     var mx = 0.0
     var i = 0
@@ -76,7 +103,8 @@ object VecUtil {
 
   /** Exact squared L2 distance between two long vectors. */
   def sqDistL(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLen(a, b, "sq_dist_l"); requireDense(a, "sq_dist_l"); requireDense(b, "sq_dist_l")
+    val n = a.numElements()
     var s = 0L
     var i = 0
     while (i < n) {
@@ -90,7 +118,8 @@ object VecUtil {
   /** Exact dot product of two long vectors (int8-code ANN ranking —
     * BIGINT arithmetic, no FP anywhere). */
   def dotL(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLen(a, b, "dot_l"); requireDense(a, "dot_l"); requireDense(b, "dot_l")
+    val n = a.numElements()
     var s = 0L
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
@@ -155,27 +184,15 @@ object VecUtil {
     * Returns null when the doc has fewer than n tokens (the
     * shingle-set formulation drops those docs). */
   def minHashSigs(tokens: ArrayData, n: Int, k: Int): ArrayData = {
-    val t = tokens.numElements()
-    if (t < n) return null
-    val th = new Array[Long](t) // polyHash per token
-    val tp = new Array[Long](t) // 31^steps per token
-    var i = 0
-    while (i < t) {
-      val s = tokens.getUTF8String(i)
-      th(i) = polyHash(s, 31L)
-      tp(i) = pow31(s)
-      i += 1
-    }
+    // built ON [[gramHashes]] — the two hash families must stay
+    // byte-identical, so there is exactly one gram-fold loop to change;
+    // the (t-n+1)-long intermediate is noise next to th/tp
+    val hs = gramHashes(tokens, n)
+    if (hs == null) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var g = 0
-    while (g <= t - n) {
-      var h = 0L
-      var j = g
-      while (j < g + n) {
-        if (j > g) h = (h * 31 + 32) % P // ' ' separator
-        h = (h * tp(j) + th(j)) % P
-        j += 1
-      }
+    while (g < hs.length) {
+      val h = hs(g)
       var x = 0
       while (x < k) {
         val v = (h * permA(x) + permB(x)) % P
@@ -192,6 +209,7 @@ object VecUtil {
     * [[shingleHashes]] / [[minHashSigs]], positions preserved). Null
     * when the doc has fewer than n tokens. */
   def gramHashes(tokens: ArrayData, n: Int): Array[Long] = {
+    requireDense(tokens, "gram_hashes")
     val t = tokens.numElements()
     if (t < n) return null
     val th = new Array[Long](t)
@@ -226,6 +244,9 @@ object VecUtil {
     * per-token interval search. */
   def exciseSpans(tokens: ArrayData, starts: ArrayData,
       ends: ArrayData): UTF8String = {
+    requireSameLen(starts, ends, "excise_spans")
+    requireDense(tokens, "excise_spans")
+    requireDense(starts, "excise_spans"); requireDense(ends, "excise_spans")
     val t = tokens.numElements()
     val m = starts.numElements()
     val kept = new java.util.ArrayList[UTF8String](t)
@@ -271,6 +292,7 @@ object VecUtil {
     * array_distinct (same incremental gram hash as [[minHashSigs]]).
     * Null when the doc has fewer than n tokens. */
   def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    requireDense(tokens, "shingle_hashes")
     val hs = gramHashes(tokens, n)
     if (hs == null) return null
     java.util.Arrays.sort(hs)
@@ -354,6 +376,7 @@ object VecUtil {
     * copied (the incoming UTF8Strings can point into reused codegen
     * buffers). */
   def termCounts(tokens: ArrayData): ArrayData = {
+    requireDense(tokens, "term_counts")
     val n = tokens.numElements()
     val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]](n * 2)
     var i = 0
@@ -383,6 +406,7 @@ object VecUtil {
     * per token (UTF8String.equals short-circuits on length): the right
     * trade for query-batch-sized sets. */
   def termSetCounts(tokens: ArrayData, terms: Array[UTF8String]): ArrayData = {
+    requireDense(tokens, "term_set_counts")
     val n = tokens.numElements()
     val k = terms.length
     val counts = new Array[Long](k)
@@ -424,6 +448,7 @@ object VecUtil {
     * [[minHashSigs]]; no gram strings are materialized. Empty array for
     * docs with fewer than 2 tokens. */
   def bigramHashPairs(tokens: ArrayData): ArrayData = {
+    requireDense(tokens, "bigram_hash_pairs")
     val t = tokens.numElements()
     if (t < 2)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
@@ -461,6 +486,7 @@ object VecUtil {
     * BIGINT — order-free and engine-portable; callers derive the
     * sigmoid score from (logit_milli, n_features) at the end. */
   def linearLogit(tokens: ArrayData, buckets: Int): Long = {
+    requireDense(tokens, "linear_logit")
     val t = tokens.numElements()
     var sum = 0L
     var prevH = 0L
@@ -654,22 +680,25 @@ object VecUtil {
       matcher: (Array[Byte], Int) => Int): Array[Byte] = {
     var p = 0
     var out: java.io.ByteArrayOutputStream = null
+    var from = 0 // start of the pending unwritten non-match span
     val n = in.length
     while (p < n) {
       val e = matcher(in, p)
       if (e >= 0) {
-        if (out == null) { // allocate lazily: clean strings copy nothing
-          out = new java.io.ByteArrayOutputStream(n)
-          out.write(in, 0, p)
-        }
+        if (out == null) out = new java.io.ByteArrayOutputStream(n) // lazy: clean strings copy nothing
+        // flush the non-match span in ONE bulk write — per-byte
+        // ByteArrayOutputStream.write(int) is synchronized and was the
+        // post-first-match hot path
+        out.write(in, from, p - from)
         out.write(tag, 0, tag.length)
         p = e
+        from = e
       } else {
-        if (out != null) out.write(in(p))
         p += 1
       }
     }
-    if (out == null) in else out.toByteArray
+    if (out == null) in
+    else { out.write(in, from, n - from); out.toByteArray }
   }
 
   private val EmailTag = "<EMAIL>".getBytes("UTF-8")

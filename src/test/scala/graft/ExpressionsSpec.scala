@@ -75,6 +75,33 @@ class ExpressionsSpec extends GraftSpec {
     assert(dd === 1)
   }
 
+  test("kernels reject null elements and ragged lengths loudly, never silently") {
+    import spark.implicits._
+    // through the unsafe accessors a null slot would read as 0.0 —
+    // a silently-wrong dot product; the kernel must name the problem
+    val withNull = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    val e1 = intercept[Exception] {
+      withNull.select(GraftExpressions.dot_product(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("null array element")
+      || Option(e1.getCause).exists(_.getMessage.contains("null array element")))
+    // mismatched lengths: a prefix dot would mask corrupt vectors
+    val ragged = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      ragged.select(GraftExpressions.dot_product(col("a"), col("b"))).collect()
+    }
+    assert(e2.getMessage.contains("length mismatch")
+      || Option(e2.getCause).exists(_.getMessage.contains("length mismatch")))
+    // excise_spans: ends shorter than starts must error, not read OOB
+    val spans = Seq((Seq("a", "b", "c"), Seq(0L, 2L), Seq(1L))).toDF("t", "s", "e")
+    val e3 = intercept[Exception] {
+      spans.select(GraftExpressions.excise_spans(col("t"), col("s"), col("e"))).collect()
+    }
+    assert(e3.getMessage.contains("length mismatch")
+      || Option(e3.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+
   test("type errors are reported cleanly") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L), Seq(1.0, 2.0))).toDF("ints", "dbls")
