@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, FeatureScale, FuzzyJoin, Fusion, Gram, Graph, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Rolling, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, FeatureScale, FuzzyJoin, Fusion, Gram, Graph, Importance, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Rolling, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -633,6 +633,40 @@ object SparkEntry {
         .mapPartitions(_.map(id => (id, Multimodal.synthGif(id, frames = 6))))
         .toDF("media_id", "bytes")
       Multimodal.sampleFrameStats(s, packed, stride = 2)
+    },
+    "multimodal_image_neardup" -> { (s, d) =>
+      // perceptual-hash image dedup: REAL PNG decode -> 64-bit dHash ->
+      // banded Hamming pairs (exact recall by pigeonhole); the fixture
+      // images come in groups of 4 (exact + 1-bit-near duplicates, no
+      // cross-group noise) and the oracle re-derives every fingerprint
+      // from the pixel closed form
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+      val packed = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthImageSeries(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.imageNearDupPairs(s, packed, maxHamming = 2)
+    },
+    "sketch_kmv_overlap" -> { (s, d) =>
+      // contamination screening sketch: how much of corpus B's content
+      // already appears in corpus A, estimated from two O(64) KMV
+      // sketches over text fingerprints — the oracle reproduces the
+      // estimate bit-for-bit from the same mod-P hashes
+      val docs = Tables.documents(s, d)
+      Sketches.kmvOverlap(
+        docs.filter(col("doc_id") % 2 === 0), TextFunctions.polyHash(col("text")),
+        docs.filter(col("doc_id") % 3 === 0), TextFunctions.polyHash(col("text")),
+        k = 64, seed = 17L)
+    },
+    "sample_dsir_topn" -> { (s, d) =>
+      // DSIR importance resampling (data selection for pretraining):
+      // hashed-unigram bucket log-likelihood ratios of target (English
+      // docs) vs raw score every raw doc; keep the 50 most target-like.
+      // Nano-integer weights make every cross-row aggregate order-free.
+      val docs = Tables.documents(s, d)
+      Importance.resampleTopN(
+        docs, docs.filter(col("lang") === "en"),
+        col("doc_id"), col("text"), buckets = 512, n = 50)
     },
     "text_bm25_topk" -> { (s, d) =>
       // lexical retrieval: three keyword queries over the corpus,
@@ -2508,6 +2542,60 @@ object SparkEntry {
         |  CAST(SUM((doc_id*11 + 2*x) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id*13 + 2*y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, doc_id // 4 AS s, doc_id % 4 AS tw, r1.x, r2.y,
+        |  CAST(r2.y*9 + r1.x + 1 AS BIGINT) AS i
+        |  FROM ids CROSS JOIN range(9) r1(x) CROSS JOIN range(8) r2(y)),
+        |v AS (SELECT doc_id, x, y,
+        |  ((i*i*(s+7) + i*(s*s+13)) % 1009
+        |   + CASE WHEN x = 0 AND y = 0 THEN tw*8 ELSE 0 END) % 256 AS v FROM px),
+        |g AS (SELECT doc_id, x, y,
+        |  299*v + 587*((v+85)%256) + 114*((v+170)%256) AS gm FROM v),
+        |fp AS (SELECT a.doc_id,
+        |  CAST(COALESCE(SUM(CASE WHEN b.gm <= a.gm THEN 0
+        |    WHEN a.y*8 + a.x = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT) << (a.y*8 + a.x) END), 0) AS BIGINT) AS dh
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 GROUP BY a.doc_id)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 2""".stripMargin,
+    "sketch_kmv_overlap" ->
+      s"""WITH ka AS (SELECT DISTINCT ${OracleFragments.modPHashSql(
+            s"(${OracleFragments.polyHashSql("text")})", 17L)} AS h
+         |  FROM documents WHERE doc_id % 2 = 0 ORDER BY h LIMIT 64),
+         |kb AS (SELECT DISTINCT ${OracleFragments.modPHashSql(
+            s"(${OracleFragments.polyHashSql("text")})", 17L)} AS h
+         |  FROM documents WHERE doc_id % 3 = 0 ORDER BY h LIMIT 64),
+         |ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+         |  ORDER BY h LIMIT 64),
+         |fl AS (SELECT h,
+         |  CASE WHEN h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+         |    THEN 1 ELSE 0 END AS inboth FROM ku)
+         |SELECT CAST(count(*) AS BIGINT) AS n_union_kept,
+         |  CAST(COALESCE(SUM(inboth), 0) AS BIGINT) AS n_both,
+         |  CAST(SUM(inboth) AS DOUBLE) / count(*) AS jaccard_est,
+         |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |    ELSE 63.0 * 1000000007 / MAX(h) END AS union_est
+         |FROM fl""".stripMargin,
+    "sample_dsir_topn" ->
+      s"""WITH tb AS (SELECT doc_id, lang,
+         |  (${OracleFragments.polyHashSql("t")}) % 512 AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS t FROM documents)),
+         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+         |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+         |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
+         |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+         |w AS (SELECT cr.b,
+         |  CAST(round(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (nt + 512)) * 1e9) AS BIGINT)
+         |  - CAST(round(ln(CAST(cr.cr + 1 AS DOUBLE) / (nr + 512)) * 1e9) AS BIGINT) AS w_nano
+         |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr)
+         |SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(w.w_nano) AS BIGINT) AS score_nano
+         |FROM tb JOIN w USING (b) GROUP BY tb.doc_id
+         |ORDER BY score_nano DESC, doc_id LIMIT 50""".stripMargin,
     "multimodal_audio_decode" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |smp AS (SELECT doc_id, ((doc_id*31 + r.i*7) % 65536) - 32768 AS v

@@ -75,6 +75,51 @@ object Sketches {
         col("n_hashes_kept"))
   }
 
+  /** KMV cross-corpus overlap estimate — the O(k)-state answer to "how
+    * much of corpus B's content already appears in corpus A?"
+    * (contamination screening, ingest-batch novelty triage) when the
+    * corpora are too large to intersect exactly.
+    *
+    * Estimator (Beyer et al. 2007): sketch each corpus as its k
+    * smallest distinct portable hashes; the union sketch is the k
+    * smallest of the two sketches' union, and
+    * `jaccard_est = |union sketch ∩ A sketch ∩ B sketch| / |union sketch|`.
+    * The union sketch's k-th minimum also yields the KMV distinct-count
+    * estimate of |A ∪ B|. When fewer than k distinct hashes survive the
+    * union, the sketches ARE the full hash sets and both estimates are
+    * exact (up to mod-P hash collisions).
+    *
+    * Plan shape: each sketch is the [[kmvDistinct]] shape (narrow hash
+    * projection, map-side-combinable DISTINCT, TakeOrderedAndProject
+    * k-minimum); everything after operates on ≤ k-row frames joined
+    * broadcast. Nothing scales with the corpora. Deterministic and
+    * engine-portable — the oracle reproduces the estimate bit-for-bit.
+    *
+    * Returns 1 row: (n_union_kept, n_both, jaccard_est, union_est). */
+  def kmvOverlap(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k > 1, s"kmvOverlap: k must be > 1, got $k")
+    def sketch(df: DataFrame, key: Column): DataFrame =
+      df.select(Sampling.modPHash(key, seed).as("h"))
+        .filter(col("h").isNotNull).distinct().orderBy(col("h")).limit(k)
+    val sa = sketch(dfA, keyA).withColumnRenamed("h", "ha")
+    val sb = sketch(dfB, keyB).withColumnRenamed("h", "hb")
+    val su = sa.select(col("ha").as("h")).union(sb.select(col("hb").as("h")))
+      .distinct().orderBy(col("h")).limit(k)
+    su.join(broadcast(sa), col("h") === col("ha"), "left")
+      .join(broadcast(sb), col("h") === col("hb"), "left")
+      .agg(
+        count(lit(1)).as("n_union_kept"),
+        coalesce(sum((col("ha").isNotNull && col("hb").isNotNull).cast("long")),
+          lit(0L)).as("n_both"),
+        max(col("h")).as("hk"))
+      .select(
+        col("n_union_kept"), col("n_both"),
+        (col("n_both").cast("double") / col("n_union_kept")).as("jaccard_est"),
+        when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * P / col("hk")).as("union_est"))
+  }
+
   /** Deterministic fixed-grid quantile estimates: two passes — exact
     * (min, max, count), then integer occupancy of an equi-width
     * `buckets`-cell grid — and a midpoint read-out at each requested

@@ -301,6 +301,104 @@ object Multimodal {
     }).toDF("media_id", "frame_idx", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Deterministic synthetic 9x8 RGB image SERIES for perceptual-hash
+    * dedup fixtures: images come in groups of 4 (seed s = id/4) whose
+    * members differ only in one corner pixel (tweak = (id%4)*8 added to
+    * pixel (0,0)'s base value) — exact and 1-bit-near duplicates inside
+    * a group, unrelated across groups. The base value of pixel index
+    * i = y*w+x+1 is `((i²(s+7) + i(s²+13)) mod 1009) mod 256` — the
+    * double-mod breaks the arithmetic-progression structure a plain
+    * mod-256 pattern would have (adjacent-pixel comparisons of an AP
+    * are nearly seed-independent, which made every group collide).
+    * Channels: r = v, g = (v+85) mod 256, b = (v+170) mod 256. PNG
+    * (lossless) via the JDK codec, so decode reproduces the closed form
+    * exactly — the oracle re-derives the dHash from the formula. */
+  def synthImageSeries(id: Long, w: Int = 9, h: Int = 8): Array[Byte] = {
+    val s = id >> 2
+    val tweak = (id & 3) * 8
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y.toLong * w + x + 1
+        val c = if (x == 0 && y == 0) tweak else 0L
+        val v = (((i * i * (s + 7) + i * (s * s + 13)) % 1009 + c) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (((v + 85) % 256) << 8) | ((v + 170) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of each image — the standard
+    * perceptual fingerprint for image near-dup: nearest-neighbor
+    * resample to a (gw x gh) grid (integer source indexing, same
+    * convention as [[resizeImageStats]] — identity when the image is
+    * already gw x gh), integer luma per cell
+    * (gray = 299·r + 587·g + 114·b, kept in milli-units — no division,
+    * no rounding), bit y·(gw−1)+x set when gray(x+1,y) > gray(x,y).
+    * Requires (gw−1)·gh ≤ 64 so the fingerprint fits one long.
+    * Unreadable payloads yield a NULL dhash. */
+  def imageDHash(spark: SparkSession, df: DataFrame,
+      gw: Int = 9, gh: Int = 8): DataFrame = {
+    require((gw - 1) * gh > 0 && (gw - 1) * gh <= 64,
+      s"imageDHash: (gw-1)*gh must be in 1..64, got ${(gw - 1) * gh}")
+    import spark.implicits._
+    binaryDs(spark, df).mapPartitions(_.map { case (id, bytes) =>
+      val dh = tryDecode(bytes)(b =>
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))).map { img =>
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val gray = new Array[Int](gw * gh)
+        var y = 0
+        while (y < gh) {
+          var x = 0
+          while (x < gw) {
+            val p = img.getRGB((x.toLong * sw / gw).toInt, (y.toLong * sh / gh).toInt)
+            gray(y * gw + x) =
+              299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < gh) {
+          var j = 0
+          while (j < gw - 1) {
+            if (gray(i * gw + j + 1) > gray(i * gw + j))
+              bits |= 1L << (i * (gw - 1) + j)
+            j += 1
+          }
+          i += 1
+        }
+        bits
+      }
+      (id, dh)
+    }).toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: [[imageDHash]]
+    * fingerprints within `maxHamming` bits, paired by the generic
+    * banded-bucket machinery ([[NearDup.hammingNearDups]] — exact
+    * recall by pigeonhole, bucket-local candidate generation, one
+    * bit_count(xor) verify). The decode is one narrow mapPartitions
+    * pass; everything downstream shuffles 16-byte (id, fp) rows only.
+    * Returns (media_a, media_b, hamming). */
+  def imageNearDupPairs(spark: SparkSession, df: DataFrame,
+      maxHamming: Int = 2, gw: Int = 9, gh: Int = 8,
+      maxBucket: Int = NearDup.DefaultMaxBucket): DataFrame =
+    NearDup.hammingNearDups(
+      imageDHash(spark, df, gw, gh)
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("dhash").as("fp")),
+      bits = (gw - 1) * gh, maxHamming = maxHamming, maxBucket = maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
   /** Expression-only feature extraction (for engine-level tests/oracles):
     * decodeStub's leading-byte semantics for UTF-8 ASCII payloads —
     * characters' byte values scaled to [0,1] — EXCEPT that payloads

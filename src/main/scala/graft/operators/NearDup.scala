@@ -313,26 +313,44 @@ object NearDup {
     * hamming budget shares at least one exact band (pigeonhole) and
     * recall is exact; verification is one bit_count(xor). */
   def simHashNearDups(docs: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 6, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val fp = simHash(docs, id, text)
+      maxHamming: Int = 6, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingNearDups(
+      simHash(docs, id, text).withColumnRenamed("simhash", "fp"),
+      SimHashBits, maxHamming, maxBucket)
+
+  /** Banded Hamming near-dup pairs over ANY (doc_id, fp) fingerprint
+    * frame — the generic core of [[simHashNearDups]], reused by e.g.
+    * image perceptual-hash dedup
+    * ([[graft.operators.Multimodal.imageNearDupPairs]]): the low `bits`
+    * bits of `fp` split into (maxHamming+1) bands, so any pair within
+    * the hamming budget shares at least one exact band (pigeonhole) and
+    * recall is exact; candidates are generated bucket-locally
+    * ([[bucketPairs]] — bounded arrays, hot-bucket self-join), verified
+    * with one bit_count(xor). Returns (doc_a, doc_b, hamming). */
+  def hammingNearDups(fp: DataFrame, bits: Int,
+      maxHamming: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bits > 0 && bits <= 64, s"hammingNearDups: bits must be in 1..64, got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"hammingNearDups: maxHamming must be in 0..${bits - 1}, got $maxHamming")
     val nBands = maxHamming + 1
-    // split SimHashBits into nBands near-equal (offset, width) slices
+    // split `bits` into nBands near-equal (offset, width) slices
     val widths = Array.tabulate(nBands)(j =>
-      SimHashBits / nBands + (if (j < SimHashBits % nBands) 1 else 0))
+      bits / nBands + (if (j < bits % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    def mask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
+    val banded = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until nBands).map { j =>
         struct(lit(j).as("band"),
-          shiftright(col("simhash"), offsets(j))
-            .bitwiseAND((1L << widths(j)) - 1).as("bv"))
+          shiftright(col("fp"), offsets(j))
+            .bitwiseAND(mask(widths(j))).as("bv"))
       }: _*)).as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bv"))
+      .select(col("doc_id"), col("fp"), col("e.band"), col("e.bv"))
     bucketPairs(banded, Seq("band", "bv"),
-        struct(col("doc_id"), col("simhash")), maxBucket)
+        struct(col("doc_id"), col("fp")), maxBucket)
       .select(col("a").getField("doc_id").as("doc_a"),
         col("b").getField("doc_id").as("doc_b"),
-        bit_count(col("a").getField("simhash")
-          .bitwiseXOR(col("b").getField("simhash"))).cast("long").as("hamming"))
+        bit_count(col("a").getField("fp")
+          .bitwiseXOR(col("b").getField("fp"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -107,6 +107,54 @@ class LlmPrepSpec extends GraftSpec {
     assert(a === b)
   }
 
+  test("kmvOverlap: exact when k covers the union; inside the envelope when sketched") {
+    import spark.implicits._
+    // A = [0, 600), B = [400, 1000): |A∩B| = 200, |A∪B| = 1000, J = 0.2
+    val a = spark.range(0, 600).toDF("k")
+    val b = spark.range(400, 1000).toDF("k")
+    val exact = Sketches.kmvOverlap(a, col("k"), b, col("k"), k = 5000, seed = 7L).head()
+    assert(exact.getLong(0) === 1000L)
+    assert(exact.getLong(1) === 200L)
+    assert(exact.getDouble(2) === 0.2)
+    assert(exact.getDouble(3) === 1000.0)
+    // sketched: deterministic estimates inside the ~1/sqrt(k) envelope
+    val est = Sketches.kmvOverlap(a, col("k"), b, col("k"), k = 256, seed = 7L).head()
+    assert(est.getLong(0) === 256L)
+    assert(math.abs(est.getDouble(2) - 0.2) < 0.1, s"jaccard_est=${est.getDouble(2)}")
+    assert(math.abs(est.getDouble(3) - 1000.0) / 1000.0 < 0.25,
+      s"union_est=${est.getDouble(3)}")
+    // layout invariance (sketches are order statistics of a hash)
+    val re = Sketches.kmvOverlap(a.repartition(7), col("k"), b.repartition(3), col("k"),
+      k = 256, seed = 7L).head()
+    assert(re === est)
+  }
+
+  test("importance resampling (DSIR): target-dialect docs outrank off-target; layout-invariant") {
+    import graft.operators.Importance
+    import spark.implicits._
+    // raw corpus = two dialects with disjoint vocabulary; target speaks one
+    val raw = ((0L until 50L).map(i => (i, "alpha beta gamma")) ++
+      (50L until 100L).map(i => (i, "omega psi chi"))).toDF("id", "txt")
+    val target = (0L until 20L).map(i => (1000L + i, "alpha beta gamma alpha"))
+      .toDF("id", "txt")
+    val scores = Importance.importanceScores(raw, target, col("id"), col("txt"),
+      buckets = 512)
+    val byDoc = scores.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDoc.size === 100)
+    val hi = (0L until 50L).map(byDoc)
+    val lo = (50L until 100L).map(byDoc)
+    assert(hi.min > lo.max, s"target dialect must outrank: ${hi.min} vs ${lo.max}")
+    // the resampling step keeps exactly the target-like half
+    val top = Importance.resampleTopN(raw, target, col("id"), col("txt"),
+      buckets = 512, n = 50).collect().map(_.getLong(0)).toSet
+    assert(top === (0L until 50L).toSet)
+    // layout invariance: nano-integer weights make the sums order-free
+    val re = Importance.importanceScores(raw.repartition(7), target.repartition(5),
+      col("id"), col("txt"), buckets = 512)
+    assert(re.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      .sameElements(scores.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted))
+  }
+
   test("gridQuantiles: empty input still emits one row per q; bad q rejected") {
     val ev = Tables.events(spark, sf).filter(lit(false))
     val out = Sketches.gridQuantiles(ev, col("value"), buckets = 16, qs = Seq(0.5, 0.9))

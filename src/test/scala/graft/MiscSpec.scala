@@ -90,6 +90,58 @@ class MiscSpec extends GraftSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("imageDHash: decoded fingerprint equals the pixel closed form; pairs skip corrupt payloads") {
+    import spark.implicits._
+    val ids = spark.range(0, 40).toDF("media_id")
+    val packed = ids.as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthImageSeries(id))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.imageDHash(spark, packed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // re-derive every fingerprint from the synthImageSeries closed form
+    def gm(v: Int): Int = 299 * v + 587 * ((v + 85) % 256) + 114 * ((v + 170) % 256)
+    def vf(doc: Long, x: Int, y: Int): Int = {
+      val s = doc >> 2
+      val i = (y * 9 + x + 1).toLong
+      val c = if (x == 0 && y == 0) (doc & 3) * 8 else 0L
+      ((i * i * (s + 7) + i * (s * s + 13)) % 1009 + c).toInt % 256
+    }
+    (0L until 40L).foreach { d =>
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (gm(vf(d, x + 1, y)) > gm(vf(d, x, y))) bits |= 1L << (y * 8 + x)
+      assert(got(d) === bits, s"doc $d")
+    }
+    // a corrupt payload yields NULL and never reaches the pair stage
+    val withBad = packed.union(Seq((999L, Array[Byte](1, 2, 3))).toDF("media_id", "bytes"))
+    val pairs = Multimodal.imageNearDupPairs(spark, withBad, maxHamming = 2).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(2) <= 2))
+    // the fixture series has no cross-group near-dups at this size
+    assert(pairs.forall(r => r.getLong(0) / 4 === r.getLong(1) / 4))
+    assert(!pairs.exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L))
+  }
+
+  test("imageDHash: non-grid-sized images go through the resample path deterministically") {
+    import spark.implicits._
+    // 8x8 source sampled onto the 9x8 dHash grid (non-identity resample);
+    // an 18x16 source downsamples 2:1. Fingerprints must be non-null and
+    // invariant to input layout (the synthImagePng additive-seed pattern
+    // is NOT guaranteed distinct across seeds — adjacent-pixel
+    // differences of an additive pattern barely depend on the seed, which
+    // is exactly why synthImageSeries uses the double-mod formula)
+    val packed = Seq(
+      (1L, Multimodal.synthImagePng(1L)), (2L, Multimodal.synthImagePng(2L)),
+      (3L, Multimodal.synthImageSeries(12L, w = 18, h = 16)))
+      .toDF("media_id", "bytes")
+    val a = Multimodal.imageDHash(spark, packed).orderBy("media_id")
+      .collect().map(_.getLong(1)).toSeq
+    val b = Multimodal.imageDHash(spark, packed.repartition(3)).orderBy("media_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(a === b)
+    assert(a.size === 3)
+  }
+
   test("multimodal sampleStride takes every nth character code") {
     import spark.implicits._
     val out = Seq("abcdefg").toDF("t")
