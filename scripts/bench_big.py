@@ -56,7 +56,7 @@ LLM = [
     "web_url_normalize", "web_host_cap", "embedding_gram_matrix",
     "sample_negatives", "ann_hard_negatives",
     "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles",
-    "input_layer_assemble",
+    "input_layer_assemble", "sample_dsir_topn", "sketch_kmv_overlap",
 ]
 
 # SINGLE-SOURCE WARNING: these constants mirror the Scala side

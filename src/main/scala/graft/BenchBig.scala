@@ -38,7 +38,7 @@ object BenchBig {
     "sample_negatives", "ann_hard_negatives",
     "sketch_cms_heavy_hitters", "text_classifier_score", "pipeline_corpus_curation",
     "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles",
-    "input_layer_assemble")
+    "input_layer_assemble", "sample_dsir_topn", "sketch_kmv_overlap")
 
   /** The relational (TPC-H-shaped) suite: semi/anti joins, correlated
     * subqueries, outer-join aggregation, disjunctive pushdown — the

@@ -647,6 +647,18 @@ object SparkEntry {
         .toDF("media_id", "bytes")
       Multimodal.imageNearDupPairs(s, packed, maxHamming = 2)
     },
+    "multimodal_audio_neardup" -> { (s, d) =>
+      // perceptual audio dedup: REAL WAV decode -> 63-bit energy-profile
+      // fingerprint -> banded Hamming pairs; clips come in groups of 4
+      // (exact + 1-bit-near duplicates, zero cross-group noise) and the
+      // oracle re-derives every fingerprint from the sample closed form
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+      val packed = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthWavSeries(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.audioNearDupPairs(s, packed, maxHamming = 2)
+    },
     "sketch_kmv_overlap" -> { (s, d) =>
       // contamination screening sketch: how much of corpus B's content
       // already appears in corpus A, estimated from two O(64) KMV
@@ -2562,6 +2574,24 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 2""".stripMargin,
+    "multimodal_audio_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |smp AS (SELECT doc_id, r.i,
+        |  ((r.i*r.i*((doc_id // 4)+7) + r.i*((doc_id // 4)*(doc_id // 4)+13)
+        |    + CASE WHEN r.i = 0 THEN (doc_id % 4)*977 ELSE 0 END)
+        |   % 65543) % 65536 - 32768 AS v
+        |  FROM ids CROSS JOIN range(256) r(i)),
+        |en AS (SELECT doc_id, i // 4 AS w, SUM(ABS(v)) AS e
+        |  FROM smp GROUP BY doc_id, i // 4),
+        |fp AS (SELECT a.doc_id,
+        |  CAST(COALESCE(SUM(CASE WHEN b.e > a.e
+        |    THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER) ELSE 0 END), 0) AS BIGINT) AS fh
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(bit_count(xor(a.fh, b.fh)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fh, b.fh)) <= 2""".stripMargin,
     "sketch_kmv_overlap" ->
       s"""WITH ka AS (SELECT DISTINCT ${OracleFragments.modPHashSql(
             s"(${OracleFragments.polyHashSql("text")})", 17L)} AS h

@@ -231,6 +231,107 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "sum_val", "sum_abs")
   }
 
+  /** Deterministic 16-bit PCM mono WAV SERIES for audio-fingerprint
+    * dedup fixtures — the audio analog of [[synthImageSeries]]: clips
+    * come in groups of 4 (seed s = id/4) whose members differ only in
+    * sample 0 (tweak (id%4)·977), and sample i's value is
+    * `(((i²(s+7) + i(s²+13) + tweak₀) mod 65543) mod 65536) − 32768` —
+    * the double-mod (65543 prime) breaks the sawtooth structure a
+    * single mod would keep, which made every seed's energy profile
+    * collide. */
+  def synthWavSeries(id: Long, samples: Int = 256, sampleRate: Float = 8000f): Array[Byte] = {
+    val s = id >> 2
+    val tweak = (id & 3) * 977
+    val pcm = new Array[Byte](samples * 2)
+    var i = 0
+    while (i < samples) {
+      val c = if (i == 0) tweak else 0L
+      val il = i.toLong
+      val v = ((il * il * (s + 7) + il * (s * s + 13) + c) % 65543 % 65536 - 32768).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** (windows−1)-bit energy-profile fingerprint per audio clip — the
+    * chromaprint-shaped perceptual hash for audio near-dup: decode to
+    * 16-bit samples, sum |v| over `windows` equal time windows (window
+    * w covers samples [w·n/windows, (w+1)·n/windows), integer
+    * boundaries), bit w set when energy(w+1) > energy(w). Exact integer
+    * arithmetic end-to-end, so the oracle re-derives fingerprints from
+    * the sample closed form. Clips that fail to decode, are not 16-bit
+    * little-endian signed PCM, or have fewer samples than windows yield
+    * a NULL fingerprint. */
+  def audioFingerprint(spark: SparkSession, df: DataFrame,
+      windows: Int = 64): DataFrame = {
+    require(windows > 1 && windows <= 65,
+      s"audioFingerprint: windows must be in 2..65 (fingerprint fits a long), got $windows")
+    import spark.implicits._
+    binaryDs(spark, df).mapPartitions(_.map { case (id, bytes) =>
+      val fp = tryDecode(bytes) { b =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            null
+          else {
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            if (n < windows) null
+            else {
+              val energy = new Array[Long](windows)
+              var w = 0
+              while (w < windows) {
+                val start = (w.toLong * n / windows).toInt
+                val end = ((w + 1).toLong * n / windows).toInt
+                var e = 0L
+                var i = start
+                while (i < end) {
+                  e += math.abs(((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong)
+                  i += 1
+                }
+                energy(w) = e
+                w += 1
+              }
+              var bits = 0L
+              var j = 0
+              while (j < windows - 1) {
+                if (energy(j + 1) > energy(j)) bits |= 1L << j
+                j += 1
+              }
+              java.lang.Long.valueOf(bits)
+            }
+          }
+        } finally ais.close()
+      }
+      (id, fp.map(_.longValue))
+    }).toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs by energy-profile fingerprint:
+    * [[audioFingerprint]]s within `maxHamming` bits via the generic
+    * banded-Hamming machinery (exact recall by pigeonhole). Returns
+    * (media_a, media_b, hamming). */
+  def audioNearDupPairs(spark: SparkSession, df: DataFrame,
+      maxHamming: Int = 2, windows: Int = 64,
+      maxBucket: Int = NearDup.DefaultMaxBucket): DataFrame =
+    NearDup.hammingNearDups(
+      audioFingerprint(spark, df, windows)
+        .filter(col("afp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("afp").as("fp")),
+      bits = windows - 1, maxHamming = maxHamming, maxBucket = maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+
   /** Deterministic multi-frame GIF (the JDK's only multi-frame codec —
     * the video stand-in): frame f's pixel (x, y) gets
     * r = (id*7 + f*17 + x*3 + y*5) % 256, g = (id*11 + f*19 + x) % 256,

@@ -122,6 +122,36 @@ class MiscSpec extends GraftSpec {
     assert(!pairs.exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L))
   }
 
+  test("audioFingerprint: decoded energy profile equals the sample closed form; pairs skip corrupt clips") {
+    import spark.implicits._
+    val packed = spark.range(0, 40).toDF("media_id").as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.synthWavSeries(id))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.audioFingerprint(spark, packed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // re-derive from the synthWavSeries closed form
+    def vf(doc: Long, i: Int): Long = {
+      val s = doc >> 2
+      val c = if (i == 0) (doc & 3) * 977 else 0L
+      val il = i.toLong
+      (il * il * (s + 7) + il * (s * s + 13) + c) % 65543 % 65536 - 32768
+    }
+    (0L until 40L).foreach { d =>
+      val en = Array.tabulate(64)(w => (4 * w until 4 * w + 4).map(i => math.abs(vf(d, i))).sum)
+      var bits = 0L
+      for (w <- 0 until 63) if (en(w + 1) > en(w)) bits |= 1L << w
+      assert(got(d) === bits, s"doc $d")
+    }
+    // corrupt clip and a too-short clip produce NULL, never a pair
+    val withBad = packed.union(Seq(
+      (998L, Array[Byte](82, 73, 70, 70)),
+      (999L, Multimodal.synthWavSeries(999L, samples = 8))).toDF("media_id", "bytes"))
+    val pairs = Multimodal.audioNearDupPairs(spark, withBad, maxHamming = 2).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) / 4 === r.getLong(1) / 4))
+    assert(!pairs.exists(r => r.getLong(0) >= 998L || r.getLong(1) >= 998L))
+  }
+
   test("imageDHash: non-grid-sized images go through the resample path deterministically") {
     import spark.implicits._
     // 8x8 source sampled onto the 9x8 dHash grid (non-identity resample);
