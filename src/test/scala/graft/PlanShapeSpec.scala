@@ -61,6 +61,19 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan("sketch_kmv_distinct").contains("TakeOrderedAndProject"))
   }
 
+  test("KMV overlap: every sketch is a distributed top-k; sketch joins broadcast") {
+    val p = plan("sketch_kmv_overlap")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("DSIR: bucket-weight joins broadcast; selection is TakeOrderedAndProject") {
+    val p = plan("sample_dsir_topn")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("upsert merges with one equi-join, no cartesian") {
     val p = plan("upsert_merge")
     assert(p.contains("FullOuter") && !p.contains("CartesianProduct"))
