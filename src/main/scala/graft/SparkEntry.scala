@@ -634,6 +634,19 @@ object SparkEntry {
         .toDF("media_id", "bytes")
       Multimodal.sampleFrameStats(s, packed, stride = 2)
     },
+    "multimodal_image_decode_bulk" -> { (s, d) =>
+      // corpus-scale decode shape: ONE synthesized PNG per document (no
+      // id cap — encode+decode work scales with the corpus, unlike the
+      // fixture-bounded gates above); the closed-form oracle covers
+      // every row, so the gate stays exact at any sf
+      import s.implicits._
+      val ids = graft.operators.Parallelism.ensureDefault(
+        Tables.documents(s, d).select(col("doc_id")))
+      val packed = ids.as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decodeImageStats(s, packed)
+    },
     "multimodal_image_neardup" -> { (s, d) =>
       // perceptual-hash image dedup: REAL PNG decode -> 64-bit dHash ->
       // banded Hamming pairs (exact recall by pigeonhole); the fixture
@@ -1249,6 +1262,26 @@ object SparkEntry {
         e.filter(pmod(col("event_id"), lit(2)) =!= 0).write.parquet(target + "/odd")
       }
       TabularReader.fromParquet(s, Seq(root + "/even", root + "/odd"))
+    },
+    "scan_schema_evolution" -> { (s, d) =>
+      // schema evolution across files: half the corpus was written
+      // before `value` existed; mergeSchema reconciles the footers and
+      // the declared default fills the old files' rows, while new
+      // files' real values pass through untouched
+      val root = GateFixtures.dir("evolve", d) { target =>
+        val e = Tables.events(s, d)
+        e.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id"), col("user_id"))
+          .write.parquet(target + "/v1")
+        e.filter(pmod(col("event_id"), lit(2)) =!= 0)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .write.parquet(target + "/v2")
+      }
+      TabularReader.fromParquet(s, Seq(root + "/v1", root + "/v2"),
+        TabularReader.Options(mergeSchema = true, fields = Seq(
+          FieldSpec("event_id", LongType),
+          FieldSpec("user_id", LongType),
+          FieldSpec("value", DoubleType, defaultValue = Some(-1.0d)))))
     },
     "scan_corrupt_skip" -> { (s, d) =>
       // corrupt-data skip (reference dataset.cc:263-267): a junk file
@@ -2554,6 +2587,14 @@ object SparkEntry {
         |  CAST(SUM((doc_id*11 + 2*x) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id*13 + 2*y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
+    "multimodal_image_decode_bulk" ->
+      """WITH px AS (SELECT doc_id, r1.x, r2.y
+        |  FROM documents CROSS JOIN range(8) r1(x) CROSS JOIN range(8) r2(y))
+        |SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+        |  CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id*11 + x) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id*13 + y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     "multimodal_image_neardup" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |px AS (SELECT doc_id, doc_id // 4 AS s, doc_id % 4 AS tw, r1.x, r2.y,
@@ -2928,6 +2969,10 @@ object SparkEntry {
         |FROM events WHERE user_id >= 40 AND user_id < 80""".stripMargin,
     "scan_multifile_union" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "scan_schema_evolution" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 2 = 0 THEN -1.0 ELSE value END AS value
+        |FROM events""".stripMargin,
     "scan_corrupt_skip" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     "scan_dedup_restore" ->

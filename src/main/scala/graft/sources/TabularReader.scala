@@ -59,7 +59,17 @@ object TabularReader {
       // ORC has no row_index metadata column, so positions come from a
       // per-split row-offset pass (see orcRowRange).
       rowStart: Option[Long] = None,
-      rowEnd: Option[Long] = None)
+      rowEnd: Option[Long] = None,
+      // schema evolution across files: reconcile every file footer into
+      // one schema (Spark's mergeSchema; off by default, matching Spark —
+      // merging reads every footer), so files written BEFORE a column
+      // existed surface NULL for it — and a declared FieldSpec default
+      // then fills those NULLs per row (coalesce). This is the
+      // populate-defaults semantic under an evolving table: the missing-
+      // column default tiles whole old files, while new files' real
+      // values (including genuine NULLs only if the field declares no
+      // default) pass through.
+      mergeSchema: Boolean = false)
 
   def fromParquet(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
     read(spark, "parquet", paths, opts)
@@ -110,6 +120,7 @@ object TabularReader {
       .format(format)
       .options(extraOptions)
       .option("ignoreCorruptFiles", opts.skipCorrupted.toString)
+    if (opts.mergeSchema) reader.option("mergeSchema", "true")
     userSchema.foreach(reader.schema)
     val loaded = reader.load(paths: _*)
 
@@ -267,9 +278,14 @@ object TabularReader {
       if (isHalfLayout(fileType, f.dataType)) decodeHalf(c0, fileType)
       else if (sameIgnoringNullability(fileType, f.dataType)) c0
       else c0.cast(f.dataType)
+    // under mergeSchema a file written before this column existed reads
+    // NULL — the declared default fills those rows (evolution analog of
+    // the whole-column default)
+    val filled =
+      if (opts.mergeSchema && f.defaultValue.isDefined) coalesce(c, defaultColumn(f)) else c
     if (opts.toDense && (f.raggedRank == 1 || f.shape.length == 1))
-      padToLength(c, f.shape.headOption, opts.denseDefault, f.leafType)
-    else c
+      padToLength(filled, f.shape.headOption, opts.denseDefault, f.leafType)
+    else filled
   }
 
   private def sameIgnoringNullability(a: DataType, b: DataType): Boolean = (a, b) match {

@@ -39,6 +39,24 @@ class SourcesSpec extends GraftSpec {
     assert(back.exceptAll(docs).count() === 0 && docs.exceptAll(back).count() === 0)
   }
 
+  test("mergeSchema evolution: old files fill from the default, new files keep values") {
+    import spark.implicits._
+    import graft.schema.FieldSpec
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, 10L)).toDF("id", "a").write.parquet(dir + "/v1")
+    Seq((2L, 20L, Option(5.0)), (3L, 30L, Option.empty[Double]))
+      .toDF("id", "a", "v").write.parquet(dir + "/v2")
+    val out = TabularReader.fromParquet(spark, Seq(dir + "/v1", dir + "/v2"),
+      TabularReader.Options(mergeSchema = true, fields = Seq(
+        FieldSpec("id", LongType), FieldSpec("a", LongType),
+        FieldSpec("v", DoubleType, defaultValue = Some(-1.0)))))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // old-file rows AND genuine NULLs both fill from the default — a
+    // field that declares a default is total by contract
+    assert(out.toSeq === Seq((1L, 10L, -1.0), (2L, 20L, 5.0), (3L, 30L, -1.0)))
+  }
+
   test("query results are invariant to input partition layout") {
     val li = Tables.lineitem(spark, sf)
     def q1(df: org.apache.spark.sql.DataFrame) =
