@@ -1721,6 +1721,16 @@ object SparkEntry {
       Sampling.splitAssign(Tables.documents(s, d).select(col("doc_id")),
         col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 7L)
     },
+    "sample_split_grouped" -> { (s, d) =>
+      // leakage-safe eval split: assignment keyed on the GROUP (source —
+      // the host/domain analog), so every doc of a source lands in ONE
+      // split and within-source near-dups can never straddle train/test
+      // (the group-holdout discipline crawl corpora need)
+      Sampling.splitAssign(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        TextFunctions.polyHash(col("source")),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 7L)
+    },
     "sample_weighted" -> { (s, d) =>
       // quality-weighted curation: each doc survives with probability
       // equal to its quality score (portable coin, oracle mirrors the
@@ -3227,6 +3237,16 @@ object SparkEntry {
          |  CASE WHEN h6 < $c1 THEN 'train' WHEN h6 < $c2 THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT doc_id,
          |  (${OracleFragments.modPHashSql("doc_id", 7L)}) % 1000000 AS h6 FROM documents)""".stripMargin
+    },
+    "sample_split_grouped" -> {
+      val Seq(c1, c2, _) = graft.operators.Sampling.splitThresholds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      s"""SELECT doc_id, source,
+         |  CASE WHEN h6 < $c1 THEN 'train' WHEN h6 < $c2 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |  (${OracleFragments.modPHashSql(
+              s"(${OracleFragments.polyHashSql("source")})", 7L)}) % 1000000 AS h6
+         |  FROM documents)""".stripMargin
     },
     "sample_weighted" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

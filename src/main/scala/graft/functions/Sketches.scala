@@ -39,12 +39,19 @@ object Sketches {
     * the estimate high.
     *
     * Returns 1 row: (kmv_estimate: double, n_hashes_kept: long). */
-  def kmvDistinct(df: DataFrame, key: Column, k: Int, seed: Long): DataFrame = {
-    require(k > 1, s"kmvDistinct: k must be > 1, got $k")
-    val kept = df.select(Sampling.modPHash(key, seed).as("h"))
+  /** The kept sketch every KMV estimator is built from: the k smallest
+    * DISTINCT portable hashes of `key` (NULLs ignored) — one shared
+    * construction so the distinct-count and overlap estimators can
+    * never drift on the hash/NULL/tie conventions. */
+  private def keptSketch(df: DataFrame, key: Column, k: Int, seed: Long): DataFrame =
+    df.select(Sampling.modPHash(key, seed).as("h"))
       .filter(col("h").isNotNull)
       .distinct().orderBy(col("h")).limit(k)
-    kept.agg(count(lit(1)).as("n_hashes_kept"), max(col("h")).as("hk"))
+
+  def kmvDistinct(df: DataFrame, key: Column, k: Int, seed: Long): DataFrame = {
+    require(k > 1, s"kmvDistinct: k must be > 1, got $k")
+    keptSketch(df, key, k, seed)
+      .agg(count(lit(1)).as("n_hashes_kept"), max(col("h")).as("hk"))
       .select(
         when(col("n_hashes_kept") < k, col("n_hashes_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble) * P / col("hk")).as("kmv_estimate"),
@@ -99,11 +106,8 @@ object Sketches {
   def kmvOverlap(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
       k: Int, seed: Long): DataFrame = {
     require(k > 1, s"kmvOverlap: k must be > 1, got $k")
-    def sketch(df: DataFrame, key: Column): DataFrame =
-      df.select(Sampling.modPHash(key, seed).as("h"))
-        .filter(col("h").isNotNull).distinct().orderBy(col("h")).limit(k)
-    val sa = sketch(dfA, keyA).withColumnRenamed("h", "ha")
-    val sb = sketch(dfB, keyB).withColumnRenamed("h", "hb")
+    val sa = keptSketch(dfA, keyA, k, seed).withColumnRenamed("h", "ha")
+    val sb = keptSketch(dfB, keyB, k, seed).withColumnRenamed("h", "hb")
     val su = sa.select(col("ha").as("h")).union(sb.select(col("hb").as("h")))
       .distinct().orderBy(col("h")).limit(k)
     su.join(broadcast(sa), col("h") === col("ha"), "left")
@@ -115,7 +119,10 @@ object Sketches {
         max(col("h")).as("hk"))
       .select(
         col("n_union_kept"), col("n_both"),
-        (col("n_both").cast("double") / col("n_union_kept")).as("jaccard_est"),
+        // empty union (both corpora empty / all-NULL keys): 0/0 would be
+        // NULL — two empty sets have Jaccard 0 by convention here
+        when(col("n_union_kept") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double") / col("n_union_kept")).as("jaccard_est"),
         when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble) * P / col("hk")).as("union_est"))
   }

@@ -40,8 +40,12 @@ object Importance {
   /** Hashed feature bucket of a token: polyHash (mult family) reduced
     * mod `buckets` — non-negative, mirrored by the oracle as
     * `(polyHashSql % buckets)`. */
-  def tokenBucket(tok: Column, buckets: Int, mult: Long = 31L): Column =
+  def tokenBucket(tok: Column, buckets: Int, mult: Long = 31L): Column = {
+    // guard where the parameter is first consumed: pmod(h, 0) would
+    // yield NULL buckets and silently collapse every count onto one key
+    require(buckets > 1, s"tokenBucket: buckets must be > 1, got $buckets")
     pmod(TextFunctions.polyHashMult(tok, mult), lit(buckets.toLong))
+  }
 
   private def tokenBuckets(docs: DataFrame, id: Column, text: Column,
       buckets: Int, mult: Long): DataFrame =
@@ -81,7 +85,11 @@ object Importance {
     * ratio is empty — same convention as the LM scorer). */
   def importanceScores(raw: DataFrame, target: DataFrame, id: Column, text: Column,
       buckets: Int, mult: Long = 31L): DataFrame = {
-    require(buckets > 1, s"importanceScores: buckets must be > 1, got $buckets")
+    // NOTE the raw corpus is deliberately tokenized TWICE (once for the
+    // bucket counts, once for the score join) — the same 2-pass choice
+    // as LOO target encoding: the columnar scan + codegen explode is
+    // cheap to repeat, while persisting the exploded token frame would
+    // materialize a structure far larger than the input at corpus scale.
     val w = bucketWeights(raw, target, id, text, buckets, mult)
     tokenBuckets(raw, id, text, buckets, mult)
       .join(broadcast(w), "b")

@@ -197,43 +197,55 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Shared PCM decode guard for every audio featurizer: decode to
+    * MONO SIGNED 16-bit LITTLE-ENDIAN samples or None. The JDK also
+    * opens AIFF/AU (big-endian), 8-bit/u-law and multi-channel
+    * payloads — big-endian would byte-swap into silent garbage and
+    * interleaved stereo would frame-misalign any time-window feature —
+    * so every non-conforming clip gets the marker/NULL, never wrong
+    * features. One place, so the decoders cannot drift on the guard. */
+  private def decodePcm16Mono(bytes: Array[Byte]): Option[Array[Short]] =
+    tryDecode(bytes) { b =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          null
+        else {
+          val data = ais.readAllBytes()
+          val out = new Array[Short](data.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          out
+        }
+      } finally ais.close()
+    }
+
   /** REAL batched audio decode (javax.sound.sampled — WAV/PCM ships
     * with the JDK): per-partition decode to 16-bit samples, emitting
     * (n_samples, sum, sum_abs) — the length/energy features an audio
-    * curation pipeline filters on. Unreadable payloads yield
-    * (-1, 0, 0). */
+    * curation pipeline filters on. Unreadable or non-conforming
+    * payloads (see [[decodePcm16Mono]]) yield (-1, 0, 0). */
   def decodeAudioStats(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     binaryDs(spark, df).mapPartitions(_.map { case (id, bytes) =>
-      tryDecode(bytes) { b =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(b))
-        try {
-          // the sample loop below decodes SIGNED 16-bit LITTLE-ENDIAN
-          // PCM; the JDK also opens AIFF/AU (big-endian) and 8-bit/u-law
-          // payloads, which would byte-swap into silent garbage — those
-          // get the marker row instead of wrong energy features
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
-            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            null
-          else {
-            val data = ais.readAllBytes()
-            var (n, sum, sumAbs) = (0L, 0L, 0L)
-            var i = 0
-            while (i + 1 < data.length) {
-              val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
-              n += 1
-              sum += v
-              sumAbs += math.abs(v)
-              i += 2
-            }
-            (n, sum, sumAbs)
-          }
-        } finally ais.close()
-      } match {
+      decodePcm16Mono(bytes) match {
         case None => (id, -1L, 0L, 0L)
-        case Some((n, sum, sumAbs)) => (id, n, sum, sumAbs)
+        case Some(samples) =>
+          var (sum, sumAbs) = (0L, 0L)
+          var i = 0
+          while (i < samples.length) {
+            sum += samples(i)
+            sumAbs += math.abs(samples(i).toLong)
+            i += 1
+          }
+          (id, samples.length.toLong, sum, sumAbs)
       }
     }).toDF("media_id", "n_samples", "sum_val", "sum_abs")
   }
@@ -283,45 +295,31 @@ object Multimodal {
       s"audioFingerprint: windows must be in 2..65 (fingerprint fits a long), got $windows")
     import spark.implicits._
     binaryDs(spark, df).mapPartitions(_.map { case (id, bytes) =>
-      val fp = tryDecode(bytes) { b =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(b))
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
-            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            null
-          else {
-            val data = ais.readAllBytes()
-            val n = data.length / 2
-            if (n < windows) null
-            else {
-              val energy = new Array[Long](windows)
-              var w = 0
-              while (w < windows) {
-                val start = (w.toLong * n / windows).toInt
-                val end = ((w + 1).toLong * n / windows).toInt
-                var e = 0L
-                var i = start
-                while (i < end) {
-                  e += math.abs(((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong)
-                  i += 1
-                }
-                energy(w) = e
-                w += 1
-              }
-              var bits = 0L
-              var j = 0
-              while (j < windows - 1) {
-                if (energy(j + 1) > energy(j)) bits |= 1L << j
-                j += 1
-              }
-              java.lang.Long.valueOf(bits)
-            }
+      val fp = decodePcm16Mono(bytes).filter(_.length >= windows).map { samples =>
+        val n = samples.length
+        val energy = new Array[Long](windows)
+        var w = 0
+        while (w < windows) {
+          val start = (w.toLong * n / windows).toInt
+          val end = ((w + 1).toLong * n / windows).toInt
+          var e = 0L
+          var i = start
+          while (i < end) {
+            e += math.abs(samples(i).toLong)
+            i += 1
           }
-        } finally ais.close()
+          energy(w) = e
+          w += 1
+        }
+        var bits = 0L
+        var j = 0
+        while (j < windows - 1) {
+          if (energy(j + 1) > energy(j)) bits |= 1L << j
+          j += 1
+        }
+        bits
       }
-      (id, fp.map(_.longValue))
+      (id, fp)
     }).toDF("media_id", "afp")
   }
 

@@ -62,13 +62,11 @@ object TabularReader {
       rowEnd: Option[Long] = None,
       // schema evolution across files: reconcile every file footer into
       // one schema (Spark's mergeSchema; off by default, matching Spark —
-      // merging reads every footer), so files written BEFORE a column
-      // existed surface NULL for it — and a declared FieldSpec default
-      // then fills those NULLs per row (coalesce). This is the
-      // populate-defaults semantic under an evolving table: the missing-
-      // column default tiles whole old files, while new files' real
-      // values (including genuine NULLs only if the field declares no
-      // default) pass through.
+      // merging reads every footer). A declared FieldSpec default then
+      // fills rows of exactly the FILES whose own footer lacks the
+      // column (file-granular via _metadata.file_path — the missing-
+      // column default tiles whole old files), while files that carry
+      // the column keep their values, INCLUDING genuine NULLs.
       mergeSchema: Boolean = false)
 
   def fromParquet(spark: SparkSession, paths: Seq[String], opts: Options = Options()): DataFrame =
@@ -116,6 +114,8 @@ object TabularReader {
       format == "parquet" || format == "orc" || (opts.rowStart.isEmpty && opts.rowEnd.isEmpty),
       s"rowStart/rowEnd require a footer-bearing columnar reader " +
         s"(parquet or orc); format '$format' does not support row-range scans")
+    require(!opts.mergeSchema || format == "parquet" || format == "orc",
+      s"mergeSchema reconciles file footers; format '$format' has none")
     val reader = spark.read
       .format(format)
       .options(extraOptions)
@@ -158,14 +158,32 @@ object TabularReader {
     val key: String => String = n => if (opts.caseInsensitive) n.toLowerCase else n
     val present = loaded.schema.fieldNames.map(key).toSet
 
+    // Evolution fill (mergeSchema): a field present in the RECONCILED
+    // schema may still be absent from individual files' footers — those
+    // files' rows read NULL and take the declared default, while files
+    // that carry the column keep their values INCLUDING genuine NULLs
+    // (file-granular, matching Spark/Parquet evolution semantics; a
+    // row-level coalesce would silently rewrite real NULLs).
+    lazy val footerFields: Map[String, Set[String]] =
+      footerFieldNames(spark, format, loaded.inputFiles.toSeq)
+    def filesLacking(n: String): Seq[String] =
+      footerFields.collect { case (f, names) if !names.map(key).contains(n) => f }.toSeq
+
     // Projection reaches the parquet scan (Catalyst column pruning);
     // missing fields are populated from their declared default, tiled to
     // every row — the analog of DataFrame.populate_defaults
     // (dataframe.py:458-501).
     val cols: Seq[Column] = fields.map { f =>
       val base =
-        if (present.contains(key(f.name))) projectExisting(raw, f, opts)
-        else defaultColumn(f)
+        if (!present.contains(key(f.name))) defaultColumn(f)
+        else {
+          val c = projectExisting(raw, f, opts)
+          val lacking =
+            if (opts.mergeSchema && f.defaultValue.isDefined) filesLacking(key(f.name))
+            else Nil
+          if (lacking.isEmpty) c
+          else when(col("_metadata.file_path").isin(lacking: _*), defaultColumn(f)).otherwise(c)
+        }
       base.as(f.name)
     }
     applyRestore(raw.select(cols: _*), opts)
@@ -278,14 +296,42 @@ object TabularReader {
       if (isHalfLayout(fileType, f.dataType)) decodeHalf(c0, fileType)
       else if (sameIgnoringNullability(fileType, f.dataType)) c0
       else c0.cast(f.dataType)
-    // under mergeSchema a file written before this column existed reads
-    // NULL — the declared default fills those rows (evolution analog of
-    // the whole-column default)
-    val filled =
-      if (opts.mergeSchema && f.defaultValue.isDefined) coalesce(c, defaultColumn(f)) else c
     if (opts.toDense && (f.raggedRank == 1 || f.shape.length == 1))
-      padToLength(filled, f.shape.headOption, opts.denseDefault, f.leafType)
-    else filled
+      padToLength(c, f.shape.headOption, opts.denseDefault, f.leafType)
+    else c
+  }
+
+  /** Per-file footer field names for the evolution fill: which of the
+    * scan's files lack a declared field. One metadata-only footer read
+    * per file on the driver — the same cost class as the mergeSchema
+    * reconciliation that just ran distributed; the result feeds a
+    * per-field InSet predicate bounded by the lacking-file count. */
+  private def footerFieldNames(
+      spark: SparkSession, format: String, files: Seq[String]): Map[String, Set[String]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      // key by the Hadoop-normalized form ("file:/…") — inputFiles
+      // yields "file:///…" while _metadata.file_path yields "file:/…",
+      // and the fill predicate compares against the latter
+      val names: Set[String] = format match {
+        case "parquet" =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+          } finally r.close()
+        case _ => // orc (the only other format mergeSchema accepts)
+          val r = org.apache.orc.OrcFile.createReader(
+            p, org.apache.orc.OrcFile.readerOptions(conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getSchema.getFieldNames.asScala.toSet
+          } finally r.close()
+      }
+      p.toString -> names
+    }.toMap
   }
 
   private def sameIgnoringNullability(a: DataType, b: DataType): Boolean = (a, b) match {

@@ -155,6 +155,16 @@ class LlmPrepSpec extends GraftSpec {
       .sameElements(scores.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted))
   }
 
+  test("grouped split: every group lands in exactly one split (no leakage)") {
+    val out = Sampling.splitAssign(
+      docs.select(col("doc_id"), col("source")),
+      TextFunctions.polyHash(col("source")),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 7L)
+    val groups = out.select("source").distinct().count()
+    val groupSplits = out.select("source", "split").distinct().count()
+    assert(groupSplits === groups)
+  }
+
   test("gridQuantiles: empty input still emits one row per q; bad q rejected") {
     val ev = Tables.events(spark, sf).filter(lit(false))
     val out = Sketches.gridQuantiles(ev, col("value"), buckets = 16, qs = Seq(0.5, 0.9))

@@ -142,14 +142,22 @@ class MiscSpec extends GraftSpec {
       for (w <- 0 until 63) if (en(w + 1) > en(w)) bits |= 1L << w
       assert(got(d) === bits, s"doc $d")
     }
-    // corrupt clip and a too-short clip produce NULL, never a pair
+    // corrupt, too-short and STEREO clips produce NULL, never a pair
+    // (interleaved stereo would frame-misalign the energy windows)
+    val sfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](1024)), sfmt, 256)
+    val sOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(sais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sOut)
     val withBad = packed.union(Seq(
+      (997L, sOut.toByteArray),
       (998L, Array[Byte](82, 73, 70, 70)),
       (999L, Multimodal.synthWavSeries(999L, samples = 8))).toDF("media_id", "bytes"))
     val pairs = Multimodal.audioNearDupPairs(spark, withBad, maxHamming = 2).collect()
     assert(pairs.nonEmpty)
     assert(pairs.forall(r => r.getLong(0) / 4 === r.getLong(1) / 4))
-    assert(!pairs.exists(r => r.getLong(0) >= 998L || r.getLong(1) >= 998L))
+    assert(!pairs.exists(r => r.getLong(0) >= 997L || r.getLong(1) >= 997L))
   }
 
   test("imageDHash: non-grid-sized images go through the resample path deterministically") {

@@ -51,10 +51,14 @@ class SourcesSpec extends GraftSpec {
       TabularReader.Options(mergeSchema = true, fields = Seq(
         FieldSpec("id", LongType), FieldSpec("a", LongType),
         FieldSpec("v", DoubleType, defaultValue = Some(-1.0)))))
-      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // old-file rows AND genuine NULLs both fill from the default — a
-    // field that declares a default is total by contract
-    assert(out.toSeq === Seq((1L, 10L, -1.0), (2L, 20L, 5.0), (3L, 30L, -1.0)))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // file-granular fill: only the file whose footer LACKS the column
+    // takes the default; a genuine NULL in a post-evolution file
+    // survives (a row-level coalesce would silently rewrite it)
+    assert(out.toSeq === Seq(
+      (1L, 10L, Some(-1.0)), (2L, 20L, Some(5.0)), (3L, 30L, None)))
   }
 
   test("query results are invariant to input partition layout") {
