@@ -61,6 +61,25 @@ class SourcesSpec extends GraftSpec {
       (1L, 10L, Some(-1.0)), (2L, 20L, Some(5.0)), (3L, 30L, None)))
   }
 
+  test("mergeSchema evolution works for ORC too (footer branch parity)") {
+    import spark.implicits._
+    import graft.schema.FieldSpec
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = Files.createTempDirectory("graft_evolve_orc").toString
+    Seq((1L, 10L)).toDF("id", "a").write.orc(dir + "/v1")
+    Seq((2L, 20L, Option(5.0)), (3L, 30L, Option.empty[Double]))
+      .toDF("id", "a", "v").write.orc(dir + "/v2")
+    val out = TabularReader.fromOrc(spark, Seq(dir + "/v1", dir + "/v2"),
+      TabularReader.Options(mergeSchema = true, fields = Seq(
+        FieldSpec("id", LongType), FieldSpec("a", LongType),
+        FieldSpec("v", DoubleType, defaultValue = Some(-1.0)))))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq === Seq(
+      (1L, 10L, Some(-1.0)), (2L, 20L, Some(5.0)), (3L, 30L, None)))
+  }
+
   test("query results are invariant to input partition layout") {
     val li = Tables.lineitem(spark, sf)
     def q1(df: org.apache.spark.sql.DataFrame) =
