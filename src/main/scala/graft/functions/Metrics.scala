@@ -22,6 +22,12 @@ object Metrics {
 
   /** accuracy = mean(pred == label) (reference: metrics/accuracy.py:35-86).
     * Integer-count based, so the double division is order-independent. */
+  /** NULL CONTRACT: a null label or prediction counts as a miss (the
+    * `===` is null on such rows and falls to `otherwise(0)`) while the
+    * denominator still counts the row — SQL's natural reading of "was
+    * this row predicted correctly", and the reference's accuracy over a
+    * dense label/pred pair never sees nulls. Pre-filter if unlabeled
+    * rows should be excluded instead. */
   def accuracy(label: Column, pred: Column): Column =
     sum(when(label === pred, 1L).otherwise(0L)).cast("double") / count(lit(1))
 
@@ -55,12 +61,19 @@ object Metrics {
     // unpersist hook (and InMemoryRelation breaks codegen fusion).
     val perScore = df
       .select(score.cast("double").as("s"), label.cast("int").as("y"))
-      .filter(col("s").isNotNull && !isnan(col("s")))
+      // null LABELS are excluded too: sum(y) would skip them while
+      // count(1) counted the row, silently classing every unlabeled row
+      // as a negative
+      .filter(col("s").isNotNull && !isnan(col("s")) && col("y").isNotNull)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-    // ordering-preserving range bucket over [lo, hi]; the 1-row stats
-    // frame rides along via broadcast so the plan stays fully lazy
-    val stats = perScore.agg(min(col("s")).as("__lo"), max(col("s")).as("__hi"))
+    // ordering-preserving range bucket over the FINITE [lo, hi] (an
+    // infinite score is still ranked — top/bottom bucket per its sort
+    // position — but must not flatten the domain for everyone else);
+    // the 1-row stats frame rides along broadcast, plan stays lazy
+    val stats = perScore.agg(
+      min(graft.operators.Buckets.finiteOrNull(col("s"))).as("__lo"),
+      max(graft.operators.Buckets.finiteOrNull(col("s"))).as("__hi"))
     val bucketed = perScore.crossJoin(broadcast(stats))
       .withColumn("bkt",
         graft.operators.Buckets.rangeBucket(col("s"), col("__lo"), col("__hi"), buckets))
@@ -68,10 +81,7 @@ object Metrics {
     val inBucket = bucketed.withColumn("cumIn",
       coalesce(sum(col("cnt")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val bktCnts = bucketed.groupBy(col("bkt")).agg(sum(col("cnt")).as("bktCnt"))
-    val offsets = bktCnts.as("x")
-      .join(bktCnts.as("z"), col("z.bkt") < col("x.bkt"), "left")
-      .groupBy(col("x.bkt").as("bkt"))
-      .agg(coalesce(sum(col("z.bktCnt")), lit(0L)).as("bktOffset"))
+    val offsets = graft.operators.Buckets.bucketOffsets(bktCnts, "bkt", "bktCnt", "bktOffset")
     val ranked = inBucket.join(broadcast(offsets), "bkt")
       .withColumn("cumBefore", col("bktOffset") + col("cumIn"))
     // avg rank of a tie group = cumBefore + (cnt+1)/2; all terms are
@@ -289,6 +299,10 @@ object Metrics {
     */
   final class ThresholdedAuc(numThresholds: Int = 200)
       extends Aggregator[(Double, Double), Array[Long], Double] {
+    // T < 2 would make the trapezoid loop empty and return 0.0 for any
+    // input — fail at construction, not with a silently wrong metric
+    require(numThresholds >= 2,
+      s"ThresholdedAuc: numThresholds must be >= 2, got $numThresholds")
     // thresholds: -eps, 1/(T-1), 2/(T-1), ..., 1+eps (tf.metrics.auc
     // layout); built once per task, not per row — reduce() is the hot loop
     private val kEps = 1e-7

@@ -89,7 +89,14 @@ object Partitioners {
       buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.withColumn("__pk", primary.cast("double"))
-    val stats = base.agg(min(col("__pk")).as("__lo"), max(col("__pk")).as("__hi"))
+    // domain stats over FINITE keys only; rangeBucket places null/-Inf
+    // in bucket 0 and NaN/+Inf in the top bucket, consistent with their
+    // ascending sort positions — so the ordinal remains a total order
+    // even on dirty keys, and one NaN cannot collapse every row into a
+    // single window partition
+    val stats = base.agg(
+      min(Buckets.finiteOrNull(col("__pk"))).as("__lo"),
+      max(Buckets.finiteOrNull(col("__pk"))).as("__hi"))
     val bucketed = base.crossJoin(broadcast(stats))
       .withColumn("__bkt",
         Buckets.rangeBucket(col("__pk"), col("__lo"), col("__hi"), buckets))
@@ -97,10 +104,7 @@ object Partitioners {
       .orderBy(col("__pk") +: tieBreaks: _*)
     val withRn = bucketed.withColumn("__rn", row_number().over(wIn))
     val cnts = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
-    val offsets = cnts.as("x")
-      .join(cnts.as("z"), col("z.__bkt") < col("x.__bkt"), "left")
-      .groupBy(col("x.__bkt").as("__bkt"))
-      .agg(coalesce(sum(col("z.__c")), lit(0L)).as("__off"))
+    val offsets = Buckets.bucketOffsets(cnts, "__bkt", "__c", "__off")
     withRn.join(broadcast(offsets), "__bkt")
       .withColumn("ordinal", (col("__off") + col("__rn")).cast("long"))
       .drop("__pk", "__bkt", "__rn", "__off", "__lo", "__hi")

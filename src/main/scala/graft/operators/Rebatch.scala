@@ -35,6 +35,11 @@ object Rebatch {
   def partitionsOf(df: DataFrame, batchSize: Int, rowCount: Option[Long] = None): DataFrame = {
     val rows = rowCount.getOrElse(df.count())
     val n = math.max(1L, (rows + batchSize - 1) / batchSize)
+    // a Long->Int wrap here would pass a garbage partition count to
+    // repartition (0/negative throws, other wraps silently mis-size)
+    require(n <= Int.MaxValue,
+      s"partitionsOf: $rows rows / batchSize=$batchSize needs $n partitions " +
+        s"(> Int.MaxValue); raise batchSize")
     df.repartition(n.toInt)
   }
 }

@@ -148,7 +148,11 @@ object StreamingOps {
         .select(keys.map(col) ++
           cols.filterNot(keys.contains).map(c => col(s"__m.$c").as(c)): _*)
         .select(cols.map(col): _*)
-      val merged = latestSnapshot(spark, snapshotDir) match {
+      // merge against the newest snapshot STRICTLY BELOW this batch: a
+      // replayed batch (restart after a failure mid-write of v$batchId)
+      // must not merge against its own partial output — that would
+      // silently drop every key only present in v$(batchId-1)
+      val merged = latestSnapshot(spark, snapshotDir, below = Some(batchId)) match {
         case Some(cur) => graft.operators.Upsert.merge(cur.select(cols.map(col): _*), latest, keys)
         case None => latest
       }
@@ -157,14 +161,28 @@ object StreamingOps {
     }
   }
 
-  /** Newest versioned snapshot written by [[upsertApply]], if any. */
-  def latestSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
-    val d = new java.io.File(snapshotDir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
+  /** Newest COMMITTED versioned snapshot written by [[upsertApply]], if
+    * any — committed = the version directory carries Spark's _SUCCESS
+    * marker, so a crash mid-overwrite can never surface as state.
+    * Listing goes through the Hadoop FileSystem of the path (java.io
+    * would silently return nothing for hdfs://, s3a://, ... and every
+    * batch would discard all prior state). `below` excludes versions
+    * >= that batch id (the replay guard). */
+  def latestSnapshot(spark: SparkSession, snapshotDir: String,
+      below: Option[Long] = None): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong)
+        .toOption.map(_ -> st.getPath))
+      .filter { case (v, p) =>
+        below.forall(v < _) &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
       .sortBy(_._1).lastOption
-      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
+      .map { case (_, p) => spark.read.parquet(p.toString) }
   }
 
   /** Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`):

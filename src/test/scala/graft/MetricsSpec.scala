@@ -108,6 +108,28 @@ class MetricsSpec extends GraftSpec {
     assert(a === b && a === 1.0)
   }
 
+  test("aucExact: null labels excluded; an infinite score ranks but does not flatten buckets") {
+    import spark.implicits._
+    val clean = Seq((0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9)).toDF("y", "s")
+    // null labels would otherwise count as negatives (sum skips, count doesn't)
+    val nullLab = Seq[(java.lang.Integer, Double)](
+      (0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9), (null, 0.5), (null, 0.95))
+      .toDF("y", "s")
+    val a = Metrics.aucExact(clean, col("y") === 1, col("s")).collect().head.getDouble(0)
+    val b = Metrics.aucExact(nullLab, col("y") === 1, col("s")).collect().head.getDouble(0)
+    assert(a === b && a === 1.0)
+    // +Inf is a legitimate (top-ranked) score; the finite-domain stats
+    // keep everyone else in spread-out buckets and the value is exact
+    val withInf = Seq((0, 0.1), (0, 0.2), (1, 0.8), (1, Double.PositiveInfinity))
+      .toDF("y", "s")
+    val c = Metrics.aucExact(withInf, col("y") === 1, col("s")).collect().head.getDouble(0)
+    assert(c === 1.0)
+  }
+
+  test("ThresholdedAuc rejects degenerate threshold counts at construction") {
+    intercept[IllegalArgumentException] { new Metrics.ThresholdedAuc(1) }
+  }
+
   test("MeanAggregator (Kahan) is accurate under badly conditioned sums") {
     import spark.implicits._
     // 1e12 + many tiny values: plain double accumulation loses the tail

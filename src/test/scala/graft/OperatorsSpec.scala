@@ -39,6 +39,31 @@ class OperatorsSpec extends GraftSpec {
     assert(big.exceptAll(bigWant).count() === 0)
   }
 
+  test("stableIds stays a total order under null/NaN/Inf keys (no domain poisoning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // nulls first, then -Inf, finite ascending, +Inf, NaN last — Spark's
+    // ascending sort order; one NaN must not collapse every row into the
+    // top bucket (stats are computed over finite keys only)
+    val df = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, null), (3L, Double.NaN), (4L, -3.0),
+      (5L, Double.PositiveInfinity), (6L, Double.NegativeInfinity), (7L, 0.0))
+      .toDF("id", "v")
+    val got = Partitioners.stableIds(df, col("v"), Seq(col("id")), buckets = 4)
+      .select(col("id"), col("ordinal"))
+    val want = df.select(col("id"),
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long").as("ordinal"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("partitionsOf rejects partition counts beyond Int range instead of wrapping") {
+    val df = Tables.events(spark, sf).limit(10)
+    intercept[IllegalArgumentException] {
+      graft.operators.Rebatch.partitionsOf(df, batchSize = 1, rowCount = Some(1L << 40))
+    }
+  }
+
   test("indexApply maps unseen values to -1, seen values to their rank") {
     import spark.implicits._
     val train = Seq("b", "b", "b", "a", "a", "c").toDF("cat")

@@ -161,6 +161,22 @@ class StreamingSpec extends GraftSpec {
     assert(got === Set((1L, 10L, "a0"), (2L, 20L, "b2"), (3L, 21L, "c0")))
   }
 
+  test("latestSnapshot skips uncommitted versions and honors the replay bound") {
+    import spark.implicits._
+    val snap = Files.createTempDirectory("graft_snap_guard").toString
+    Seq((1L, "a")).toDF("k", "x").write.parquet(snap + "/v0")
+    // a partial overwrite from a crashed batch: directory exists, no
+    // _SUCCESS commit marker — must never be resolved as state
+    new java.io.File(snap + "/v1").mkdirs()
+    val got = StreamingOps.latestSnapshot(spark, snap).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a")))
+    // replay guard: batch 0 re-running must not see v0 (its own output)
+    assert(StreamingOps.latestSnapshot(spark, snap, below = Some(0L)).isEmpty)
+    // and a missing snapshot dir is None, not an exception
+    assert(StreamingOps.latestSnapshot(spark, snap + "_nope").isEmpty)
+  }
+
   test("stateful streaming dedup emits each key exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup").toString
