@@ -77,7 +77,6 @@ object DedupClusters {
       converged = sig == prev
       prev = sig
       iter += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round $iter sig=$sig ${System.nanoTime}")
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +

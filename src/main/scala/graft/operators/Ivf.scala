@@ -45,6 +45,9 @@ object Ivf {
     * a lexicographic min, so ties break toward the smaller cluster id —
     * mirrored by the oracle's ORDER BY dist, cid. */
   def nearestCentroid(qv: Column, cents: Centroids): Column = {
+    // an empty model would otherwise surface as a cryptic zero-arg
+    // least() analysis error deep inside plan construction
+    require(cents.nonEmpty, "nearestCentroid: empty centroid model (empty corpus or k <= 0?)")
     val cands = cents.map { case (cid, c) =>
       struct(sq_dist_l(qv, typedLit(c)).as("dist"), lit(cid.toLong).as("cid"))
     }
@@ -54,6 +57,7 @@ object Ivf {
   /** The `nprobe` nearest centroid ids per row, by row-local sort of the
     * (dist, cid) struct array — same tie-break as [[nearestCentroid]]. */
   def nearestCentroids(qv: Column, cents: Centroids, nprobe: Int): Column = {
+    require(cents.nonEmpty, "nearestCentroids: empty centroid model (empty corpus or k <= 0?)")
     val cands = array(cents.map { case (cid, c) =>
       struct(sq_dist_l(qv, typedLit(c)).as("dist"), lit(cid.toLong).as("cid"))
     }: _*)
@@ -68,9 +72,11 @@ object Ivf {
     * assign+aggregate job and collects exactly k centroid rows — the
     * driver never sees data, only the model. */
   def kmeans(q: DataFrame, k: Int, iters: Int): Centroids = {
+    require(k > 0 && iters >= 0, s"kmeans: need k > 0 and iters >= 0, got k=$k iters=$iters")
     val init: Centroids = q.select(col("id"), col("qv")).orderBy(col("id")).limit(k)
       .collect().sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }.toSeq
+    require(init.nonEmpty, "kmeans: empty corpus — no vectors to train on")
     (1 to iters).foldLeft(init) { (cents, _) =>
       val assigned = q.select(nearestCentroid(col("qv"), cents).as("cid"),
         posexplode(col("qv")).as(Seq("pos", "x")))

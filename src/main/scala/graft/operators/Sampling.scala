@@ -64,7 +64,12 @@ object Sampling {
     * by any engine that mirrors the weight expression. Narrow (no
     * shuffle). */
   def weightedByKeyModP(df: DataFrame, key: Column, weight: Column, seed: Long): DataFrame = {
-    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    // NaN weight = keep-probability 0 (drop): the conservative default
+    // for a curation sampler — without the branch, Spark's NaN-is-
+    // greatest comparison makes greatest(NaN,0)=NaN, least(NaN,1)=1.0
+    // and an undefined quality score would survive on EVERY run
+    val wd = weight.cast("double")
+    val w = when(isnan(wd), lit(0.0)).otherwise(least(greatest(wd, lit(0.0)), lit(1.0)))
     df.filter(pmod(modPHash(key, seed), lit(1000000L)).cast("double") < w * 1e6)
   }
 
@@ -83,8 +88,9 @@ object Sampling {
   def splitAssign(df: DataFrame, key: Column,
       fractions: Seq[(String, Double)], seed: Long): DataFrame = {
     require(fractions.nonEmpty, "splitAssign needs at least one split")
-    val micro = fractions.map(f => math.round(f._2 * 1e6))
-    val cum = micro.scanLeft(0L)(_ + _).tail
+    // the ONE definition of the cut points — splitThresholds is what
+    // external oracles mirror, so the assignment must use it verbatim
+    val cum = splitThresholds(fractions)
     require(math.abs(cum.last - 1000000L) <= 1,
       s"splitAssign fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val h6 = pmod(modPHash(key, seed), lit(1000000L))
@@ -108,7 +114,13 @@ object Sampling {
     * any partitioning, and the sample is downward-consistent (the k=10
     * sample is a superset of the k=5 sample — useful for growing eval
     * sets without resampling). One shuffle on the group key; the window
-    * is per-group, never global. */
+    * is per-group, never global.
+    *
+    * PRECONDITION (same as [[SeqPack.packContiguous]]'s order key):
+    * `key` must uniquely identify rows within a group — duplicate keys
+    * tie on the full ordering tuple, making which physical row wins
+    * partition-order-dependent, which voids the layout-invariance and
+    * downward-consistency guarantees above. */
   def perGroupSample(df: DataFrame, group: Column, key: Column, k: Int, seed: Long): DataFrame = {
     require(k > 0, s"perGroupSample: k must be positive, got $k")
     val w = org.apache.spark.sql.expressions.Window
@@ -128,7 +140,8 @@ object Sampling {
     * duplicates rows), i.e. `N = min_s(count_s / share_s)`; each stratum
     * then keeps its `floor(share_s * N)` smallest-hash rows, so the
     * sample is deterministic, layout-invariant and downward-consistent
-    * (same reservoir contract as [[perGroupSample]]).
+    * (same reservoir contract — and same key-uniqueness PRECONDITION —
+    * as [[perGroupSample]]).
     *
     * Plan: one groupBy for the ≤|strata|-row count table, quotas derived
     * lazily and broadcast back, one per-stratum window. No collect —

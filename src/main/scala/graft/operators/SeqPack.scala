@@ -52,10 +52,13 @@ object SeqPack {
     require(budget > 0, s"packContiguous: budget must be positive, got $budget")
     val base = df.select(orderKey.as("k"), tokens.cast("long").as("n_tokens"))
       .filter(col("k").isNotNull && col("n_tokens").isNotNull)
-    // order-preserving range bucket over [lo, hi] of the key domain; the
-    // 1-row stats frame rides along via broadcast so the plan stays lazy
-    val stats = base.agg(min(col("k").cast("double")).as("__lo"),
-      max(col("k").cast("double")).as("__hi"))
+    // order-preserving range bucket over the FINITE [lo, hi] of the key
+    // domain (one NaN/Inf key must not collapse every row into a single
+    // window partition); the 1-row stats frame rides along via broadcast
+    // so the plan stays lazy
+    val stats = base.agg(
+      min(Buckets.finiteOrNull(col("k").cast("double"))).as("__lo"),
+      max(Buckets.finiteOrNull(col("k").cast("double"))).as("__hi"))
     val bucketed = base.crossJoin(broadcast(stats))
       .withColumn("bkt",
         Buckets.rangeBucket(col("k").cast("double"), col("__lo"), col("__hi"), buckets))
@@ -63,10 +66,7 @@ object SeqPack {
     val inBucket = bucketed.withColumn("cumIn",
       coalesce(sum(col("n_tokens")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val bktTotals = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bktTok"))
-    val offsets = bktTotals.as("x")
-      .join(bktTotals.as("z"), col("z.bkt") < col("x.bkt"), "left")
-      .groupBy(col("x.bkt").as("bkt"))
-      .agg(coalesce(sum(col("z.bktTok")), lit(0L)).as("bktOffset"))
+    val offsets = Buckets.bucketOffsets(bktTotals, "bkt", "bktTok", "bktOffset")
     inBucket.join(broadcast(offsets), "bkt")
       .withColumn("tokens_before", col("bktOffset") + col("cumIn"))
       // true integer division (IntegralDivide) — exact for ALL long

@@ -64,7 +64,12 @@ object Upsert {
       keys.contains(c) || c == validFrom || c == validTo).toSeq
     require(updates.columns.toSet == (keys ++ attrs :+ tsCol).toSet,
       s"scd2: updates must carry keys + attrs + $tsCol, got ${updates.columns.mkString(",")}")
-    val u = updates.select((keys ++ attrs :+ tsCol).map(col): _*)
+    // updates with a NULL ts are DROPPED from both sides: interval
+    // arithmetic is undefined for them, and the asymmetric alternative
+    // (open row stays open while the update still appends) would leave
+    // two open rows per key — corrupting the SCD-2 invariant
+    val validUpdates = updates.filter(col(tsCol).isNotNull)
+    val u = validUpdates.select((keys ++ attrs :+ tsCol).map(col): _*)
       .withColumnRenamed(tsCol, "__uts").hint("SHUFFLE_HASH").as("u")
     val h = history.as("h")
     val cond = keys.map(k => col(s"u.$k") === col(s"h.$k")).reduce(_ && _)
@@ -77,7 +82,7 @@ object Upsert {
             .otherwise(col(s"h.$validTo")).as(validTo)
         else col(s"h.$c").as(c)
       }.toSeq: _*)
-    val fresh = updates.select(
+    val fresh = validUpdates.select(
       (keys.map(col) ++ attrs.map(col) :+ col(tsCol).as(validFrom)
         :+ lit(null).cast(history.schema(validTo).dataType).as(validTo)): _*)
       .select(history.columns.map(col).toSeq: _*) // column order

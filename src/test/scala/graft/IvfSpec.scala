@@ -69,6 +69,19 @@ class IvfSpec extends GraftSpec {
     assert(dropped.count() > 0L) // the sf corpus has semantic near-dups
   }
 
+  test("empty model / degenerate k fail fast with clear messages") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Ivf.nearestCentroid(col("qv"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.kmeans(Seq.empty[(Long, Seq[Long])].toDF("id", "qv"), k = 0, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.kmeans(Seq.empty[(Long, Seq[Long])].toDF("id", "qv"), k = 4, iters = 1)
+    }
+  }
+
   test("int8 codes are bounded and reconstruct within one quantization step") {
     val q = Ivf.quantizeInt8(emb, col("id"), col("vec"))
     val bad = q.select(explode(col("codes")).as("c"))

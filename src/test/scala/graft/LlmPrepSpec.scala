@@ -321,6 +321,20 @@ class LlmPrepSpec extends GraftSpec {
       (3L, "c-v1", "2024-06-01 00:00:00.0", null)))
   }
 
+  test("scd2: a NULL-ts update is dropped from both sides (never two open rows per key)") {
+    import graft.operators.Upsert
+    import spark.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x + " 00:00:00")
+    val hist = Seq((1L, "a-v1", t("2020-01-01"), null: java.sql.Timestamp))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val upd = Seq((1L, "a-v2", null: java.sql.Timestamp)).toDF("k", "attr", "ts")
+    val got = Upsert.scd2(hist, upd, Seq("k"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(3))).toSet
+    // the open row stays open and the undated version never appears —
+    // the asymmetric alternative would leave TWO open rows for key 1
+    assert(got === Set((1L, "a-v1", true)))
+  }
+
   test("BPE: hand-computed merges, rank-greedy encode, losslessness, layout invariance") {
     import graft.operators.Bpe
     import spark.implicits._

@@ -45,6 +45,15 @@ class SamplingSpec extends GraftSpec {
     assert(sub.exceptAll(out.filter(col("doc_id") < 30)).count() === 0)
   }
 
+  test("weightedByKeyModP: NaN weight means drop, not keep-always") {
+    import spark.implicits._
+    val rows = Seq((1L, 1.0), (2L, Double.NaN), (3L, 1.0), (4L, Double.NaN))
+      .toDF("k", "w")
+    val kept = Sampling.weightedByKeyModP(rows, col("k"), col("w"), seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("downsampleNegatives keeps every positive") {
     val labeled = events.withColumn("y", col("event_type") === "error")
     val out = Sampling.downsampleNegatives(labeled, col("y"), col("event_id"), 0.1, 1L)
