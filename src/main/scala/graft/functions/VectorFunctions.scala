@@ -28,8 +28,16 @@ object VectorFunctions {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity; NULL when either vector has zero norm (a
+    * failed-encode sentinel) — similarity to the zero vector is
+    * undefined, and under ANSI mode the bare division would otherwise
+    * throw DIVIDE_BY_ZERO and kill the whole query over one bad row.
+    * Consumers ([[graft.operators.Ann]]) drop NULL/NaN similarities
+    * before ranking or thresholding. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(null).cast("double")).otherwise(dot(a, b) / denom)
+  }
 
   /** Coarse IVF-style bucket id from the signs of the first `bits`
     * dimensions: Σ (v[k] > 0) << k. Cheap, deterministic, and gives

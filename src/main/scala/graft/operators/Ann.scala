@@ -44,6 +44,11 @@ object Ann {
     * query instead of 1). */
   def bucketedTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 8, probes: Int = 3): DataFrame = {
+    // a probe beyond the bucket width would flip a bit no corpus bucket
+    // carries — matching nothing and silently lowering effective recall
+    // below the configured probe count
+    require(probes >= 0 && probes <= bits,
+      s"bucketedTopKMultiProbe: probes must be in 0..bits ($bits), got $probes")
     val base = signBucket(col("vec"), bits)
     val probeBuckets = array(
       base +: (0 until probes).map(j => base.bitwiseXOR(lit(1L << j))): _*)
@@ -79,7 +84,11 @@ object Ann {
   }
 
   private[operators] def topK(pairs: DataFrame, k: Int): DataFrame = {
+    // a zero-norm vector (failed-encode sentinel) yields cosine 0/0 =
+    // NaN, and Spark's NaN-is-greatest ordering would rank it rn=1 for
+    // EVERY query — undefined similarity is excluded, not top-ranked
     val scored = pairs.withColumn("cosine", cosine(col("qv"), col("cv")))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -97,6 +106,9 @@ object Ann {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      // a zero-norm vector must not pair with everything: cosine() is
+      // NULL for it, and a NaN (from NaN elements) compares greater
+      // than any threshold under Spark's ordering semantics
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")) && col("cosine") >= threshold)
   }
 }

@@ -22,7 +22,10 @@ object Categorical {
     * 0..|vocab|-1 assigned by count DESC, then value ASC — the
     * conventional most-frequent-gets-0 layout. */
   def stringIndex(df: DataFrame, value: Column): DataFrame = {
-    val vocab = df.select(value.as("value"))
+    // nulls are not vocabulary: indexApply's equi-join can never match a
+    // null entry, so indexing it would only shift every real value's
+    // index and waste an embedding slot on an unreachable id
+    val vocab = df.select(value.as("value")).filter(col("value").isNotNull)
       .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
     Partitioners.stableIds(vocab, -col("cnt"), Seq(col("value")))
       .select(col("value"), col("cnt"), (col("ordinal") - 1).as("index"))
@@ -42,8 +45,10 @@ object Categorical {
   /** Hashing-trick encoding: pmod(polyHash(value), buckets) — stateless
     * and row-local (no dictionary to build, broadcast, or keep in sync
     * across train/serve), at the cost of hash collisions. */
-  def featureHash(value: Column, buckets: Int): Column =
+  def featureHash(value: Column, buckets: Int): Column = {
+    require(buckets > 0, s"featureHash: buckets must be positive, got $buckets")
     pmod(graft.functions.TextFunctions.polyHash(value), lit(buckets.toLong))
+  }
 
   /** Leakage-safe (leave-one-out) smoothed target encoding: each row's
     * categorical becomes
@@ -78,28 +83,38 @@ object Categorical {
       else label.cast(org.apache.spark.sql.types.DecimalType(12, 2))
     def toDouble(c: Column): Column =
       if (labelCents) c.cast("double") / 100.0 else c.cast("double")
-    // null categories are excluded EXPLICITLY (a null key has no
-    // encoding; the stats join would drop them anyway) — the upfront
-    // filter also makes the stats and prior aggregate subtrees
-    // canonically identical, so ReuseExchange collapses them to one
-    // physical aggregation instead of two corpus scans
     val withCat = df.withColumn("__cat", cat).withColumn("__y", y)
-      .filter(col("__cat").isNotNull)
-    val stats = withCat.groupBy(col("__cat"))
-      .agg(sum(col("__y")).as("__sum"), count(lit(1)).as("__cnt"))
+    // stats over NON-NULL categories and labels: count(__y) (not
+    // count(*)) so a null label cannot deflate its category's mean, and
+    // the category aggregate subtree stays canonically identical to the
+    // prior's source, so ReuseExchange collapses them to one physical
+    // aggregation instead of two corpus scans
+    val stats = withCat.filter(col("__cat").isNotNull).groupBy(col("__cat"))
+      .agg(sum(col("__y")).as("__sum"), count(col("__y")).as("__cnt"))
     // global prior from the category-sized stats table, not a second
     // corpus aggregate — Σ of exact per-category sums equals the direct
     // corpus sum bit-for-bit, and it saves a full input scan (the naive
-    // three-scan plan measured 1.4x slower at 20M rows)
+    // three-scan plan measured 1.4x slower at 20M rows). nullif: a
+    // fully-unlabeled corpus yields a null prior, not NaN.
     val prior = stats.agg(
-      (toDouble(sum(col("__sum"))) / sum(col("__cnt"))).as("__prior"))
+      (toDouble(sum(col("__sum"))) / nullif(sum(col("__cnt")), lit(0L))).as("__prior"))
+    // LEFT join + explicit branches: every input row comes back (the
+    // "@return input + target_enc" contract) — a null/unseen category
+    // encodes as the prior, a null-label row takes the category mean
+    // WITHOUT the own-label exclusion (it contributed nothing to
+    // exclude), and the common case is the LOO formula
     withCat
-      .join(broadcast(stats), "__cat")
+      .join(broadcast(stats), Seq("__cat"), "left")
       .crossJoin(broadcast(prior))
       .withColumn("target_enc",
-        round((toDouble(col("__sum")) - toDouble(col("__y"))
-            + lit(smoothing) * col("__prior"))
-          / (col("__cnt") - 1 + lit(smoothing)), 9))
+        when(col("__cnt").isNull, round(col("__prior"), 9))
+          .otherwise(when(col("__y").isNull,
+            round((coalesce(toDouble(col("__sum")), lit(0.0))
+                + lit(smoothing) * col("__prior"))
+              / (col("__cnt") + lit(smoothing)), 9))
+          .otherwise(round((toDouble(col("__sum")) - toDouble(col("__y"))
+              + lit(smoothing) * col("__prior"))
+            / (col("__cnt") - 1 + lit(smoothing)), 9))))
       .drop("__cat", "__y", "__sum", "__cnt", "__prior")
   }
 }

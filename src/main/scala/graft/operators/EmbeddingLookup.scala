@@ -106,8 +106,18 @@ object EmbeddingLookup {
     val dim0 = table.select(col(keyCol).cast("long").as("__k"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val dim = if (broadcastDim) broadcast(dim0) else dim0
-    // zero-fill width from a broadcast one-row aggregate (plan stays lazy)
-    val width = broadcast(table.agg(min(size(col(vecCol))).as("__zdim")))
+    // zero-fill width from a broadcast one-row aggregate (plan stays
+    // lazy). min==max guard: a ragged table would zero-fill misses at a
+    // different width than hits carry, silently varying the per-example
+    // tensor length; an EMPTY table has no width at all (null) — both
+    // must fail loudly, not produce malformed features. assert_true
+    // keeps the check inside the lazy plan (no driver action).
+    val width = broadcast(table.agg(
+      min(size(col(vecCol))).as("__zmin"), max(size(col(vecCol))).as("__zmax"))
+      .select(when(assert_true(col("__zmin").isNotNull && col("__zmin") === col("__zmax"),
+          lit("inputLayer: embedding table is empty or ragged — uniform non-null " +
+            "vector widths required")).isNull,
+        col("__zmin")).as("__zdim")))
     val base = examples.select(
       exampleId.as("id") +:
         (numerics.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__n$i") } ++

@@ -87,12 +87,26 @@ object FeatureScale {
     val q = graft.functions.expressions.GraftExpressions.quantize_vec(vec, scale)
     val base = df.select(id.as("__id"), q.as("__q"))
     // one tiny stats pass: n + per-dim integer sums
+    // count(col) not count(lit(1)): a null element must show up as a
+    // per-position count discrepancy (caught below), not silently bias
+    // the sum/mean of its dimension
     val sumsRow = base.select(posexplode(col("__q")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("pos")).agg(sum(col("x")).as("s"), count(col("x")).as("n"))
       .collect()
     require(sumsRow.nonEmpty,
       "pcaProject: input has no rows (or no non-null vectors) — nothing to fit")
-    val n = sumsRow.head.getLong(2)
+    // collect() order is arbitrary: validate the dense length-d contract
+    // instead of trusting whichever row arrives first (ragged input made
+    // the statistics partition-layout-dependent; an over-length vector
+    // crashed the driver with a bare AIOOBE)
+    require(sumsRow.length == d && sumsRow.forall(r => r.getInt(0) >= 0 && r.getInt(0) < d),
+      s"pcaProject: vectors must be dense length-$d, got positions " +
+        sumsRow.map(_.getInt(0)).sorted.mkString("[", ",", "]"))
+    val ns = sumsRow.map(_.getLong(2)).distinct
+    require(ns.length == 1,
+      "pcaProject: per-dimension counts differ — ragged or null-element vectors: " +
+        sumsRow.sortBy(_.getInt(0)).map(_.getLong(2)).mkString(","))
+    val n = ns.head
     val s1 = new Array[Double](d)
     sumsRow.foreach(r => s1(r.getInt(0)) = r.getLong(1).toDouble)
     // pair sums from the Gram aggregate (d²/2 rows)
@@ -193,8 +207,10 @@ object FeatureScale {
     val stats = base
       .select(posexplode(col("__xm")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
+      // count(col) not count(lit(1)): sum() skips a null element, so
+      // counting its row would silently bias that dimension's mu/sigma
       .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
-        count(lit(1)).as("n"))
+        count(col("x")).as("n"))
       .groupBy()
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),

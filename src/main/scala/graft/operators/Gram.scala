@@ -37,6 +37,10 @@ object Gram {
     private val m = d * (d + 1) / 2
     override def zero: Array[Long] = new Array[Long](m)
     override def reduce(b: Array[Long], q: Array[Long]): Array[Long] = {
+      // udaf-wrapped Aggregators do NOT skip null inputs (a null vector
+      // reaches reduce as q = null via the null-propagating quantizer);
+      // skip it like SQL aggregates skip nulls instead of NPE-ing the job
+      if (q == null) return b
       require(q.length == d, s"gram: expected dim $d, got vector of ${q.length}")
       var idx = 0
       var i = 0

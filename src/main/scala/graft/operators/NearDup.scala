@@ -172,13 +172,20 @@ object NearDup {
 
   /** Each doc's LSH band-bucket claims: (doc_id, band, bh) — one row per
     * band. Works on batch and streaming signature frames (narrow). */
-  def bandTuples(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  def bandTuples(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // rowsPerBand = 0 (bands > k after floor division) would fold the
+    // band hash over ZERO signature columns — every document in one
+    // all-corpus bucket, i.e. the exact O(n²) candidate blowup the
+    // banding exists to prevent, with no error
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bandTuples: need bands >= 1 and rowsPerBand >= 1, got bands=$bands rowsPerBand=$rowsPerBand")
     sig.select(col("doc_id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
           bandHash((0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))).as("bh"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
+  }
 
   /** Default per-bucket materialization bound for [[bucketPairs]]. */
   val DefaultMaxBucket = 1024
@@ -243,6 +250,10 @@ object NearDup {
     * candidate pair set. */
   def minHashNearDups(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    // k = bands * rowsPerBand exactly: a non-dividing bands would
+    // silently drop the trailing signature components from every band
+    require(bands >= 1 && k % bands == 0,
+      s"minHashNearDups: k must be a multiple of bands, got k=$k bands=$bands")
     // no cache: every reuse is a narrow scan + fused-kernel pass, so
     // recomputation is cheaper than a materialization barrier
     val cand = lshCandidates(minHashSignatures(docs, id, text, n, k), bands, k / bands)
@@ -279,6 +290,8 @@ object NearDup {
   def minHashNearDupsAgainst(newDocs: DataFrame, corpus: DataFrame,
       id: Column, text: Column, n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"minHashNearDupsAgainst: k must be a multiple of bands, got k=$k bands=$bands")
     val cand = lshCrossCandidates(
       minHashSignatures(newDocs, id, text, n, k),
       minHashSignatures(corpus, id, text, n, k), bands, k / bands)

@@ -17,6 +17,8 @@ object Profile {
     * columns profile in ONE aggregate over one scan (no per-column
     * passes), then unpivot to rows via a literal stack. */
   def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"summary: column list must be non-empty and duplicate-free, got ${cols.mkString(",")}")
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"__n_$c"),
@@ -56,8 +58,11 @@ object Profile {
     require(exps.nonEmpty, "expect: need at least one expectation")
     require(exps.map(_.name).distinct.size == exps.size,
       s"expect: duplicate expectation names in ${exps.map(_.name).mkString(",")}")
+    // coalesce: sum over ZERO rows is null, and a null violation count
+    // would make `pass` null too — an indeterminate gate verdict on an
+    // empty snapshot, where "0 violations tolerated" trivially holds
     val aggs = count(lit(1)).as("__n") +: exps.zipWithIndex.map { case (e, i) =>
-      sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+      coalesce(sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)), lit(0L)).as(s"__v$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = exps.zipWithIndex.map { case (e, i) =>
@@ -75,7 +80,12 @@ object Profile {
     * oracle. */
   def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
     require(bins > 0, s"histogram: bins must be positive, got $bins")
-    val v = df.select(value.cast("double").as("v")).filter(col("v").isNotNull && !isnan(col("v")))
+    // non-finite values are excluded from the histogram entirely: one
+    // +/-Inf row would otherwise poison the [lo, hi] domain and collapse
+    // every finite value into one bucket (same rationale as
+    // Buckets.finiteOrNull); a NaN has no orderable bin either way
+    val v = df.select(Buckets.finiteOrNull(value.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
     val stats = v.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
     v.crossJoin(broadcast(stats))
       .withColumn("bin", Buckets.rangeBucket(col("v"), col("__lo"), col("__hi"), bins))

@@ -26,8 +26,13 @@ object Ragged {
     df.select(key.as("key"), posexplode(nested).as(Seq("pos0", "inner")))
       .select(col("key"), col("pos0"), posexplode(col("inner")).as(Seq("pos1", "value")))
 
-  /** Rebuild the list column from its COO view (inverse of toCoo) —
-    * groupBy key + position-sorted collect. */
+  /** Rebuild the list column from its COO view — groupBy key +
+    * position-sorted collect. Inverse of [[toCoo]] up to rows whose
+    * list was EMPTY or NULL: posexplode (SQL UNNEST semantics) emits no
+    * COO row for them, so they do not come back — the same convention
+    * as the reference's to_sparse (an empty ragged row has no sparse
+    * entries). Callers needing those keys back re-join the key set and
+    * coalesce to array(). */
   def fromCoo(coo: DataFrame, key: Column, pos: Column, value: Column): DataFrame =
     coo.groupBy(key.as("key"))
       .agg(transform(sort_array(collect_list(struct(pos.as("p"), value.as("v")))),

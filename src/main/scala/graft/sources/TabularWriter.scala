@@ -69,9 +69,14 @@ object TabularWriter {
     // Buckets.rangeBucket; the min/max pass is one narrow map-side agg
     // broadcast as a one-row frame, keeping the plan fully lazy.
     val bits = 15
+    // FINITE domain stats (Buckets.finiteOrNull): one NaN/Inf row would
+    // otherwise poison hi/lo, flatten that axis to a single bucket and
+    // silently destroy the clustering (files stop carrying narrow
+    // min/max, box predicates stop pruning)
+    def fin(c: String) = graft.operators.Buckets.finiteOrNull(col(c).cast("double"))
     val stats = df.agg(
-      min(col(xCol)).cast("double").as("__xlo"), max(col(xCol)).cast("double").as("__xhi"),
-      min(col(yCol)).cast("double").as("__ylo"), max(col(yCol)).cast("double").as("__yhi"))
+      min(fin(xCol)).as("__xlo"), max(fin(xCol)).as("__xhi"),
+      min(fin(yCol)).as("__ylo"), max(fin(yCol)).as("__yhi"))
     val bx = graft.operators.Buckets.rangeBucket(
       col(xCol).cast("double"), col("__xlo"), col("__xhi"), 1 << bits)
     val by = graft.operators.Buckets.rangeBucket(
@@ -98,8 +103,13 @@ object TabularWriter {
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       targetBytes: Long = 128L * 1024 * 1024, shuffle: Boolean = false,
       compression: String = "snappy"): Unit = {
-    val src = new Path(srcDir)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify src so the ancestor walk below can actually STOP at it:
+    // listFiles returns fully-qualified paths, and an unqualified src
+    // never equals them — the walk would run to the filesystem root and
+    // a '_'/'.'-named ancestor (a staging dir, a CI workdir) would mark
+    // EVERY file invisible, silently coalescing the dataset to one file
+    val src = fs.makeQualified(new Path(srcDir))
     // RECURSIVE listing: partitioned trees keep their data files in
     // subdirectories — a top-level listing would see only directories,
     // compute bytes=0 and collapse the whole dataset into one file.

@@ -180,6 +180,26 @@ class MiscSpec extends GraftSpec {
     assert(a.size === 3)
   }
 
+  test("standardize: a null element does not bias its dimension; ragged pca rejected") {
+    import graft.operators.FeatureScale
+    import spark.implicits._
+    // dim 0: [1, 2, 3, null] — stats must come from the 3 present values
+    // (mu = 2), not count the null's row (mu = 1.5 under the old bug)
+    val df = spark.range(4).select(col("id"),
+      array(
+        when(col("id") === 3, lit(null)).otherwise((col("id") + 1).cast("float")),
+        (col("id") * 2).cast("float")).as("vec"))
+    val z0 = FeatureScale.standardize(df, col("id"), col("vec"))
+      .orderBy("id").collect().head.getSeq[Double](1).head
+    assert(math.abs(z0 - (-math.sqrt(1.5))) < 1e-9, s"z0=$z0") // (1-2)/sqrt(2/3)
+    // ragged vectors make pcaProject's per-dim counts differ: fail fast
+    intercept[IllegalArgumentException] {
+      FeatureScale.pcaProject(spark,
+        Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("id", "vec"),
+        col("id"), col("vec"), d = 2, k = 1)
+    }
+  }
+
   test("multimodal sampleStride takes every nth character code") {
     import spark.implicits._
     val out = Seq("abcdefg").toDF("t")

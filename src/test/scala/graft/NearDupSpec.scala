@@ -62,6 +62,40 @@ class NearDupSpec extends GraftSpec {
     assert(recall > 0.1, s"suspiciously low ANN recall: $recall")
   }
 
+  test("zero-norm vectors (NaN cosine) never rank in top-k or pair as near-dups") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)),
+      (99L, Seq(0.0f, 0.0f))) // failed-encode sentinel: cosine = 0/0 = NaN
+      .toDF("id", "vec")
+    val top = Ann.bruteForceTopK(vecs.filter(col("id") === 1), vecs, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    // without the NaN guard, Spark's NaN-is-greatest ordering put 99 at rn=1
+    assert(!top.contains(99L))
+    val pairs = Ann.cosineNearDups(vecs, threshold = 0.9, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
+  test("degenerate LSH banding is rejected, not silently quadratic") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // bands > k floors rowsPerBand to 0 => one all-corpus bucket
+    intercept[IllegalArgumentException] {
+      NearDup.minHashNearDups(docs, col("doc_id"), col("text"), k = 3, bands = 4)
+    }
+    // k not a multiple of bands silently dropped signature components
+    intercept[IllegalArgumentException] {
+      NearDup.minHashNearDups(docs, col("doc_id"), col("text"), k = 16, bands = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ann.bucketedTopKMultiProbe(docs.select(col("doc_id").as("id"),
+        array(lit(1.0f)).as("vec")), docs.select(col("doc_id").as("id"),
+        array(lit(1.0f)).as("vec")), k = 1, bits = 4, probes = 8)
+    }
+  }
+
   test("hardNegatives returns only cross-label neighbors, ranked by cosine") {
     val embL = Tables.embeddings(spark, sf).select(col("vec_id").as("id"),
       col("embedding").as("vec"), col("label"))

@@ -64,6 +64,58 @@ class OperatorsSpec extends GraftSpec {
     }
   }
 
+  test("targetEncodeLoo: null category/label rows come back encoded, not dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(10.0)), (2L, Option("a"), Option(20.0)),
+      (3L, Option.empty[String], Option(30.0)), (4L, Option("a"), Option.empty[Double]))
+      .toDF("id", "cat", "y")
+    val out = Categorical.targetEncodeLoo(df, col("cat"), col("y"), smoothing = 1)
+    assert(out.count() === 4) // the old inner-join + filter dropped row 3
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // stats see only non-null (cat, label): cat 'a' sum=30 over cnt=2,
+    // prior = 30/2 = 15 (null label must NOT deflate the mean)
+    assert(m(1L) === 17.5)            // (30-10+15)/2
+    assert(m(2L) === 12.5)            // (30-20+15)/2
+    assert(m(3L) === 15.0)            // null category -> prior
+    assert(m(4L) === 15.0)            // null label -> (30+15)/(2+1), no LOO exclusion
+  }
+
+  test("profile: empty-frame expectations pass with 0 violations; histogram drops non-finite") {
+    import spark.implicits._
+    val empty = events.filter(lit(false))
+    val verdict = Profile.expect(empty,
+      Seq(Profile.Expectation("v", col("value") >= 0))).collect().head
+    assert(verdict.getLong(1) === 0L && verdict.getBoolean(3))
+    val bins = Profile.histogram(
+      Seq(1.0, 2.0, 3.0, Double.PositiveInfinity, Double.NaN).toDF("v"),
+      col("v"), 2).collect()
+    assert(bins.map(_.getLong(3)).sum === 3) // only the finite values
+    assert(bins.forall(r => !r.getDouble(1).isNaN && !r.getDouble(2).isInfinite))
+  }
+
+  test("upperGram skips null vectors like SQL aggregates skip nulls") {
+    import spark.implicits._
+    val df = Seq(Option(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]], Option(Seq(3.0f, 4.0f)))
+      .toDF("vec")
+    val g = Gram.upperGram(spark, df, col("vec"), d = 2, scale = 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(g === Map((0L, 0L) -> 10L, (0L, 1L) -> 14L, (1L, 1L) -> 20L))
+  }
+
+  test("inputLayer rejects empty or ragged embedding tables instead of malformed features") {
+    import spark.implicits._
+    val ex = Seq((1L, 2L)).toDF("id", "c")
+    intercept[Exception] {
+      EmbeddingLookup.inputLayer(ex, col("id"), Nil, Seq(col("c")),
+        Seq.empty[(Long, Seq[Double])].toDF("k", "v"), "k", "v").collect()
+    }
+    intercept[Exception] {
+      EmbeddingLookup.inputLayer(ex, col("id"), Nil, Seq(col("c")),
+        Seq((1L, Seq(1.0)), (2L, Seq(1.0, 2.0))).toDF("k", "v"), "k", "v").collect()
+    }
+  }
+
   test("indexApply maps unseen values to -1, seen values to their rank") {
     import spark.implicits._
     val train = Seq("b", "b", "b", "a", "a", "c").toDF("cat")

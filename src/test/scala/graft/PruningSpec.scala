@@ -154,6 +154,43 @@ class PruningSpec extends GraftSpec {
     assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
   }
 
+  test("compaction under a '_'-named ancestor still sizes from real bytes") {
+    import graft.sources.TabularWriter
+    // the source itself lives below a hidden-prefixed directory — the
+    // visibility walk must stop AT src (qualified), not classify every
+    // file invisible and silently coalesce the dataset into one file
+    val root = Files.createTempDirectory("graft_compact3").toString
+    val scattered = root + "/_staging/events"
+    val out = root + "/out"
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    src.repartition(8).write.parquet(scattered)
+    val bytes = new java.io.File(scattered).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = math.max(1L, bytes / 6)
+    TabularWriter.compact(spark, scattered, out, targetBytes = target)
+    val expected = ((bytes + target - 1) / target).toInt
+    assert(expected > 1) // the bug produced exactly 1
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) === expected)
+  }
+
+  test("z-order survives a NaN row without flattening either axis") {
+    import graft.sources.TabularWriter
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_z_nan").toString + "/t"
+    val clean = (0L until 4000L).map(i => (i, (i * 37 % 1000).toDouble, (i * 91 % 1000).toDouble))
+    val rows = clean :+ ((4000L, Double.NaN, 5.0))
+    TabularWriter.toZOrdered(rows.toDF("id", "x", "y"), dir, "x", "y", numFiles = 8)
+    // finite-domain stats: per-file x ranges must stay narrow (the NaN
+    // bug collapsed x to one bucket => every file spanned the full range)
+    val widths = spark.read.parquet(dir)
+      .where(!isnan(col("x"))) // the NaN row itself sits in the top bucket
+      .groupBy(input_file_name()).agg(
+        ((max(col("x")) - min(col("x"))) / 1000.0).as("w"))
+      .collect().map(_.getDouble(1))
+    assert(widths.sum / widths.length <= 0.7,
+      s"mean x file width ${widths.sum / widths.length} — axis flattened")
+  }
+
   test("multi-probe ANN recall dominates single-probe") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
