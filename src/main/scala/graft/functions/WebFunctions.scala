@@ -21,10 +21,21 @@ object WebFunctions {
     * '/', '?' or '#' past the scheme separator). */
   private val PrefixRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 
-  /** Lowercased host of a URL: the authority between "//" and the next
-    * '/', ':', '?' or '#'. Empty string when the URL has no authority. */
-  def host(url: Column): Column =
-    lower(regexp_extract(url, "//([^/:?#]*)", 1))
+  /** Lowercased host of a URL: the authority of an ANCHORED
+    * scheme://authority prefix, with userinfo stripped (everything up
+    * to the last '@' — 'http://user:pass@h/' must not report 'user':
+    * that is the classic blocklist-bypass shape), bracketed IPv6
+    * literals unwrapped, and any trailing :port removed. Empty string
+    * when the URL has no scheme-anchored authority — an unanchored
+    * "//" match would fabricate hosts out of path-only URLs like
+    * '/redirect//evil.com/x'. */
+  def host(url: Column): Column = {
+    val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val noUser = regexp_replace(auth, "^.*@", "")
+    lower(when(noUser.startsWith("["),
+        regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1))
+      .otherwise(regexp_replace(noUser, ":[0-9]*$", "")))
+  }
 
   /** Canonical URL form: fragment stripped, scheme+authority
     * lowercased, default ports dropped (:80 for http, :443 for https),
@@ -43,7 +54,11 @@ object WebFunctions {
         .when(pre.startsWith("https://") && pre.endsWith(":443"),
           pre.substr(lit(1), length(pre) - 4))
         .otherwise(pre)
+    // the root path covers the empty-path-with-query form too:
+    // 'http://a.com?q=1' and 'http://a.com/?q=1' are the same resource
+    // and must canonicalize identically
     when(pre2 =!= "" && rest === "", concat(pre2, lit("/")))
+      .when(pre2 =!= "" && rest.startsWith("?"), concat(pre2, lit("/"), rest))
       .otherwise(concat(pre2, rest))
   }
 }

@@ -85,13 +85,23 @@ object AsofJoin {
     // backward: ascending scan, carry the latest right row forward;
     // forward: descending scan, carry the earliest following right row
     // back. __side orders right before left at equal ts either way; the
-    // trailing __r.asc makes the carried row among DUPLICATE right
+    // trailing tie-break makes the carried row among DUPLICATE right
     // timestamps the lexicographically greatest payload — deterministic
     // under any partition layout (left rows all have NULL __r, so the
-    // extra key never reorders them).
+    // extra key never reorders them). The tie-break projects the
+    // ORDERABLE right columns only: sorting the raw __r struct fails
+    // analysis when the right side carries a map column (maps have no
+    // ordering in Spark); rows equal on every orderable column remain
+    // an arbitrary-but-harmless pick among payloads that differ only in
+    // unorderable fields.
+    val orderableFields = right.schema.fields.filter(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    val tie: Seq[Column] =
+      if (orderableFields.isEmpty) Nil
+      else Seq(struct(orderableFields.map(f => col(s"__r.${f.name}")).toSeq: _*).asc)
     val ord =
-      if (forward) Seq(col("__ts").desc, col("__side").asc, col("__r").asc)
-      else Seq(col("__ts").asc, col("__side").asc, col("__r").asc)
+      if (forward) Seq(col("__ts").desc, col("__side").asc) ++ tie
+      else Seq(col("__ts").asc, col("__side").asc) ++ tie
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withMatch = lSide.unionByName(rSide)

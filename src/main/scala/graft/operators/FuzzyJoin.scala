@@ -75,8 +75,11 @@ object FuzzyJoin {
       .select(col("ia").as("id_a"), col("id_b"), col("fa").as("sa"), col("fb").as("sb"))
     subs.unionByName(indel).unionByName(dups)
       .distinct() // a pair can share several tagged variants (repeated chars)
-      .filter(levenshtein(col("sa"), col("sb")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      // compute the O(len²) edit distance ONCE per surviving pair —
+      // Spark does not eliminate the common subexpression across a
+      // Filter and the Project above it
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

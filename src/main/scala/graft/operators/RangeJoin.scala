@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * bin is hot.
   *
   * Pick `binWidthMicros` ≈ the typical interval length: each interval
-  * then expands to ≤ 2 bins. The per-row `assert_true` guard enforces
-  * the documented fanout bound (`maxBinsPerInterval`) at execution time
-  * — a mis-sized bin width fails loudly instead of exploding the
+  * then expands to ≤ 2 bins. The fanout bound (`maxBinsPerInterval`)
+  * is enforced INSIDE the bin-sequence expression at execution time —
+  * a mis-sized bin width fails loudly instead of exploding the
   * shuffle.
   */
 object RangeJoin {
@@ -43,13 +43,17 @@ object RangeJoin {
     // holding hi - 1µs (timestamps are µs-granular)
     val loBin = expr(s"unix_micros($lo) div $binWidthMicros")
     val hiBin = expr(s"(unix_micros($hi) - 1) div $binWidthMicros")
+    // the fanout guard is threaded THROUGH the sequence bound: a
+    // standalone assert_true column would be pruned away by Catalyst
+    // (verified — the optimized plan contained no assertion at all) and
+    // the documented loud failure would never fire
+    val guardedHi = when(hiBin - loBin < maxBinsPerInterval, hiBin)
+      .otherwise(raise_error(
+        lit(s"range join: interval spans more than $maxBinsPerInterval bins; " +
+          "raise binWidthMicros or maxBinsPerInterval")).cast("long"))
     val iv = intervals
       .filter(col(hi) > col(lo)) // sequence(a,b) DESCENDS for a > b
-      .withColumn("__chk", assert_true(hiBin - loBin < maxBinsPerInterval,
-        lit(s"range join: interval spans >= $maxBinsPerInterval bins; " +
-          "raise binWidthMicros or maxBinsPerInterval")))
-      .withColumn("__bin", explode(sequence(loBin, hiBin)))
-      .drop("__chk")
+      .withColumn("__bin", explode(sequence(loBin, guardedHi)))
     val cond = keys.map(k => p(k) === iv(k))
       .foldLeft(p("__bin") === iv("__bin") &&
         col(pointTs) >= col(lo) && col(pointTs) < col(hi))(_ && _)

@@ -38,6 +38,11 @@ object WebCuration {
   def hostCap(df: DataFrame, url: Column, n: Int, order: Seq[Column]): DataFrame = {
     require(n > 0, s"hostCap needs n > 0, got $n")
     require(order.nonEmpty, "hostCap needs a deterministic preference order")
+    // same collision discipline as AsofJoin.matchedAs: silently
+    // clobbering a caller's existing host/host_rank would re-derive and
+    // re-group on different values with no error
+    require(!df.columns.contains("host") && !df.columns.contains("host_rank"),
+      "hostCap adds 'host' and 'host_rank'; rename or drop the existing columns first")
     val withHost = df.withColumn("host",
       WebFunctions.host(WebFunctions.normalizeUrl(url)))
     val hosted = withHost.filter(col("host").isNotNull && col("host") =!= "")

@@ -105,21 +105,31 @@ object SchemaValidator {
     val key: String => String = n => if (caseInsensitive) n.toLowerCase else n
     val refNames = refFields.map(f => key(f.name)).toSet
     paths.flatMap { p =>
-      val schema = spark.read.format(format).load(p).schema
-      // strict: cross-file consistency is exact-match (the reference's
-      // contract); widening tolerance would make the result depend on
-      // which file happens to come first
-      val errs = validateFields(schema, refFields, caseInsensitive, strict = true) ++
-        // exact equality cuts both ways (data/validate.py:34-98): a column
-        // present in THIS file but absent from the first is also a mismatch
-        schema.fieldNames.toSeq.filterNot(n => refNames.contains(key(n)))
-          .map(n => s"field $n: present in file but absent from ${paths.head}")
-      val peekErr =
-        if (peek > 0) {
-          try { spark.read.format(format).load(p).limit(peek).collect(); Nil }
-          catch { case e: Exception => Seq(s"peek read failed: ${e.getMessage}") }
-        } else Nil
-      (errs ++ peekErr).map(Mismatch(p, _))
+      // ANY per-file failure — an unloadable footer, duplicate column
+      // names (Spark refuses to even resolve the schema), a throwing
+      // validateFields — must surface as THAT file's mismatch report,
+      // not abort the whole sweep: a fleet validator's contract is
+      // per-file reports
+      try {
+        val schema = spark.read.format(format).load(p).schema
+        // strict: cross-file consistency is exact-match (the reference's
+        // contract); widening tolerance would make the result depend on
+        // which file happens to come first
+        val errs = validateFields(schema, refFields, caseInsensitive, strict = true) ++
+          // exact equality cuts both ways (data/validate.py:34-98): a column
+          // present in THIS file but absent from the first is also a mismatch
+          schema.fieldNames.toSeq.filterNot(n => refNames.contains(key(n)))
+            .map(n => s"field $n: present in file but absent from ${paths.head}")
+        val peekErr =
+          if (peek > 0) {
+            try { spark.read.format(format).load(p).limit(peek).collect(); Nil }
+            catch { case e: Exception => Seq(s"peek read failed: ${e.getMessage}") }
+          } else Nil
+        (errs ++ peekErr).map(Mismatch(p, _))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(Mismatch(p, s"unreadable or invalid schema: ${e.getMessage}"))
+      }
     }
   }
 }

@@ -169,6 +169,31 @@ class AsofRangeSpec extends GraftSpec {
     assert(got.count() === 0)
   }
 
+  test("range join fanout guard actually fires (not pruned from the plan)") {
+    val views = events.limit(10)
+      .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val wide = purchases.limit(3).select(col("event_id").as("purchase_id"),
+      col("ts").as("lo"), (col("ts") + expr("INTERVAL 10 HOURS")).as("hi"))
+    // 1-hour bins x 10-hour intervals with a 4-bin cap: the guard must
+    // raise (a standalone assert_true column was silently column-pruned)
+    val ex = intercept[Exception] {
+      RangeJoin.pointsInIntervals(views, wide, "v_ts", "lo", "hi",
+        binWidthMicros = 3600L * 1000000L, maxBinsPerInterval = 4).count()
+    }
+    assert(ex.getMessage.contains("spans more than 4 bins"), ex.getMessage)
+  }
+
+  test("asof tolerates a map-typed right column (tie-break skips unorderable fields)") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m)
+    val left = Seq((1L, t(100))).toDF("k", "lts")
+    val right = Seq((1L, t(50), Map("a" -> 1)), (1L, t(60), Map("b" -> 2)))
+      .toDF("k", "rts", "props")
+    val got = AsofJoin.backward(left, right, Seq("k"), "lts", "rts")
+      .select(col("asof.rts")).collect()
+    assert(got.length === 1 && got.head.getTimestamp(0) === t(60))
+  }
+
   test("asof and range joins plan no nested loop and no cartesian product") {
     Seq("asof_join_attribution", "asof_join_forward", "range_join_purchase_window")
       .foreach { q =>

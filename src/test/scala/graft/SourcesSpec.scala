@@ -124,6 +124,30 @@ class SourcesSpec extends GraftSpec {
     assert(mm.exists(m => m.path.endsWith("f2") && m.detail.contains("field c")), mm.toString)
   }
 
+  test("validateFiles reports a duplicate-name file as ITS mismatch, not a crash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dupcols").toString
+    spark.range(1).select(lit(1L).as("a"), lit(2L).as("x")).write.parquet(dir + "/ok")
+    // writing case-colliding columns needs case-sensitive resolution on
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    try {
+      spark.conf.set("spark.sql.caseSensitive", "true")
+      spark.range(1).select(lit(1L).as("a"), lit(2L).as("A")).write.parquet(dir + "/dup")
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+    val okFile = new java.io.File(dir + "/ok").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getPath
+    val dupFile = new java.io.File(dir + "/dup").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getPath
+    // "a"/"A" collide under Spark's default case-insensitive resolution
+    // (the read itself refuses); the sweep must keep going and report
+    // the file instead of dying mid-run
+    val ms = SchemaValidator.validateFiles(spark, Seq(okFile, dupFile),
+      caseInsensitive = true)
+    assert(ms.exists(m => m.path == dupFile &&
+      m.detail.toLowerCase.contains("already exists")), ms.mkString("; "))
+    assert(!ms.exists(_.path == okFile))
+  }
+
   test("restore-at-scan: compressed fixture round-trips through TabularReader alone") {
     val dir = Files.createTempDirectory("graft_restore").toString + "/ev"
     val events = Tables.events(spark, sf)
