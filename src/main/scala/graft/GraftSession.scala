@@ -66,7 +66,12 @@ object GraftSession {
         .master(s"local[$cores]")
         .withExtensions(new GraftExtensions)
         .config("spark.sql.shuffle.partitions",
-          shufflePartitions.map(_.toString).getOrElse(cores)))
+          // local["*"] is a legal master spec but not an int — fall
+          // back to the available cores instead of failing SQLConf
+          // validation at session startup
+          shufflePartitions.map(_.toString).getOrElse(
+            if (cores.forall(_.isDigit) && cores.nonEmpty) cores
+            else Runtime.getRuntime.availableProcessors().toString)))
     // ad-hoc conf overrides for experiments: SPARK_GRAFT_CONF="k=v;k=v"
     val withOverrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.split("=", 2))

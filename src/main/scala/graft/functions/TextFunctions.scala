@@ -75,9 +75,13 @@ object TextFunctions {
   def stopwordCount(tokens: Column): Column =
     size(filter(tokens, t => t.isin(StopwordsEn: _*)))
 
-  /** Ratio of punctuation-ish characters (not lowercase-alnum or space). */
+  /** Ratio of punctuation-ish characters (not lowercase-alnum or
+    * space). An EMPTY string is 0.0 by definition — the bare division
+    * would return NULL (0/0), and a NULL ratio silently falls out of
+    * BOTH sides of any threshold filter. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text))
 
   /** Quality score in [0,1]: type-token ratio + stopword presence +
     * length saturation. Fixed formula, scalar per row, engine-portable.
@@ -131,8 +135,14 @@ object TextFunctions {
     val lastStart = greatest(lit(1), nTokens - window + 1)
     val nChunks = lit(1) +
       ceil(greatest(lit(0), nTokens - window).cast("double") / stride).cast("int")
-    transform(sequence(lit(0), nChunks - 1), i =>
+    // a token-less document has NO chunks: without the guard the
+    // formula emits one phantom (chunk_idx 0, chunk_start 1) span that
+    // downstream exploders would materialize as an empty-text chunk.
+    // slice-to-zero keeps the element type identical to the spans
+    // expression for any nTokens integer width.
+    val spans = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.as("chunk_idx"), least(i * stride + 1, lastStart).as("chunk_start")))
+    slice(spans, lit(1), when(nTokens <= 0, lit(0)).otherwise(size(spans)))
   }
 
   /** PII redaction: replace emails, phone-like digit runs, and IPv4

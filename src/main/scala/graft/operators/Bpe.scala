@@ -37,6 +37,7 @@ object Bpe {
   def train(df: DataFrame, text: Column, numMerges: Int,
       maxWords: Int = 100000): Seq[(String, String)] = {
     require(numMerges > 0, s"Bpe.train: numMerges must be positive, got $numMerges")
+    require(maxWords > 0, s"Bpe.train: maxWords must be positive, got $maxWords")
     val wordFreq: Array[(Array[String], Long)] =
       df.select(explode(split(text, " ")).as("w"))
         .filter(length(col("w")) > 0)

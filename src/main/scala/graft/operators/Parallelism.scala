@@ -27,18 +27,27 @@ object Parallelism {
     * estimate can only be ≤ the real partition count when files are
     * splittable — i.e. it errs toward repartitioning, the safe
     * direction for a parallelism floor. */
-  private def estimateScanPartitions(df: DataFrame, files: Array[String]): Int = {
+  private def estimateScanPartitions(df: DataFrame, files: Array[String],
+      enough: Int): Int = {
     val spark = df.sparkSession
     def bytesConf(k: String, dflt: String): Long =
       JavaUtils.byteStringAsBytes(spark.conf.get(k, dflt))
     val maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", "128m")
     val openCost = bytesConf("spark.sql.files.openCostInBytes", "4m")
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val totalBytes = files.iterator.map { f =>
-      val p = new Path(f)
+    // the only question ensure() asks is "estimate >= enough?" — stop
+    // stat-ing files as soon as the running byte total answers it. The
+    // file stats are one driver RPC each; on an object store with
+    // thousands of files (exactly where ensure is a no-op) the full
+    // sequential sweep was the expensive way to decide to do nothing.
+    val enoughBytes = enough.toLong * maxPartitionBytes
+    var totalBytes = 0L
+    val it = files.iterator
+    while (it.hasNext && totalBytes < enoughBytes) {
+      val p = new Path(it.next())
       // FileSystem instances are cached per scheme+authority by Hadoop
-      p.getFileSystem(hadoopConf).getFileStatus(p).getLen + openCost
-    }.sum
+      totalBytes += p.getFileSystem(hadoopConf).getFileStatus(p).getLen + openCost
+    }
     val byBytes = (totalBytes + maxPartitionBytes - 1) / maxPartitionBytes
     math.max(1L, math.min(files.length.toLong, byBytes)).toInt
   }
@@ -49,8 +58,12 @@ object Parallelism {
     // through so narrow kernels compose onto readStream pipelines
     if (df.isStreaming) return df
     val files = df.inputFiles
+    // estimate <= files.length always, so fewer files than `min` means
+    // repartition without a single file stat
     val parts =
-      if (files.nonEmpty) estimateScanPartitions(df, files)
+      if (files.nonEmpty)
+        if (files.length < min) files.length
+        else estimateScanPartitions(df, files, min)
       // non-file frames (tests, in-memory relations): RDD partition count
       else df.rdd.getNumPartitions
     if (parts >= min) df else df.repartition(min)

@@ -22,8 +22,13 @@ object Pipelines {
   /** Impressions (filtered by `impressionType`) each carrying the values
     * of the user's events inside [ts - windowSec, ts). */
   def taobaoShaped(events: DataFrame, impressionType: String, windowSec: Long): DataFrame = {
+    // explicit casts make the []-fill literal's element type below
+    // provably correct for any compatible input schema (only tsec was
+    // cast before; an int event_id or float value would have failed the
+    // coalesce with a struct-type mismatch)
     val e = events.select(
-      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("event_id").cast("long").as("event_id"), col("user_id"),
+      col("event_type"), col("value").cast("double").as("value"),
       col("ts").cast("long").as("tsec"))
     val hist = e.groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(

@@ -107,6 +107,22 @@ class LlmPrepSpec extends GraftSpec {
     assert(a === b)
   }
 
+  test("empty-text conventions: no phantom chunk span, punctRatio 0.0, BPE guard") {
+    import spark.implicits._
+    val spans = Seq(0, 1, 40).toDF("n")
+      .select(col("n"), TextFunctions.chunkSpans(col("n"), window = 32, stride = 24).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Any](1).length).toMap
+    assert(spans(0) === 0) // token-less doc: NO chunks (was one phantom)
+    assert(spans(1) === 1)
+    assert(spans(40) === 2)
+    val pr = Seq("", "a.b!").toDF("t")
+      .select(TextFunctions.punctRatio(col("t"))).collect().map(_.getDouble(0))
+    assert(pr(0) === 0.0 && pr(1) === 0.5) // empty is 0.0, not NULL
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.train(docs, col("text"), numMerges = 4, maxWords = 0)
+    }
+  }
+
   test("kmvOverlap: exact when k covers the union; inside the envelope when sketched") {
     import spark.implicits._
     // A = [0, 600), B = [400, 1000): |A∩B| = 200, |A∪B| = 1000, J = 0.2
