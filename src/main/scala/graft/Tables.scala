@@ -10,8 +10,10 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     // TIMESTAMP(NANOS) columns arrive as long nanos (nanosAsLong); convert
     // to TimestampType at µs precision — identical to DuckDB's ns→µs
-    // truncation, keeping oracle parity. `div` (integer floor) avoids the
-    // double-precision loss of `/` on epoch-nanos magnitudes.
+    // truncation, keeping oracle parity. `div` (integer division —
+    // truncation toward zero, which EQUALS floor on this non-negative
+    // post-epoch nanos domain) avoids the double-precision loss of `/`
+    // on epoch-nanos magnitudes.
     val nanosFixed = raw.schema.fields.filter(f => f.name == "ts" && f.dataType == LongType)
       .foldLeft(raw)((df, f) =>
         df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000"))))

@@ -189,7 +189,10 @@ object Metrics {
   def calibrationError(df: DataFrame, label: Column, pred: Column, bins: Int): DataFrame = {
     require(bins > 0, s"calibrationError: bins must be positive, got $bins")
     val base = df.select(label.cast("int").as("y"), pred.cast("double").as("p"))
-      .filter(col("p").isNotNull && !isnan(col("p")))
+      // null LABELS are excluded like in aucExact: sum(y) would skip
+      // them while count(1) counted the row, deflating every bin's
+      // positive rate
+      .filter(col("p").isNotNull && !isnan(col("p")) && col("y").isNotNull)
       .withColumn("bin", least(greatest(floor(col("p") * bins), lit(0L)), lit(bins - 1L)))
     val perBin = base.groupBy(col("bin"))
       .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"), sum(col("y")).as("sy"))
@@ -220,7 +223,6 @@ object Metrics {
     * long), scores finite non-null — same contract as [[gauc]].
     */
   def gaucPerGroupSorted(df: DataFrame, group: Column, label: Column, score: Column): DataFrame = {
-    val spark = df.sparkSession
     val base = df.select(group.cast("long").as("g"), score.cast("double").as("s"),
       label.cast("int").as("y"))
     implicit val inEnc = org.apache.spark.sql.Encoders.tuple(
@@ -235,31 +237,47 @@ object Metrics {
       .repartition(col("g")) // a group lives in exactly one partition
       .sortWithinPartitions(col("g"), col("s"))
       .mapPartitions { iter =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
-        var g = 0L; var has = false
-        var n = 0L; var pos = 0L; var posRankSum = 0.0
-        // current tie run: equal (g, s) rows share avg rank
-        //   rankBase + (runCnt + 1) / 2
-        var runS = 0.0; var runCnt = 0L; var runPos = 0L; var rankBase = 0L
-        def flushRun(): Unit = if (runCnt > 0) {
-          posRankSum += runPos * (rankBase + (runCnt + 1) / 2.0)
-          rankBase += runCnt; runCnt = 0; runPos = 0
+        // INCREMENTAL emission: one result as each group closes — a
+        // partition-wide ArrayBuffer would hold one tuple per group on
+        // the executor heap before anything streams out, which is not
+        // O(1) state at hundreds of millions of groups per partition
+        new scala.collection.AbstractIterator[(Long, Double, Long)] {
+          private val in = iter.buffered
+          private var out: (Long, Double, Long) = _
+          private var ready = false
+          private def advance(): Unit = {
+            ready = false
+            while (!ready && in.hasNext) {
+              val g = in.head._1
+              var n = 0L; var pos = 0L; var posRankSum = 0.0
+              // current tie run: equal (g, s) rows share avg rank
+              //   rankBase + (runCnt + 1) / 2
+              var runS = 0.0; var runCnt = 0L; var runPos = 0L; var rankBase = 0L
+              def flushRun(): Unit = if (runCnt > 0) {
+                posRankSum += runPos * (rankBase + (runCnt + 1) / 2.0)
+                rankBase += runCnt; runCnt = 0; runPos = 0
+              }
+              while (in.hasNext && in.head._1 == g) {
+                val (_, s, y) = in.next()
+                if (runCnt > 0 && s != runS) flushRun()
+                runS = s; runCnt += 1; n += 1
+                if (y == 1) { runPos += 1; pos += 1 }
+              }
+              flushRun()
+              val neg = n - pos
+              // single-class groups emit nothing: keep scanning
+              if (pos > 0 && neg > 0) {
+                out = (g, (posRankSum - pos * (pos + 1) / 2.0) / (pos.toDouble * neg), n)
+                ready = true
+              }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = ready
+          override def next(): (Long, Double, Long) = {
+            val r = out; advance(); r
+          }
         }
-        def flushGroup(): Unit = if (has) {
-          flushRun()
-          val neg = n - pos
-          if (pos > 0 && neg > 0)
-            out += ((g, (posRankSum - pos * (pos + 1) / 2.0) / (pos.toDouble * neg), n))
-          n = 0; pos = 0; posRankSum = 0.0; rankBase = 0
-        }
-        iter.foreach { case (gg, s, y) =>
-          if (!has || gg != g) { flushGroup(); g = gg; has = true }
-          if (runCnt > 0 && s != runS) flushRun()
-          runS = s; runCnt += 1; n += 1
-          if (y == 1) { runPos += 1; pos += 1 }
-        }
-        flushGroup()
-        out.iterator
       }(outEnc)
       .toDF("group", "auc", "cnt")
   }

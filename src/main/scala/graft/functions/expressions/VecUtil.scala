@@ -67,7 +67,13 @@ object VecUtil {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = math.floor(a.getFloat(i).toDouble * scale).toLong
+      val v = a.getFloat(i)
+      // floor(NaN) silently lands on 0 and Inf on Long.MaxValue — a
+      // corrupt element must fail loudly (the requireDense discipline),
+      // not quietly place the vector near the zero cell
+      if (!java.lang.Float.isFinite(v))
+        throw new IllegalArgumentException(s"quantize_vec: non-finite element $v")
+      out(i) = math.floor(v.toDouble * scale).toLong
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -85,7 +91,10 @@ object VecUtil {
     var mx = 0.0
     var i = 0
     while (i < n) {
-      val v = math.abs(a.getFloat(i).toDouble)
+      val f = a.getFloat(i)
+      if (!java.lang.Float.isFinite(f))
+        throw new IllegalArgumentException(s"quantize_int8: non-finite element $f")
+      val v = math.abs(f.toDouble)
       if (v > mx) mx = v
       i += 1
     }
@@ -292,8 +301,8 @@ object VecUtil {
     * array_distinct (same incremental gram hash as [[minHashSigs]]).
     * Null when the doc has fewer than n tokens. */
   def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
-    requireDense(tokens, "shingle_hashes")
-    val hs = gramHashes(tokens, n)
+    val hs = gramHashes(tokens, n) // gramHashes runs requireDense itself
+
     if (hs == null) return null
     java.util.Arrays.sort(hs)
     var w = 1
@@ -548,12 +557,15 @@ object VecUtil {
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
-      if (t != null) {
-        val h = polyHash(t, 31L) + (polyHash(t, 131L) << 30)
-        var b = 0
-        while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
-        total += 1
-      }
+      // dense-array contract like every sibling kernel: silently
+      // fingerprinting the non-null subset would produce wrong dedup
+      // keys with no error
+      if (t == null)
+        throw new IllegalArgumentException("sim_hash60: null token element")
+      val h = polyHash(t, 31L) + (polyHash(t, 131L) << 30)
+      var b = 0
+      while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      total += 1
       i += 1
     }
     var fp = 0L
