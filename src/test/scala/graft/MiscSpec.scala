@@ -184,6 +184,31 @@ class MiscSpec extends GraftSpec {
     assert(!pairs.exists(r => r.getLong(0) >= 997L || r.getLong(1) >= 997L))
   }
 
+  test("imageDHash is codec-invariant: GIF and BMP re-encodes fingerprint like PNG") {
+    import spark.implicits._
+    // the lossless JDK codecs must all decode to the same pixels — the
+    // video-keyframe (GIF frame 0) and legacy-BMP ingest paths reuse
+    // the one dHash kernel and must agree with the PNG fixture
+    def reencode(png: Array[Byte], fmt: String): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val ids = (0L until 24L).toSeq
+    def fps(fmt: Option[String]) = {
+      val packed = ids.map { id =>
+        val png = Multimodal.synthImageSeries(id)
+        (id, fmt.fold(png)(reencode(png, _)))
+      }.toDF("media_id", "bytes")
+      Multimodal.imageDHash(spark, packed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val png = fps(None)
+    assert(fps(Some("gif")) === png)
+    assert(fps(Some("bmp")) === png)
+  }
+
   test("imageDHash: non-grid-sized images go through the resample path deterministically") {
     import spark.implicits._
     // 8x8 source sampled onto the 9x8 dHash grid (non-identity resample);
