@@ -33,6 +33,19 @@ object SparkEntry {
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try q.processAllAvailable() finally q.stop()
 
+  /** (media_id, bytes) frame of synthesized payloads for the
+    * multimodal gates — one payload per document id. `cap` bounds the
+    * fixture-sized gates; None = whole corpus (the bulk-decode shape),
+    * spread across cores first since synthesis+decode is CPU-bound. */
+  private def packedMedia(s: SparkSession, d: String, cap: Option[Long])(
+      gen: Long => Array[Byte]): DataFrame = {
+    import s.implicits._
+    val ids0 = Tables.documents(s, d).select(col("doc_id"))
+    val ids = cap.fold(graft.operators.Parallelism.ensureDefault(ids0))(
+      c => ids0.filter(col("doc_id") < c))
+    ids.as[Long].mapPartitions(_.map(id => (id, gen(id)))).toDF("media_id", "bytes")
+  }
+
   private def numCsv(arr: Column): Column =
     concat_ws(",", transform(arr, x => round(x.cast("double") * lit(1e6)).cast("long").cast("string")))
 
@@ -593,59 +606,38 @@ object SparkEntry {
       // deterministic PNGs encoded per doc id, decoded distributed in
       // per-partition batches, exact per-channel pixel sums checked
       // against the oracle's closed form (PNG is lossless)
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
-      val packed = ids.as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.decodeImageStats(s, packed)
+      Multimodal.decodeImageStats(s,
+        packedMedia(s, d, Some(200L))(Multimodal.synthImagePng(_)))
     },
     "multimodal_image_resize" -> { (s, d) =>
       // decode + nearest-neighbor thumbnail (8x8 -> 4x4) in one batch
       // pass; resized channel sums vs the closed form (source pixel
       // (2x, 2y) — integer indexing, no blending, exact)
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
-      val packed = ids.as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.resizeImageStats(s, packed, tw = 4, th = 4)
+      Multimodal.resizeImageStats(s,
+        packedMedia(s, d, Some(200L))(Multimodal.synthImagePng(_)), tw = 4, th = 4)
     },
     "multimodal_audio_decode" -> { (s, d) =>
       // REAL audio decode (javax.sound.sampled — WAV/PCM ships with the
       // JDK): 256-sample PCM clips per id, decoded distributed,
       // length/energy features vs the closed form (PCM is lossless)
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
-      val packed = ids.as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.synthWav(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.decodeAudioStats(s, packed)
+      Multimodal.decodeAudioStats(s,
+        packedMedia(s, d, Some(200L))(Multimodal.synthWav(_)))
     },
     "multimodal_frame_sample" -> { (s, d) =>
       // REAL frame sampling over the JDK's multi-frame codec (GIF, the
       // video stand-in): 6-frame clips per id, every 2nd frame decoded,
       // per-frame channel sums vs the closed form (<=64 colors/frame,
       // far under GIF's palette — lossless)
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 100)
-      val packed = ids.as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.synthGif(id, frames = 6))))
-        .toDF("media_id", "bytes")
-      Multimodal.sampleFrameStats(s, packed, stride = 2)
+      Multimodal.sampleFrameStats(s,
+        packedMedia(s, d, Some(100L))(Multimodal.synthGif(_, frames = 6)), stride = 2)
     },
     "multimodal_image_decode_bulk" -> { (s, d) =>
       // corpus-scale decode shape: ONE synthesized PNG per document (no
       // id cap — encode+decode work scales with the corpus, unlike the
       // fixture-bounded gates above); the closed-form oracle covers
       // every row, so the gate stays exact at any sf
-      import s.implicits._
-      val ids = graft.operators.Parallelism.ensureDefault(
-        Tables.documents(s, d).select(col("doc_id")))
-      val packed = ids.as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.synthImagePng(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.decodeImageStats(s, packed)
+      Multimodal.decodeImageStats(s,
+        packedMedia(s, d, None)(Multimodal.synthImagePng(_)))
     },
     "multimodal_image_neardup" -> { (s, d) =>
       // perceptual-hash image dedup: REAL PNG decode -> 64-bit dHash ->
@@ -653,24 +645,16 @@ object SparkEntry {
       // images come in groups of 4 (exact + 1-bit-near duplicates, no
       // cross-group noise) and the oracle re-derives every fingerprint
       // from the pixel closed form
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
-      val packed = ids.as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.synthImageSeries(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.imageNearDupPairs(s, packed, maxHamming = 2)
+      Multimodal.imageNearDupPairs(s,
+        packedMedia(s, d, Some(200L))(Multimodal.synthImageSeries(_)), maxHamming = 2)
     },
     "multimodal_audio_neardup" -> { (s, d) =>
       // perceptual audio dedup: REAL WAV decode -> 63-bit energy-profile
       // fingerprint -> banded Hamming pairs; clips come in groups of 4
       // (exact + 1-bit-near duplicates, zero cross-group noise) and the
       // oracle re-derives every fingerprint from the sample closed form
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
-      val packed = ids.as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.synthWavSeries(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.audioNearDupPairs(s, packed, maxHamming = 2)
+      Multimodal.audioNearDupPairs(s,
+        packedMedia(s, d, Some(200L))(Multimodal.synthWavSeries(_)), maxHamming = 2)
     },
     "sketch_kmv_overlap" -> { (s, d) =>
       // contamination screening sketch: how much of corpus B's content

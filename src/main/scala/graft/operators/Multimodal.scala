@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, batched decode / feature-extraction over partitions.
   *
-  * IMAGE decode is REAL: the JDK ships codecs (javax.imageio — PNG,
-  * JPEG, BMP, GIF), so [[decodeImageStats]] decodes actual image bytes
-  * per partition and the `multimodal_image_decode` gate proves the
-  * round trip end-to-end (deterministic PNGs encoded with the same JDK,
-  * decoded distributed, per-channel sums checked against the oracle's
-  * closed form — PNG is lossless, so the sums are exact). Audio/video
-  * decode remains STUBBED (`decodeStub` — no such codecs in the JDK);
-  * the binary layout, metadata struct and per-partition batched shape
-  * are the contract a real codec plugs into.
+  * Decode is REAL wherever the JDK ships a codec: images via
+  * javax.imageio (PNG, JPEG, BMP, GIF — [[decodeImageStats]],
+  * [[resizeImageStats]], [[imageDHash]]), audio via javax.sound (WAV
+  * PCM — [[decodeAudioStats]], [[audioFingerprint]]), and multi-frame
+  * GIF as the video stand-in ([[sampleFrameStats]]). Every decode gate
+  * proves the round trip end-to-end: deterministic payloads encoded
+  * with the same JDK codecs (all lossless for the fixture content),
+  * decoded distributed, features checked against the oracle's closed
+  * form. Only exotic video codecs stay behind `decodeStub` — the
+  * binary layout, metadata struct and per-partition batched shape are
+  * the contract a real codec plugs into.
   */
 object Multimodal {
 
@@ -66,25 +68,40 @@ object Multimodal {
     * b = (id*13 + y) % 256 — a closed form any engine can re-derive,
     * which is what makes the decode gate oracle-checkable. Encoded as
     * PNG (lossless) with the JDK's own codec. */
-  def synthImagePng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+  def synthImagePng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] =
+    renderPng(w, h) { (x, y) =>
+      val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+      val g = ((id * 11 + x) % 256).toInt
+      val b = ((id * 13 + y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  /** Render an (x, y) -> packed-RGB function as PNG bytes — the shared
+    * encode tail of every synthetic image generator (PNG is lossless,
+    * which is what keeps the decode gates closed-form-checkable). */
+  private def renderPng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) {
-        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
-        val g = ((id * 11 + x) % 256).toInt
-        val b = ((id * 13 + y) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
-      }
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** The fixture-series polynomial shared by the image and audio
+    * generators (mirrored term-for-term by their oracles). Each
+    * generator reduces it double-mod — first by a PRIME, then by its
+    * value range — because the prime reduction breaks the
+    * arithmetic-progression / sawtooth structure a single power-of-two
+    * mod would keep: with a plain mod, adjacent-sample comparisons
+    * barely depend on the seed and every group's fingerprint collided. */
+  private def seriesPoly(s: Long, i: Long, c: Long): Long =
+    i * i * (s + 7) + i * (s * s + 13) + c
 
   /** The (media_id, bytes) projection every batched decoder starts
     * from — one place, so the decoders cannot drift on it. */
@@ -188,13 +205,7 @@ object Multimodal {
       pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, samples)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    encodeWav(pcm, samples, sampleRate)
   }
 
   /** Shared PCM decode guard for every audio featurizer: decode to
@@ -265,12 +276,17 @@ object Multimodal {
     var i = 0
     while (i < samples) {
       val c = if (i == 0) tweak else 0L
-      val il = i.toLong
-      val v = ((il * il * (s + 7) + il * (s * s + 13) + c) % 65543 % 65536 - 32768).toInt
+      val v = (seriesPoly(s, i.toLong, c) % 65543 % 65536 - 32768).toInt
       pcm(i * 2) = (v & 0xff).toByte
       pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
+    encodeWav(pcm, samples, sampleRate)
+  }
+
+  /** PCM little-endian 16-bit mono -> WAV bytes via the JDK codec —
+    * the shared encode tail of both synthetic WAV generators. */
+  private def encodeWav(pcm: Array[Byte], samples: Int, sampleRate: Float): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples)
@@ -420,25 +436,16 @@ object Multimodal {
     * (lossless) via the JDK codec, so decode reproduces the closed form
     * exactly — the oracle re-derives the dHash from the formula. */
   def synthImageSeries(id: Long, w: Int = 9, h: Int = 8): Array[Byte] = {
-    val s = id >> 2
+    val sd = id >> 2
     val tweak = (id & 3) * 8
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = y.toLong * w + x + 1
-        val c = if (x == 0 && y == 0) tweak else 0L
-        val v = (((i * i * (s + 7) + i * (s * s + 13)) % 1009 + c) % 256).toInt
-        img.setRGB(x, y, (v << 16) | (((v + 85) % 256) << 8) | ((v + 170) % 256))
-        x += 1
-      }
-      y += 1
+    renderPng(w, h) { (x, y) =>
+      val i = y.toLong * w + x + 1
+      val c = if (x == 0 && y == 0) tweak else 0L
+      // the tweak is added AFTER the mod-1009 reduction (matching the
+      // oracle); the audio series folds it in before both reductions
+      val v = ((seriesPoly(sd, i, 0L) % 1009 + c) % 256).toInt
+      (v << 16) | (((v + 85) % 256) << 8) | ((v + 170) % 256)
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
   }
 
   /** 64-bit difference hash (dHash) of each image — the standard
