@@ -74,10 +74,21 @@ object BenchBig {
       (System.nanoTime() - t0) / 1e9
     }
 
-    names.foreach(once) // warm-up: JVM/codegen + page cache
-    val results = names.map(n => n -> (1 to reps).map(_ => once(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"big","queries":$qs,"sf":"$dir"}""")
+    // UNTIMED session hygiene between runs: the llm/rel lists include
+    // localCheckpoint-ing queries (clustering, pagerank, IVF, tf-idf)
+    // whose checkpoint blocks would otherwise accumulate across ~190
+    // executions at 50-200x data scale and steal unified memory from
+    // late-alphabet measurements (the exact distortion
+    // GraftSession.clearSessionState documents)
+    def clean(name: String): Double = {
+      val dt = once(name)
+      GraftSession.clearSessionState(spark)
+      dt
+    }
+    names.foreach(clean) // warm-up: JVM/codegen + page cache
+    val results = names.map(n => n -> (1 to reps).map(_ => clean(n)).min)
+    val qs = results.map { case (k, v) => JsonOut.q(k) + ":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"big","queries":$qs,"sf":${JsonOut.q(dir)}}""")
     spark.stop()
   }
 }

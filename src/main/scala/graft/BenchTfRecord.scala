@@ -24,7 +24,9 @@ object BenchTfRecord {
       col("value").cast("float").as("value_f32"))
     val n = Tables.events(spark, dir).count()
 
-    val staged = GateFixtures.dir("tfrecord_bench", dir) { target =>
+    // shards is part of the memo key: a same-JVM re-run with a
+    // different shard count must stage fresh, not reuse the old layout
+    val staged = GateFixtures.dir(s"tfrecord_bench_$shards", dir) { target =>
       TfRecordSource.write(Tables.events(spark, dir).select(cols: _*)
         .repartition(shards), target)
     }

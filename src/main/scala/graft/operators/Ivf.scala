@@ -121,11 +121,11 @@ object Ivf {
       nClusters: Int, iters: Int, nprobe: Int, scale: Double): DataFrame = {
     val cq = quantized(corpus, col("id"), col("vec"), scale).localCheckpoint(false)
     val cents = kmeans(cq, nClusters, iters)
-    val c = cq.select(col("id").as("n_id"), col("vec").as("cv"),
-      nearestCentroid(col("qv"), cents).as("cid"))
-    val q = quantized(queries, col("id"), col("vec"), scale)
+    val c = Ann.withNorm(cq.select(col("id").as("n_id"), col("vec").as("cv"),
+      nearestCentroid(col("qv"), cents).as("cid")), "cv", "__cn")
+    val q = Ann.withNorm(quantized(queries, col("id"), col("vec"), scale)
       .select(col("id").as("q_id"), col("vec").as("qv"),
-        explode(nearestCentroids(col("qv"), cents, nprobe)).as("cid"))
+        explode(nearestCentroids(col("qv"), cents, nprobe)).as("cid")), "qv", "__qn")
     // a corpus vector lives in exactly one cell, so probing distinct
     // cells can never produce duplicate (q, n) pairs
     Ann.topK(c.join(broadcast(q), Seq("cid")).filter(col("q_id") =!= col("n_id")), k)
@@ -147,14 +147,18 @@ object Ivf {
     * through the same ordered-fold kernel as every ANN path. */
   def semanticPrune(corpus: DataFrame, threshold: Double,
       k: Int, iters: Int, scale: Double): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
+    import graft.functions.VectorFunctions.dot
     val cq = quantized(corpus, col("id"), col("vec"), scale).localCheckpoint(false)
     val cents = kmeans(cq, k, iters)
     val asg = cq.select(col("id"), col("vec"),
       nearestCentroid(col("qv"), cents).as("cluster_id"))
-    val dropped = asg.as("a").join(asg.as("b"),
+    // per-ROW norms before the within-cell pairing (the Ann.withNorm
+    // discipline — one dot kernel per pair, and zero-norm/NaN vectors
+    // never match anything, so they survive in asg untouched)
+    val normed = Ann.withNorm(asg, "vec", "__n")
+    val dropped = normed.as("a").join(normed.as("b"),
         col("a.cluster_id") === col("b.cluster_id") && col("a.id") < col("b.id"))
-      .filter(cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .filter(dot(col("a.vec"), col("b.vec")) / (col("a.__n") * col("b.__n")) >= threshold)
       .select(col("b.id").as("id"))
     asg.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cluster_id"))
