@@ -73,6 +73,20 @@ def main():
         try:
             orc = con.sql(sql)
             oracle_cols = sorted(orc.columns)
+            # DRIVER-CONTRACT GUARD: the driver pulls oracle rows through
+            # pandas, where HUGEINT (DuckDB's type for a bare integer
+            # SUM) degrades to float64 and hash-diverges from Spark's
+            # int64 on identical values. Any HUGEINT column is therefore
+            # a guaranteed driver hash-fail even when check.py (fetchall
+            # keeps int) would pass — fail it HERE.
+            huge = [c for c, t in zip(orc.columns, orc.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle columns type as HUGEINT "
+                      f"(driver pandas bridge degrades to float64): {huge} "
+                      f"-- wrap in CAST(... AS BIGINT)")
+                failures += 1
+                continue
             sel = ", ".join(f'"{c}"' for c in oracle_cols)
             oracle_rows = con.sql(
                 f"SELECT {sel} FROM ({sql}) q ORDER BY ALL").fetchall()
@@ -83,6 +97,19 @@ def main():
         try:
             sp = con.sql(f"SELECT * FROM read_parquet({files!r})")
             spark_cols = sorted(sp.columns)
+            # DRIVER-CONTRACT GUARD: a non-scalar Spark output column
+            # (array/struct/map) crashes the driver's pandas row sorter
+            # ("unhashable type: numpy.ndarray") — serialize via the
+            # rawCsv/numCsv convention instead.
+            nested = [c for c, t in zip(sp.columns, sp.types)
+                      if any(k in str(t) for k in ("[]", "STRUCT", "MAP"))]
+            if nested:
+                print(f"FAIL {name}: non-scalar spark output columns "
+                      f"(driver row-sorter crashes on these): "
+                      f"{[(c, str(t)) for c, t in zip(sp.columns, sp.types) if c in nested]} "
+                      f"-- serialize via rawCsv/numCsv")
+                failures += 1
+                continue
             sel = ", ".join(f'"{c}"' for c in spark_cols)
             spark_rows = con.sql(
                 f"SELECT {sel} FROM read_parquet({files!r}) ORDER BY ALL").fetchall()

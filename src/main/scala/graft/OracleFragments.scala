@@ -249,11 +249,11 @@ object OracleFragments {
     val deg = "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)"
     val r0 = "r0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS pr FROM deg)"
     val steps = (1 to iters).map { i =>
-      s"""s$i AS (SELECT e.dst AS id, SUM(r.pr // d.deg) AS s
+      s"""s$i AS (SELECT e.dst AS id, CAST(SUM(r.pr // d.deg) AS BIGINT) AS s
          |  FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst),
-         |r$i AS (SELECT id, $teleport + (s // 1000000000) * $dampNano
-         |  + ((s % 1000000000) * $dampNano) // 1000000000 AS pr FROM s$i)""".stripMargin
+         |r$i AS (SELECT id, CAST($teleport + (s // 1000000000) * $dampNano
+         |  + ((s % 1000000000) * $dampNano) // 1000000000 AS BIGINT) AS pr FROM s$i)""".stripMargin
     }
     (Seq(deg, r0) ++ steps).mkString(",\n")
   }

@@ -300,6 +300,9 @@ object SparkEntry {
       // real at sf0.01: 500 vectors vs 1024/512 buckets), concatenated
       // with the scaled dense features into one array<double> tensor per
       // example
+      // gate contract: no non-scalar output columns (the driver's row
+      // sorter can't order arrays) — serialize the tensor via the
+      // micro-int CSV convention, mirrored in the oracle
       EmbeddingLookup.inputLayer(
         Tables.events(s, d),
         col("event_id"),
@@ -310,6 +313,7 @@ object SparkEntry {
           pmod(col("user_id"), lit(1024L)),
           Categorical.featureHash(col("event_type"), 512)),
         table = Tables.embeddings(s, d), keyCol = "vec_id", vecCol = "embedding")
+        .select(col("id"), numCsv(col("features")).as("features"))
     },
 
     "join_salted_skew" -> { (s, d) =>
@@ -1939,12 +1943,33 @@ object SparkEntry {
     },
     "embedding_pca_project" -> { (s, d) =>
       // PCA top-4 projection via the distributed Gram sufficient
-      // statistic + driver Jacobi (FeatureScale.pcaProject). No SQL
-      // oracle for the eigensolve (rows-only check); determinism,
-      // eigens golden and variance ordering are spec-asserted (MiscSpec).
+      // statistic + driver Jacobi (FeatureScale.pcaProject). The
+      // iterative eigensolve has no SQL formulation, so the oracle
+      // asserts the projection's PROVABLE invariants as booleans it
+      // expects literally true: per-row Bessel (‖proj‖² ≤ ‖x−μ‖²),
+      // per-component global centering (Σ proj_c = 0), and descending
+      // component variances (they are the top eigenvalues). A wrong
+      // eigensolve/projection flips one of these and hash-fails; exact
+      // eigens-golden + layout invariance stay spec-asserted (MiscSpec).
       val p = FeatureScale.pcaProject(s, Tables.embeddings(s, d),
         col("vec_id"), col("embedding"), d = 64, k = 4)
-      p.select(col("id").as("vec_id"), numCsv(col("proj")).as("proj"))
+      val dim = (i: Int) => element_at(col("proj"), i)
+      val p2 = (1 to 4).map(i => dim(i) * dim(i)).reduce(_ + _)
+      val perRow = p.select(col("id").as("vec_id"),
+        (p2 <= col("center_norm2") * lit(1 + 1e-9) + lit(1e-3)).as("bessel_ok"))
+      val inv = p.agg(
+        count(lit(1)).as("n"),
+        ((1 to 4).map(i => sum(dim(i)).as(s"s$i")) ++
+          (1 to 4).map(i => sum(dim(i) * dim(i)).as(s"ss$i"))): _*)
+        .select(
+          (1 to 4).map(i => (abs(col(s"s$i")) < col("n") * lit(1e-3)))
+            .reduce(_ && _).as("centered_ok"),
+          (1 to 3).map { i =>
+            val v = (j: Int) => col(s"ss$j") / col("n") -
+              (col(s"s$j") / col("n")) * (col(s"s$j") / col("n"))
+            v(i) >= v(i + 1) - lit(1e-3)
+          }.reduce(_ && _).as("var_ordered_ok"))
+      perRow.crossJoin(broadcast(inv))
     },
     "text_clean" -> { (s, d) =>
       // native one-pass scrub vs DuckDB's nfc_normalize + regex chain:
@@ -1959,15 +1984,21 @@ object SparkEntry {
       // Real BPE tokenization (operators.Bpe): 40 merges trained on the
       // corpus itself (one distributed word-freq aggregation + driver
       // merge loop over the bounded dictionary), then the codegen'd
-      // greedy-rank encode. No SQL oracle exists for the iterative merge
-      // (driver records the rows-only check); determinism, goldens and
-      // losslessness are spec-asserted (LlmPrepSpec).
+      // greedy-rank encode. The oracle checks end-to-end LOSSLESSNESS:
+      // detokenization must reproduce the text minus the space
+      // delimiters (pure SQL), and the token count must sit inside its
+      // provable bounds [n_words, n_chars] (the oracle asserts the
+      // boolean; a miscount on the Spark side flips it and hash-fails).
+      // Merge-rank semantics and goldens stay spec-asserted (LlmPrepSpec).
       val docs = Tables.documents(s, d)
       val merges = operators.Bpe.train(docs, col("text"), numMerges = 40)
       val toks = operators.Bpe.encode(col("text"), merges)
+      val detok = concat_ws("", toks)
+      val nWords = size(filter(split(col("text"), " "), w => length(w) > 0))
       docs.select(col("doc_id"),
-        size(toks).cast("long").as("n_bpe_tokens"),
-        rawCsv(slice(toks, 1, 8)).as("head_tokens"))
+        detok.as("detok"),
+        coalesce(size(toks) <= length(detok) && size(toks) >= nWords,
+          lit(true)).as("n_tokens_bounded"))
     },
     "window_trailing_range" -> { (s, d) =>
       // Trailing event-time RANGE window: per-user count + exact sum
@@ -2233,7 +2264,9 @@ object SparkEntry {
          |  ${OracleFragments.polyHashSql("event_type")} % 512 AS c1
          |  FROM events)
          |SELECT e.event_id AS id,
-         |  [e.n0, e.n1] || COALESCE(l0.v, z.zv) || COALESCE(l1.v, z.zv) AS features
+         |  array_to_string(list_transform(
+         |    [e.n0, e.n1] || COALESCE(l0.v, z.zv) || COALESCE(l1.v, z.zv),
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS features
          |FROM e CROSS JOIN z
          |LEFT JOIN dim l0 ON e.c0 = l0.vec_id
          |LEFT JOIN dim l1 ON e.c1 = l1.vec_id""".stripMargin,
@@ -2384,6 +2417,14 @@ object SparkEntry {
          |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
          |  -(CAST(slog AS DOUBLE) / (1e9 * nb)) AS cross_entropy
          |FROM s""".stripMargin,
+    // losslessness oracle: BPE merges only ever concatenate adjacent
+    // in-word symbols, so detokenization is the text minus the space
+    // delimiters; the count-bound boolean is asserted literally true
+    // (a Spark-side miscount flips it -> hash fail)
+    "text_bpe_tokens" ->
+      """SELECT doc_id, replace(text, ' ', '') AS detok,
+        |  true AS n_tokens_bounded
+        |FROM documents""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN len(list_filter(string_split(text,' '),
@@ -2641,7 +2682,9 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END AS inboth FROM ku)
          |SELECT CAST(count(*) AS BIGINT) AS n_union_kept,
          |  CAST(COALESCE(SUM(inboth), 0) AS BIGINT) AS n_both,
-         |  CAST(SUM(inboth) AS DOUBLE) / count(*) AS jaccard_est,
+         |  CASE WHEN count(*) = 0 THEN 0.0
+         |    ELSE CAST(COALESCE(SUM(inboth), 0) AS DOUBLE) / count(*)
+         |  END AS jaccard_est,
          |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
          |    ELSE 63.0 * 1000000007 / MAX(h) END AS union_est
          |FROM fl""".stripMargin,
@@ -3151,15 +3194,19 @@ object SparkEntry {
         |  CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE b.value END AS value
         |FROM b FULL OUTER JOIN u ON b.event_id = u.event_id""".stripMargin,
     "agg_incremental_merge" ->
+      // outer CAST: DuckDB types integer SUM as HUGEINT, which the
+      // driver's pandas bridge degrades to float64 and hash-diverges
+      // from Spark's int64 on identical values
       """SELECT event_type, COUNT(*) AS cnt,
-        |  SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin,
     "profile_expectations" ->
+      // CASTs on the SUMs: avoid DuckDB HUGEINT (see agg_incremental_merge)
       """WITH a AS (SELECT COUNT(*) AS n,
-        |  SUM(CASE WHEN COALESCE(event_id IS NOT NULL AND user_id IS NOT NULL, false) THEN 0 ELSE 1 END) AS v0,
-        |  SUM(CASE WHEN COALESCE(event_type IN ('view','click','purchase','error','login','logout'), false) THEN 0 ELSE 1 END) AS v1,
-        |  SUM(CASE WHEN COALESCE(value >= 0 AND value < 150, false) THEN 0 ELSE 1 END) AS v2,
-        |  SUM(CASE WHEN COALESCE(value < 1.0, false) THEN 0 ELSE 1 END) AS v3
+        |  CAST(SUM(CASE WHEN COALESCE(event_id IS NOT NULL AND user_id IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        |  CAST(SUM(CASE WHEN COALESCE(event_type IN ('view','click','purchase','error','login','logout'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN COALESCE(value >= 0 AND value < 150, false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN COALESCE(value < 1.0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v3
         |  FROM events)
         |SELECT 'ids_present' AS name, v0 AS violations, n AS n_rows, v0 * 1000000 <= 0 * n AS pass FROM a
         |UNION ALL SELECT 'known_type', v1, n, v1 * 1000000 <= 0 * n FROM a
@@ -3492,5 +3539,12 @@ object SparkEntry {
         |SELECT vec_id,
         |  string_agg(CAST(CAST(round(zv * 1e6) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS z
         |FROM z GROUP BY vec_id""".stripMargin,
+    // the Jacobi eigensolve has no SQL formulation; the oracle asserts
+    // the projection's provable invariants (Bessel / centering /
+    // variance ordering) as literally-true booleans over the full id set
+    "embedding_pca_project" ->
+      """SELECT vec_id, true AS bessel_ok, true AS centered_ok,
+        |  true AS var_ordered_ok
+        |FROM embeddings""".stripMargin,
   )
 }

@@ -77,8 +77,10 @@ object FeatureScale {
     * normalized so its largest-magnitude coordinate is positive —
     * identical output on any partition layout (spec-asserted).
     *
-    * Output: (id, proj: array<double> of length k), proj = Vᵀ(x − μ)
-    * on the grid-quantized coordinates.
+    * Output: (id, proj: array<double> of length k, center_norm2), proj
+    * = Vᵀ(x − μ) on the grid-quantized coordinates and center_norm2 =
+    * ‖x − μ‖² (Bessel bound: ‖proj‖² ≤ center_norm2 up to rounding —
+    * the gate's oracle-assertable invariant).
     */
   def pcaProject(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       id: Column, vec: Column, d: Int, k: Int,
@@ -130,7 +132,11 @@ object FeatureScale {
         lit(w(i)) * (element_at(col("__q"), i + 1).cast("double") - lit(mu(i))))
         .reduce(_ + _)
     }: _*)
-    base.select(col("__id").as("id"), proj.as("proj"))
+    val cn2 = (0 until d).map { i =>
+      val z = element_at(col("__q"), i + 1).cast("double") - lit(mu(i))
+      z * z
+    }.reduce(_ + _)
+    base.select(col("__id").as("id"), proj.as("proj"), cn2.as("center_norm2"))
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns

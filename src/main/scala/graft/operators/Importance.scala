@@ -64,8 +64,16 @@ object Importance {
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val cr = tokenBuckets(raw, id, text, buckets, mult)
       .groupBy("b").agg(count(lit(1)).as("cr"))
-    val nt = ct.agg(sum(col("ct")).as("nt"))
-    val nr = cr.agg(sum(col("cr")).as("nr"))
+    // an empty (or all-null-text) corpus makes the token sum NULL and
+    // every downstream weight silently NULL — fail loudly inside the
+    // lazy plan instead (same assert_true discipline as
+    // EmbeddingLookup.inputLayer's width guard)
+    def totalOrFail(agg: DataFrame, c: String, which: String): DataFrame =
+      agg.select(when(assert_true(col(c).isNotNull,
+          lit(s"bucketWeights: $which corpus has no tokens — importance weights undefined"))
+          .isNull, col(c)).as(c))
+    val nt = totalOrFail(ct.agg(sum(col("ct")).as("nt")), "nt", "target")
+    val nr = totalOrFail(cr.agg(sum(col("cr")).as("nr")), "nr", "raw")
     // full outer: a bucket seen in only one corpus still gets a weight
     // (the +1 smoothing is exactly what makes that well-defined)
     cr.join(ct, Seq("b"), "full_outer")

@@ -351,7 +351,14 @@ object NearDup {
       bits / nBands + (if (j < bits % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def mask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
-    val banded = fp.select(col("doc_id"), col("fp"),
+    // mask the fingerprint to the banded domain on entry: stray bits
+    // above `bits` would inflate the verify distance (bit_count runs
+    // over the full 64-bit XOR) while staying invisible to the bands —
+    // silently dropped pairs, voiding the exact-recall pigeonhole
+    // guarantee. With the mask the verify distance matches the banded
+    // domain by construction.
+    val fpMasked = fp.withColumn("fp", col("fp").bitwiseAND(mask(bits)))
+    val banded = fpMasked.select(col("doc_id"), col("fp"),
       explode(array((0 until nBands).map { j =>
         struct(lit(j).as("band"),
           shiftright(col("fp"), offsets(j))

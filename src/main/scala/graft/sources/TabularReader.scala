@@ -309,11 +309,8 @@ object TabularReader {
   private def footerFieldNames(
       spark: SparkSession, format: String, files: Seq[String]): Map[String, Set[String]] = {
     val conf = spark.sessionState.newHadoopConf()
-    files.map { f =>
+    def readOne(f: String): Seq[(String, Set[String])] = {
       val p = new org.apache.hadoop.fs.Path(f)
-      // key by the Hadoop-normalized form ("file:/…") — inputFiles
-      // yields "file:///…" while _metadata.file_path yields "file:/…",
-      // and the fill predicate compares against the latter
       val names: Set[String] = format match {
         case "parquet" =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -330,8 +327,28 @@ object TabularReader {
             r.getSchema.getFieldNames.asScala.toSet
           } finally r.close()
       }
-      p.toString -> names
-    }.toMap
+      // key by BOTH the Hadoop-normalized form ("file:/…" — what
+      // _metadata.file_path yields for plain paths; inputFiles yields
+      // "file:///…") AND the URI form, so a path whose characters
+      // URI-normalize differently still matches the fill predicate
+      // instead of silently skipping that file's default fill
+      Seq(p.toString, p.toUri.toString).distinct.map(_ -> names)
+    }
+    // metadata-only footer reads are driver-side by design (same cost
+    // class as the mergeSchema reconciliation), but sequential reads
+    // over a large file count would serialize on per-file open latency —
+    // run them on a small bounded pool
+    if (files.lengthCompare(4) <= 0) files.flatMap(readOne).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.length))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(files)(f => scala.concurrent.Future(readOne(f))),
+        scala.concurrent.duration.Duration.Inf).flatten.toMap
+      finally pool.shutdown()
+    }
   }
 
   private def sameIgnoringNullability(a: DataType, b: DataType): Boolean = (a, b) match {

@@ -171,6 +171,25 @@ class LlmPrepSpec extends GraftSpec {
       .sameElements(scores.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted))
   }
 
+  test("importance weights: an empty target corpus fails loudly, not silent NULLs") {
+    import graft.operators.Importance
+    import spark.implicits._
+    val raw = (0L until 10L).map(i => (i, "alpha beta")).toDF("id", "txt")
+    val emptyTarget = raw.filter(lit(false))
+    val e = intercept[Exception] {
+      Importance.resampleTopN(raw, emptyTarget, col("id"), col("txt"),
+        buckets = 64, n = 5).collect()
+    }
+    assert(e.getMessage.contains("target corpus has no tokens"), e.getMessage)
+    // all-null text is the same degenerate case
+    val nullTarget = raw.select(col("id"), lit(null).cast("string").as("txt"))
+    val e2 = intercept[Exception] {
+      Importance.resampleTopN(raw, nullTarget, col("id"), col("txt"),
+        buckets = 64, n = 5).collect()
+    }
+    assert(e2.getMessage.contains("target corpus has no tokens"), e2.getMessage)
+  }
+
   test("grouped split: every group lands in exactly one split (no leakage)") {
     val out = Sampling.splitAssign(
       docs.select(col("doc_id"), col("source")),

@@ -293,6 +293,20 @@ class NearDupSpec extends GraftSpec {
     assert(plan.contains("__bsz"), "bucket-size guard missing from plan")
   }
 
+  test("hammingNearDups masks stray bits above the banded domain (exact recall holds)") {
+    import spark.implicits._
+    // two fingerprints identical in the low 8 bits but differing in bits
+    // 8+: without the entry mask the bands (low 8 bits only) bucket them
+    // together while bit_count over the full 64-bit XOR inflates past
+    // maxHamming — a silently dropped pair
+    val fp = Seq((1L, 0x0f000000000000aaL), (2L, 0x00ff0000000000aaL))
+      .toDF("doc_id", "fp")
+    val pairs = NearDup.hammingNearDups(fp, bits = 8, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)),
+      s"stray high bits must not void the pigeonhole guarantee: ${pairs.toSeq}")
+  }
+
   test("text pipeline stays in whole-stage codegen (no UDFs in the plan)") {
     val plan = docs.select(
       TextFunctions.fingerprint(col("text")),

@@ -80,6 +80,36 @@ class SourcesSpec extends GraftSpec {
       (1L, 10L, Some(-1.0)), (2L, 20L, Some(5.0)), (3L, 30L, None)))
   }
 
+  test("non-default filesystem scheme: write + evolution read through graftfs:// URIs") {
+    // The reference mounts hdfs/s3/oss behind one FS abstraction
+    // (common/arrow.cc:77-107); Spark-side the analog is Hadoop's
+    // FileSystem registry. Registering a NON-default scheme and running
+    // the write -> mergeSchema-evolution read pipeline through it
+    // catches the whole default-FS-assumption bug class: a java.io.File
+    // on the data path, an unqualified Path, or a footer/fill predicate
+    // whose path forms disagree (makeQualified drift) all break here.
+    import spark.implicits._
+    import graft.schema.FieldSpec
+    import graft.sources.TabularWriter
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val dir = "graftfs:" + Files.createTempDirectory("graft_fsalias").toString
+    TabularWriter.toParquet(Seq((1L, 10L)).toDF("id", "a"), dir + "/v1")
+    TabularWriter.toParquet(
+      Seq((2L, 20L, Option(5.0)), (3L, 30L, Option.empty[Double])).toDF("id", "a", "v"),
+      dir + "/v2")
+    val out = TabularReader.fromParquet(spark, Seq(dir + "/v1", dir + "/v2"),
+      TabularReader.Options(mergeSchema = true, fields = Seq(
+        FieldSpec("id", LongType), FieldSpec("a", LongType),
+        FieldSpec("v", DoubleType, defaultValue = Some(-1.0)))))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq === Seq(
+      (1L, 10L, Some(-1.0)), (2L, 20L, Some(5.0)), (3L, 30L, None)))
+  }
+
   test("query results are invariant to input partition layout") {
     val li = Tables.lineitem(spark, sf)
     def q1(df: org.apache.spark.sql.DataFrame) =
@@ -280,4 +310,13 @@ class SourcesSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("row-range"))
   }
+}
+
+/** A local-disk FileSystem registered under a NON-default scheme —
+  * exercises path resolution via `Path.getFileSystem(conf)` the way a
+  * real hdfs/s3/oss mount would (no remote FS exists in the sandbox).
+  * Must be a top-level class: Hadoop instantiates it by reflection. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
