@@ -261,19 +261,26 @@ object Relational {
       // aggregation of the fact replaces ~3× the fact through semi/anti
       // exchanges with sorts; identical output.
       val li = Tables.lineitem(s, d)
-      val lateS = when(col("l_returnflag") === "R", col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_returnflag") === "R").as("r"))
+      val lateS = when(col("r"), col("l_suppkey"))
       val per = li.groupBy(col("l_orderkey").as("g_ok"))
         .agg(min(col("l_suppkey")).as("minS"), max(col("l_suppkey")).as("maxS"),
           min(lateS).as("minRS"), max(lateS).as("maxRS"),
-          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nR"))
+          sum(when(col("r"), 1L).otherwise(0L)).as("nR"))
         .filter(col("minS") =!= col("maxS") &&
           col("minRS").isNotNull && col("minRS") === col("maxRS"))
       val n = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
-      per.hint("shuffle_hash")
-        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
-          col("g_ok") === col("o_orderkey"))
-        .join(Tables.supplier(s, d), col("minRS") === col("s_suppkey"))
+      // join the most selective reduction FIRST: supplier⋈nation is a
+      // 1/25-nation broadcast, shrinking the per-order frame ~25× before
+      // orders ever enters — the F-status orders then hash-join against
+      // the small surviving side instead of the full per-order frame
+      val suppN = Tables.supplier(s, d)
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sn_suppkey"), col("s_name"))
+      val perN = per.join(broadcast(suppN), col("minRS") === col("sn_suppkey"))
+      val oF = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      perN.hint("shuffle_hash").join(oF, col("g_ok") === col("o_orderkey"))
         .groupBy(col("s_name"))
         .agg(sum(col("nR")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

@@ -155,10 +155,20 @@ object SparkEntry {
       // segment-filtered orders after — the shuffle carries order-grained
       // rows, not line-grained (4× less at TPC-H line fan-out).
       val cts = (n: String) => round(col(n) * 100).cast("long")
-      val revPerOrder = l.groupBy(col("l_orderkey"))
+      val bldgOrders = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      // runtime bloom semi-reduction on the fact side: Spark's own
+      // InjectRuntimeFilter rejects this shape (the selective predicate
+      // sits across the semi join from the creation key's lineage), so
+      // inject the identical machinery by hand — at ~20% segment
+      // selectivity the per-order aggregate and its exchange shrink 5×;
+      // the false positives the bloom lets through are removed by the
+      // exact join below (BloomReduce scaladoc has the full story)
+      val lBldg = operators.BloomReduce.semiReduce(
+        l, col("l_orderkey"), bldgOrders.select(col("o_orderkey")),
+        col("o_orderkey"))
+      val revPerOrder = lBldg.groupBy(col("l_orderkey"))
         .agg((sum(cts("l_extendedprice") * (lit(100L) - cts("l_discount")))
           .cast(DoubleType) / 10000.0).as("revenue"))
-      val bldgOrders = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
       revPerOrder.join(bldgOrders, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -809,12 +819,8 @@ object SparkEntry {
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
       // Selective-first join order (what a stats-fed CBO would pick):
       // region→nation→customer reduce orders to the ASIA slice BEFORE
-      // the fact join, so (a) the one non-broadcast join builds the
-      // 1/|regions| orders slice as a shuffle_hash (no SMJ fact sort),
-      // and (b) the slice is runtime-filter-eligible — Spark builds a
-      // bloom over its order keys and prunes the lineitem scan ahead of
-      // its exchange (GraftSession enables the rule; at cluster scans
-      // >10 GB the stock defaults fire on their own).
+      // the fact join, so the one non-broadcast join builds the
+      // 1/|regions| orders slice as a shuffle_hash (no SMJ fact sort).
       val asiaNations = Tables.nation(s, d)
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       val custAsia = Tables.customer(s, d)
@@ -822,6 +828,11 @@ object SparkEntry {
       // no broadcast hint on the customer slice: AQE broadcasts it at
       // bench proportions from stats; at cluster scale it's a shuffle
       // join at orders grain (25× smaller than line grain)
+      // NOT bloom-reduced, deliberately: unlike q3 (where pruning feeds
+      // a 30M-group reducing aggregate), the pruned fact here feeds a
+      // JOIN, so the saved exchange bytes equal the bloom's build+probe
+      // cost — measured at x200: 7.4 s plain vs 7.8–8.9 s across three
+      // bloom/checkpoint variants. The fact exchange is the floor.
       val ordersAsia = Tables.orders(s, d)
         .join(custAsia.select(col("c_custkey"), col("c_nationkey"), col("n_name")),
           col("o_custkey") === col("c_custkey"))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+/** Manual runtime bloom-filter semi-reduction ("dynamic filtering").
+  *
+  * Spark's own `InjectRuntimeFilter` builds a bloom over the selective
+  * side of a shuffle join and prunes the fact side before its exchange —
+  * the mechanism that keeps fact⋈dim-chain joins from shuffling
+  * unmatched fact rows at 100 TB. Its heuristic, however, requires a
+  * selective Filter on the *lineage path* of the creation-side join key;
+  * when the reduction comes from a SEMI JOIN (TPC-H q3's shape: orders
+  * semi-joined to BUILDING customers), the selective predicate lives on
+  * the far side of the semi join, the lineage walk to the orders leaf
+  * never sees it, and no filter is injected (verified empirically:
+  * filter- and aggregate-shaped creation sides fire, semi-join creation
+  * sides don't).
+  *
+  * `semiReduce` injects the identical machinery by hand: a distributed
+  * `BloomFilterAggregate(xxhash64(key))` over the reduced key set,
+  * attached as a lazy SCALAR SUBQUERY to a `might_contain` filter on the
+  * fact side — no driver-side collect beyond the bloom bytes themselves
+  * (the same cost class as the built-in filter's subquery; bits are
+  * clamped by `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`,
+  * 64M bits = 8 MB by default). False positives pass through and are
+  * removed by the exact join that follows; false negatives cannot occur,
+  * so the reduction is semantics-preserving wherever a semi join is.
+  *
+  * Scale story: the bloom build is a partial-merge aggregate (one pass
+  * over the key set, map-side combined), the probe is a codegen'd hash +
+  * bitset test per fact row before the fact's exchange — at 20%
+  * join selectivity the shuffle and aggregate hash tables shrink 5×.
+  * Reference analog: the fact⋈dim pruning the sharded lookup path gets
+  * from its id-partitioned layout (embedding/sharding.py:168-205).
+  */
+object BloomReduce {
+
+  /** Keep only fact rows whose `factKey` might appear in `keys.keyCol`
+    * (exact-join the survivors afterwards for exact semantics).
+    *
+    * @param expectedItems sizing hint for the bloom (clamped by
+    *   `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`); fpp
+    *   degrades gracefully — a few % false positives just means a few %
+    *   less pruning. Pass 0 (the default) to auto-size from the key
+    *   side's optimizer size estimate: a fixed-size bloom would make
+    *   the build cost a constant tax at small scale (measured +0.4 s
+    *   per query at sf0.1 for a 48M-bit bloom whose key set has 150k
+    *   rows), while under-sizing at large scale merely raises fpp.
+    */
+  def semiReduce(fact: DataFrame, factKey: Column, keys: DataFrame, keyCol: Column,
+      expectedItems: Long = 0L): DataFrame = {
+    val items = if (expectedItems > 0L) expectedItems else {
+      val bytes = keys.queryExecution.optimizedPlan.stats.sizeInBytes
+      (bytes / 16).min(4000000L).max(65536L).toLong
+    }
+    val numBits = math.min(items * 12L, 1L << 26)
+    val bloomAgg = column(new BloomFilterAggregate(
+      new XxHash64(Seq(expression(keyCol))),
+      Literal(items), Literal(numBits)).toAggregateExpression())
+    val bloomScalar = keys.select(bloomAgg.as("bf")).scalar()
+    fact.filter(column(BloomFilterMightContain(
+      expression(bloomScalar), new XxHash64(Seq(expression(factKey))))))
+  }
+}
