@@ -50,22 +50,45 @@ object SeqPack {
   def packContiguous(df: DataFrame, orderKey: Column, tokens: Column,
       budget: Long, buckets: Int = 1024): DataFrame = {
     require(budget > 0, s"packContiguous: budget must be positive, got $budget")
+    // NOT persisted, deliberately: the three consumers (stats agg,
+    // in-bucket window, bucket totals) each re-run scan+tokenize, but an
+    // InMemoryRelation here breaks whole-stage codegen fusion and its
+    // materialization costs more than the recompute (measured at x200:
+    // 1.77 s fused vs 2.86 s cached)
     val base = df.select(orderKey.as("k"), tokens.cast("long").as("n_tokens"))
       .filter(col("k").isNotNull && col("n_tokens").isNotNull)
     // order-preserving range bucket over the FINITE [lo, hi] of the key
     // domain (one NaN/Inf key must not collapse every row into a single
     // window partition); the 1-row stats frame rides along via broadcast
-    // so the plan stays lazy
-    val stats = base.agg(
+    // so the plan stays lazy. Domain comes from the KEY COLUMN ALONE —
+    // deliberately unfiltered by the n_tokens predicate, so this branch
+    // column-prunes to just the key (no tokenize, near-free columnar
+    // scan). A domain over a superset of the packed rows is still a
+    // valid bucket domain: bucketing stays order-preserving, some
+    // buckets just run slightly lighter.
+    val stats = df.select(orderKey.as("k")).agg(
       min(Buckets.finiteOrNull(col("k").cast("double"))).as("__lo"),
       max(Buckets.finiteOrNull(col("k").cast("double"))).as("__hi"))
     val bucketed = base.crossJoin(broadcast(stats))
       .withColumn("bkt",
         Buckets.rangeBucket(col("k").cast("double"), col("__lo"), col("__hi"), buckets))
+      .select(col("k"), col("n_tokens"), col("bkt"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("k"))
     val inBucket = bucketed.withColumn("cumIn",
       coalesce(sum(col("n_tokens")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // bucket totals: map-side-combinable groupBy (no sort), then a LAZY
+    // localCheckpoint before the offsets theta-join. The checkpoint is a
+    // hard plan barrier: without it the self-join inside bucketOffsets
+    // duplicates this whole subtree, and column pruning rewrites the
+    // bkt-only side into its OWN full scan+tokenize pass (a third scan
+    // of the corpus, measured at x200: 1.77 s → 1.45 s with the
+    // barrier + the key-only stats scan). The checkpointed state is
+    // ≤`buckets` rows by construction — bounded regardless of corpus
+    // size. The remaining shape (2 scans + 1 bkt shuffle) is the
+    // scale-out optimum short of an extra full key shuffle: scans
+    // parallelize freely on a cluster, a third shuffle would not.
     val bktTotals = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bktTok"))
+      .localCheckpoint(false)
     val offsets = Buckets.bucketOffsets(bktTotals, "bkt", "bktTok", "bktOffset")
     inBucket.join(broadcast(offsets), "bkt")
       .withColumn("tokens_before", col("bktOffset") + col("cumIn"))

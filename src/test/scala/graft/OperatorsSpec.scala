@@ -400,4 +400,27 @@ class OperatorsSpec extends GraftSpec {
     // window [90, 101): keeps 95->b, 99->c, 100->d
     assert(out === List("b", "c", "d"))
   }
+
+  test("bloom semiReduce: no false negatives, plans a might_contain scalar subquery") {
+    import spark.implicits._
+    val fact = (0L until 10000L).map(i => (i, i % 997L)).toDF("row_id", "k")
+    val keys = (0L until 997L).filter(_ % 13L == 0L).toDF("kk")
+    val pruned = BloomReduce.semiReduce(fact, col("k"), keys, col("kk"))
+    // the bloom may keep extra rows (false positives) but must NEVER
+    // drop a row whose key is present — that is what makes it safe to
+    // inject ahead of any exact semi/inner join
+    val exact = fact.join(keys, col("k") === col("kk"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    val kept = pruned.select("row_id").as[Long].collect().toSet
+    assert(exact.subsetOf(kept), s"dropped ${(exact -- kept).size} true matches")
+    // the mechanism is the built-in runtime filter's: a lazy scalar
+    // subquery feeding might_contain — not a collected literal
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(plan.contains("Subquery"), plan.take(800))
+    // empty key side: bloom aggregate yields null -> might_contain
+    // null -> filter drops everything, matching the empty semi join
+    val none = BloomReduce.semiReduce(fact, col("k"), keys.filter(lit(false)), col("kk"))
+    assert(none.count() === 0L)
+  }
 }
