@@ -244,27 +244,30 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     out = {}
+    rep_detail = {}
     for name in names:
         if name == "dedup_cluster_components":
             setup = CC_SETUP.format(pairs_sql=oracle["dedup_minhash_lsh"])
             wrapped = f"SELECT sum(hash(t)::DOUBLE) FROM ({CC_CLOSURE}) t"
             con.execute(setup)
             con.sql(wrapped).fetchall()  # warm
-            best = min(timed_multi(con, [setup, wrapped]) for _ in range(reps))
+            ts = [timed_multi(con, [setup, wrapped]) for _ in range(reps)]
         elif name in SETUP_OVERRIDES:
             setup, q = SETUP_OVERRIDES[name]
             wrapped = f"SELECT sum(hash(t)::DOUBLE) FROM ({q}) t"
             con.execute(setup)
             con.sql(wrapped).fetchall()  # warm
-            best = min(timed_multi(con, [setup, wrapped]) for _ in range(reps))
+            ts = [timed_multi(con, [setup, wrapped]) for _ in range(reps)]
         else:
             sql = BIG_SQL_OVERRIDES[name] if name in BIG_SQL_OVERRIDES else oracle[name]
             wrapped = f"SELECT sum(hash(t)::DOUBLE) FROM ({sql}) t"
             con.sql(wrapped).fetchall()  # warm
-            best = min(timed(con, wrapped) for _ in range(reps))
-        out[name] = round(best, 3)
+            ts = [timed(con, wrapped) for _ in range(reps)]
+        out[name] = round(min(ts), 3)
+        rep_detail[name] = [round(t, 3) for t in ts]
         print(f"[duck] {name}: {out[name]}s", file=sys.stderr)
     print(json.dumps({"queries": out, "sf": big_dir}))
+    print(json.dumps({"reps": rep_detail}), file=sys.stderr)
 
 
 def timed(con, sql):

@@ -86,9 +86,14 @@ object BenchBig {
       dt
     }
     names.foreach(clean) // warm-up: JVM/codegen + page cache
-    val results = names.map(n => n -> (1 to reps).map(_ => clean(n)).min)
+    val all = names.map(n => n -> (1 to reps).map(_ => clean(n)))
+    val results = all.map { case (k, v) => k -> v.min }
     val qs = results.map { case (k, v) => JsonOut.q(k) + ":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"big","queries":$qs,"sf":${JsonOut.q(dir)}}""")
+    val rs = all.map { case (k, v) =>
+      JsonOut.q(k) + ":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    System.err.println(s"""{"reps":$rs}""")
     spark.stop()
   }
 }

@@ -100,26 +100,42 @@ object Relational {
     },
     "q8_market_share" -> { (s, d) =>
       // Q8 shape: 7-relation join + share-of-total conditional agg.
-      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      // Round-7 restructure (bit-identical output): the textbook order
+      // carried line-grained rows through the custkey and suppkey joins
+      // after the orderkey exchange. Now every dim prunes or decorates
+      // WITHOUT touching a fact exchange — promo parts and the
+      // supplier→is-NATION_8 flag broadcast onto the lines, and the
+      // ASIA membership moves to the ORDERS side as a broadcast-semi
+      // chain (region→nation keys → customer keys → orders), so the
+      // one remaining shuffle pairs the promo lines against a 5×
+      // smaller, 2-column orders slice. (A further bloom semi-reduction
+      // of the lines by those order keys was A/B'd and rejected — same
+      // verdict as q5/q10: no downstream reducing aggregate to pay for
+      // the build.)
+      val rKeys = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .select(col("n_nationkey"))
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(rKeys), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("c_custkey"))
+      val asiaOrders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"))
       val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
-      val suppNation = Tables.nation(s, d)
-        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val suppN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_8").as("is_n8"))
       val revE4 = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
-      Tables.lineitem(s, d)
+      val lp = Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(Tables.orders(s, d)
-          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
-          .hint("shuffle_hash"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      lp.join(asiaOrders.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         // the /10000.0 on BOTH sums mirrors the oracle's decimal→double
         // casts exactly (cancelling the factors would round differently)
-        .agg(((sum(when(col("supp_nation") === "NATION_8", revE4).otherwise(lit(0L)))
+        .agg(((sum(when(col("is_n8"), revE4).otherwise(lit(0L)))
             .cast(DoubleType) / 10000.0)
           / (sum(revE4).cast(DoubleType) / 10000.0)).as("mkt_share"))
         .orderBy(col("o_year"))
@@ -143,7 +159,14 @@ object Relational {
     },
     "q10_returned_items" -> { (s, d) =>
       // Q10 shape: returned-revenue top-k per customer (4-way join +
-      // agg + TakeOrdered).
+      // agg + TakeOrdered). A round-7 bloom semi-reduction of the
+      // R-line scan by the 3-month order keys was A/B'd and REJECTED
+      // (2.95 s → 4.17 s at x200): unlike q3, the pruned fact feeds no
+      // heavy reducing aggregate — the orders join is already the
+      // reducer — so the bloom's build + the subquery gating both scan
+      // stages serially (and constraint propagation re-probing it on
+      // the orders side) cost more than the saved exchange. Exactly the
+      // BloomReduce-scaladoc lesson, now with a second data point.
       Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
         .join(Tables.orders(s, d)
           .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01"))
