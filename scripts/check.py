@@ -87,6 +87,19 @@ def main():
                       f"-- wrap in CAST(... AS BIGINT)")
                 failures += 1
                 continue
+            # The same non-scalar guard as the Spark side: a LIST/ARRAY/
+            # STRUCT oracle column crashes the driver's pandas row sorter
+            # even though check.py's fetchall would compare it fine.
+            # '[' (not '[]') also catches fixed-size ARRAY ("DOUBLE[3]").
+            onested = [c for c, t in zip(orc.columns, orc.types)
+                       if any(k in str(t) for k in ("[", "STRUCT", "MAP"))]
+            if onested:
+                print(f"FAIL {name}: non-scalar ORACLE columns "
+                      f"(driver pandas row-sorter crashes on these): "
+                      f"{[(c, str(t)) for c, t in zip(orc.columns, orc.types) if c in onested]} "
+                      f"-- serialize via array_to_string/struct_pack string form")
+                failures += 1
+                continue
             sel = ", ".join(f'"{c}"' for c in oracle_cols)
             oracle_rows = con.sql(
                 f"SELECT {sel} FROM ({sql}) q ORDER BY ALL").fetchall()
@@ -102,7 +115,7 @@ def main():
             # ("unhashable type: numpy.ndarray") — serialize via the
             # rawCsv/numCsv convention instead.
             nested = [c for c, t in zip(sp.columns, sp.types)
-                      if any(k in str(t) for k in ("[]", "STRUCT", "MAP"))]
+                      if any(k in str(t) for k in ("[", "STRUCT", "MAP"))]
             if nested:
                 print(f"FAIL {name}: non-scalar spark output columns "
                       f"(driver row-sorter crashes on these): "

@@ -19,15 +19,21 @@ object ExplainBig {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      if (run) {
+      // The hash-reduced collect runs on a DERIVED Dataset with its own
+      // QueryExecution; `df.queryExecution` is never executed, so with AQE
+      // on it would still print the pre-execution plan (isFinalPlan=false).
+      // Print the executed derivation's plan — it contains the query plan
+      // as its subtree, with runtime statistics filled in.
+      val shown = if (run) {
         import org.apache.spark.sql.functions._
+        val reduced = df.select(hash(df.columns.map(col): _*).cast("long").as("h")).agg(sum("h"))
         val t0 = System.nanoTime()
-        df.select(hash(df.columns.map(col): _*).cast("long").as("h"))
-          .agg(sum("h")).collect()
+        reduced.collect()
         println(f"== $name executed in ${(System.nanoTime() - t0) / 1e9}%.2f s ==")
-      }
+        reduced
+      } else df
       println(s"==== $name ${if (run) "(final AQE plan)" else "(initial plan)"} ====")
-      println(df.queryExecution.executedPlan.toString)
+      println(shown.queryExecution.executedPlan.toString)
       GraftSession.clearSessionState(spark)
     }
     spark.stop()

@@ -2006,10 +2006,13 @@ object SparkEntry {
       val toks = operators.Bpe.encode(col("text"), merges)
       val detok = concat_ws("", toks)
       val nWords = size(filter(split(col("text"), " "), w => length(w) > 0))
+      // NULL text: concat_ws would mask it to '' (oracle says NULL) and a
+      // coalesce-to-true would silently pass the bound on the one row
+      // where it can't be evaluated — mirror NULL explicitly instead.
       docs.select(col("doc_id"),
-        detok.as("detok"),
-        coalesce(size(toks) <= length(detok) && size(toks) >= nWords,
-          lit(true)).as("n_tokens_bounded"))
+        when(col("text").isNotNull, detok).as("detok"),
+        when(col("text").isNotNull,
+          size(toks) <= length(detok) && size(toks) >= nWords).as("n_tokens_bounded"))
     },
     "window_trailing_range" -> { (s, d) =>
       // Trailing event-time RANGE window: per-user count + exact sum
@@ -2434,7 +2437,7 @@ object SparkEntry {
     // (a Spark-side miscount flips it -> hash fail)
     "text_bpe_tokens" ->
       """SELECT doc_id, replace(text, ' ', '') AS detok,
-        |  true AS n_tokens_bounded
+        |  CASE WHEN text IS NOT NULL THEN true END AS n_tokens_bounded
         |FROM documents""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,

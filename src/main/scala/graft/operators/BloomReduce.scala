@@ -52,16 +52,34 @@ object BloomReduce {
     */
   def semiReduce(fact: DataFrame, factKey: Column, keys: DataFrame, keyCol: Column,
       expectedItems: Long = 0L): DataFrame = {
+    // XxHash64 is type-sensitive (hash(42: Int) != hash(42L)), while the
+    // exact join that follows coerces types implicitly — hashing the raw
+    // columns would make a (int fact, long key) pairing silently drop
+    // matching rows. Mirror InjectRuntimeFilter's behavior (it hashes the
+    // analyzer-COERCED join keys) by casting both integral sides to long;
+    // any other pairing must already agree on type.
+    import org.apache.spark.sql.types._
+    def dt(df: DataFrame, c: Column): DataType = df.select(c).schema.head.dataType
+    val (factDt, keyDt) = (dt(fact, factKey), dt(keys, keyCol))
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val (probeCol, buildCol) =
+      if (integral(factDt) && integral(keyDt)) (factKey.cast("long"), keyCol.cast("long"))
+      else {
+        require(factDt == keyDt,
+          s"semiReduce: factKey type $factDt != keyCol type $keyDt — xxhash64 is " +
+            "type-sensitive, so a mixed-type bloom probe would produce false negatives")
+        (factKey, keyCol)
+      }
     val items = if (expectedItems > 0L) expectedItems else {
       val bytes = keys.queryExecution.optimizedPlan.stats.sizeInBytes
       (bytes / 16).min(4000000L).max(65536L).toLong
     }
     val numBits = math.min(items * 12L, 1L << 26)
     val bloomAgg = column(new BloomFilterAggregate(
-      new XxHash64(Seq(expression(keyCol))),
+      new XxHash64(Seq(expression(buildCol))),
       Literal(items), Literal(numBits)).toAggregateExpression())
     val bloomScalar = keys.select(bloomAgg.as("bf")).scalar()
     fact.filter(column(BloomFilterMightContain(
-      expression(bloomScalar), new XxHash64(Seq(expression(factKey))))))
+      expression(bloomScalar), new XxHash64(Seq(expression(probeCol))))))
   }
 }

@@ -400,4 +400,27 @@ class LlmPrepSpec extends GraftSpec {
     val trained8 = Bpe.train(docs.repartition(8), col("text"), numMerges = 20)
     assert(trained === trained8)
   }
+
+  test("BPE gate convention: NULL text rows stay NULL (no ''-masking, no vacuous bound)") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    // The text_bpe_tokens gate mirrors its oracle's NULL semantics: a NULL
+    // document must yield NULL detok (concat_ws alone would mask it to '')
+    // and a NULL bound flag (a coalesce-to-true would pass the one row
+    // where the invariant can't be checked). Exercise the exact gate
+    // expression shape on a corpus containing a NULL.
+    val docs = Seq((1L, "ab ab a"), (2L, null: String)).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, col("text"), numMerges = 2)
+    val toks = Bpe.encode(col("text"), merges)
+    val detok = concat_ws("", toks)
+    val nWords = size(filter(split(col("text"), " "), w => length(w) > 0))
+    val rows = docs.select(col("doc_id"),
+        when(col("text").isNotNull, detok).as("detok"),
+        when(col("text").isNotNull,
+          size(toks) <= length(detok) && size(toks) >= nWords).as("n_tokens_bounded"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) === "ababa")
+    assert(rows(0).getBoolean(2) === true)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
 }

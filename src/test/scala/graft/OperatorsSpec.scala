@@ -423,4 +423,26 @@ class OperatorsSpec extends GraftSpec {
     val none = BloomReduce.semiReduce(fact, col("k"), keys.filter(lit(false)), col("kk"))
     assert(none.count() === 0L)
   }
+
+  test("bloom semiReduce: mixed integral key types keep all true matches") {
+    import spark.implicits._
+    // xxhash64 is type-sensitive (hash(42: Int) != hash(42L)); the exact
+    // join would coerce, so the bloom must too — int fact key vs long
+    // build key has to be lossless, not a silent full filter
+    val fact = (0 until 5000).map(i => (i.toLong, i % 257)).toDF("row_id", "k") // k: int
+    val keys = (0L until 257L).filter(_ % 7L == 0L).toDF("kk")                 // kk: long
+    val pruned = BloomReduce.semiReduce(fact, col("k"), keys, col("kk"))
+    val exact = fact.join(keys, col("k") === col("kk"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    val kept = pruned.select("row_id").as[Long].collect().toSet
+    assert(exact.nonEmpty && exact.subsetOf(kept),
+      s"dropped ${(exact -- kept).size} of ${exact.size} true matches")
+    // non-integral mismatched types must refuse loudly instead of
+    // producing false negatives
+    val sFact = Seq(("a", "x")).toDF("row_id", "k")
+    val lKeys = Seq(1L).toDF("kk")
+    assertThrows[IllegalArgumentException] {
+      BloomReduce.semiReduce(sFact, col("k"), lKeys, col("kk"))
+    }
+  }
 }
