@@ -150,9 +150,8 @@ object SparkEntry {
       // exact, primitive-long codegen, same result as the DECIMAL oracle.
       // The aggregation is pushed BELOW the join: the group key equals the
       // join key, and the customer-segment predicate filters whole orders,
-      // so per-order revenue can be reduced first (map-side partial agg
-      // collapses lines/order before the exchange) and joined to the
-      // segment-filtered orders after — the shuffle carries order-grained
+      // so per-order revenue is reduced first and joined to the
+      // segment-filtered orders after — the join probes order-grained
       // rows, not line-grained (4× less at TPC-H line fan-out).
       val cts = (n: String) => round(col(n) * 100).cast("long")
       val bldgOrders = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
@@ -166,7 +165,10 @@ object SparkEntry {
       val lBldg = operators.BloomReduce.semiReduce(
         l, col("l_orderkey"), bldgOrders.select(col("o_orderkey")),
         col("o_orderkey"))
-      val revPerOrder = lBldg.groupBy(col("l_orderkey"))
+      // bloom survivors still carry ~7M spread order groups — shuffle the
+      // raw rows first so the aggregate's first pass actually reduces
+      // (operators.Aggregates scaladoc has the measured trade-off)
+      val revPerOrder = operators.Aggregates.byShuffledKey(lBldg, col("l_orderkey"))
         .agg((sum(cts("l_extendedprice") * (lit(100L) - cts("l_discount")))
           .cast(DoubleType) / 10000.0).as("revenue"))
       revPerOrder.join(bldgOrders, col("l_orderkey") === col("o_orderkey"))
