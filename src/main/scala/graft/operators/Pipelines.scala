@@ -30,7 +30,10 @@ object Pipelines {
       col("event_id").cast("long").as("event_id"), col("user_id"),
       col("event_type"), col("value").cast("double").as("value"),
       col("ts").cast("long").as("tsec"))
-    val hist = e.groupBy(col("user_id"))
+    // shuffle-first: a collect_list partial pass moves the same bytes
+    // without reducing (Aggregates scaladoc); the output keeps its
+    // user_id hash partitioning, so the join below reuses the exchange
+    val hist = Aggregates.byShuffledKey(e, col("user_id"))
       .agg(sort_array(collect_list(struct(
         col("tsec").as("t"), col("event_id").as("eid"), col("value").as("v")))).as("hist"))
     val clicks = e.filter(col("event_type") === impressionType)

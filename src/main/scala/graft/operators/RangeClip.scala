@@ -33,9 +33,15 @@ object RangeClip {
   /** Ordered per-key history collect — the reference's groupBy(user) +
     * ts-sorted collect_list (prep_2_bahavior.py:50-53). Spark's
     * collect_list is unordered; determinism comes from the struct sort
-    * (SURVEY §7). */
+    * (SURVEY §7).
+    *
+    * Shuffle-first (Aggregates.byShuffledKey): collect's "partial" pass
+    * can never reduce — it only wraps each map partition's rows in
+    * arrays carrying the same bytes to the exchange — so raw rows are
+    * shuffled on the key and the single real collect runs where each
+    * key is colocated. */
   def collectHistory(df: DataFrame, key: Column, ord: Column, value: Column): DataFrame =
-    df.groupBy(key.as("key"))
+    Aggregates.byShuffledKey(df, key, key.as("key"))
       .agg(transform(sort_array(collect_list(struct(ord.as("o"), value.as("v")))),
         s => s.getField("v")).as("history"))
 }

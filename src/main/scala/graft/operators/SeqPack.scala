@@ -115,8 +115,11 @@ object SeqPack {
   def renderChunks(docs: DataFrame, packed: DataFrame, key: Column, text: Column,
       sep: String = " "): DataFrame = {
     val d = docs.select(key.as("__rk"), text.as("__text"))
-    packed.join(d, col("k") === col("__rk"))
-      .groupBy(col("chunk_id"))
+    // shuffle-first on chunk_id: the collect's partial pass can't reduce
+    // (Aggregates scaladoc), and the join output is partitioned on k,
+    // not chunk_id, so the exchange happens either way — put it BEFORE
+    // the aggregate so the one real collect runs colocated
+    Aggregates.byShuffledKey(packed.join(d, col("k") === col("__rk")), col("chunk_id"))
       .agg(
         array_join(
           transform(array_sort(collect_list(struct(col("k"), col("__text")))),

@@ -424,6 +424,32 @@ class OperatorsSpec extends GraftSpec {
     assert(none.count() === 0L)
   }
 
+  test("byShuffledKey: same result as plain groupBy, one exchange, no pre-shuffle aggregate") {
+    import spark.implicits._
+    import graft.operators.Aggregates
+    val df = (0L until 20000L).map(i => (i % 4999L, i)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val shuffled = Aggregates.byShuffledKey(df, col("k"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n")).orderBy("k")
+    assert(shuffled.collect().sameElements(plain))
+    // the whole point: the aggregate runs AFTER the exchange, so there
+    // must be no HashAggregate between the scan and the shuffle
+    val agged = Aggregates.byShuffledKey(df, col("k")).agg(sum("v").as("s"))
+    val plan = agged.queryExecution.executedPlan.toString
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0, plan.take(800))
+    // in toString order children print BELOW parents: everything after
+    // the Exchange line is upstream of it and must carry no aggregate
+    assert(!plan.substring(exIdx).contains("HashAggregate"),
+      "partial aggregate found upstream of the exchange:\n" + plan.take(1200))
+    // aliasing the key through groupCols keeps the same contract
+    val aliased = Aggregates.byShuffledKey(df, col("k"), col("k").as("g"))
+      .agg(count(lit(1)).as("n")).orderBy("g").collect()
+    assert(aliased.map(r => (r.getLong(0), r.getLong(1))).sameElements(
+      plain.map(r => (r.getLong(0), r.getLong(2)))))
+  }
+
   test("bloom semiReduce: mixed integral key types keep all true matches") {
     import spark.implicits._
     // xxhash64 is type-sensitive (hash(42: Int) != hash(42L)); the exact
