@@ -31,18 +31,24 @@ object Graph {
     * standard market-basket constraint — the reference's workloads cap
     * the analogous per-user history the same way). */
   def coOccurrenceEdges(df: DataFrame, basket: Column, item: Column): DataFrame =
-    // ONE exchange by basket (partial-aggregated collect_set — state
-    // bounded by basket size), then pairs row-locally via double
-    // explode, then the edge-key exchange for distinct. The equivalent
-    // self-join formulation costs two extra full shuffles of the
-    // (basket, item) relation (distinct + join), measured 1.3× slower
-    // end-to-end at x200.
-    df.select(basket.as("bk"), item.as("it"))
-      .groupBy("bk").agg(collect_set(col("it")).as("its"))
-      .select(explode(col("its")).as("src"), col("its"))
-      .select(col("src"), explode(col("its")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    // ONE exchange by basket (shuffle-first: a collect_set partial over
+    // spread high-cardinality baskets can't reduce — Aggregates
+    // scaladoc), then pairs row-locally via double explode, then the
+    // edge-key exchange for distinct — also shuffle-first, since an
+    // edge's duplicates originate in different baskets and therefore
+    // different partitions, so the partial dedup pass saw ~nothing.
+    // The equivalent self-join formulation costs two extra full
+    // shuffles of the (basket, item) relation (distinct + join),
+    // measured 1.3× slower end-to-end at x200.
+    {
+      val pairs = Aggregates
+        .byShuffledKey(df.select(basket.as("bk"), item.as("it")), col("bk"))
+        .agg(collect_set(col("it")).as("its"))
+        .select(explode(col("its")).as("src"), col("its"))
+        .select(col("src"), explode(col("its")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      pairs.repartition(col("src"), col("dst")).distinct()
+    }
 
   /** Fixed-iteration PageRank over a directed edge list, in integer
     * nano units: rank₀ = 1e9 for every node with an out-edge;
