@@ -47,4 +47,9 @@ object Aggregates {
     val g = if (groupCols.isEmpty) Seq(key) else groupCols
     df.repartition(key).groupBy(g: _*)
   }
+
+  /** Multi-column key form of [[byShuffledKey]]: shuffle raw rows on all
+    * `keys`, then group by them. */
+  def byShuffledKeys(df: DataFrame, keys: Seq[Column]): RelationalGroupedDataset =
+    df.repartition(keys: _*).groupBy(keys: _*)
 }

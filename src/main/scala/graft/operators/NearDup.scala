@@ -85,9 +85,15 @@ object NearDup {
         .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
         .filter(col("__df") <= dfCap)
         .drop("__df")
-    val shared = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // shuffle-first pair count (Aggregates scaladoc): the join output is
+    // partitioned by gram, so a pair's duplicate rows — one per shared
+    // gram — live on DIFFERENT partitions and the partial count pass
+    // reduces ~nothing while the pair-key exchange happens either way
+    val shared = Aggregates.byShuffledKeys(
+        ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+        Seq(col("doc_a"), col("doc_b")))
       .agg(count(lit(1)).as("shared"))
     // per-doc (capped) set size; shingles are distinct per doc, so a row
     // count over the exploded view equals the set size. Corpus-cardinality
