@@ -36,12 +36,14 @@ object AggProbe {
         .groupBy("l_orderkey").count().select(count(lit(1))).collect().head.getLong(0)
     }
     // C: plain but with partial agg pushed wider via more shuffle partitions
+    // (restore the session's ACTUAL prior value so the later probes run
+    // under the same configuration as A/B, even if this one throws)
     time("C_plain_64part") {
       val s2 = li.sparkSession
+      val prior = s2.conf.get("spark.sql.shuffle.partitions")
       s2.conf.set("spark.sql.shuffle.partitions", "64")
-      val n = li.groupBy("l_orderkey").count().select(count(lit(1))).collect().head.getLong(0)
-      s2.conf.set("spark.sql.shuffle.partitions", "32")
-      n
+      try li.groupBy("l_orderkey").count().select(count(lit(1))).collect().head.getLong(0)
+      finally s2.conf.set("spark.sql.shuffle.partitions", prior)
     }
     // D/E: the real q21-shaped agg (5 aggregates incl. conditional min/max)
     def q21Agg(in: org.apache.spark.sql.DataFrame) = {

@@ -284,9 +284,9 @@ object Relational {
       // they reduce to plain min/max aggregates instead — "another
       // supplier exists" ⟺ min(supp) ≠ max(supp), "exactly one late
       // supplier" ⟺ min(late supp) = max(late supp), and every late line
-      // then belongs to that one supplier. One map-side-combined
-      // aggregation of the fact replaces ~3× the fact through semi/anti
-      // exchanges with sorts; identical output.
+      // then belongs to that one supplier. One aggregation pass of the
+      // fact (shuffle-first, see below) replaces ~3× the fact through
+      // semi/anti exchanges with sorts; identical output.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_returnflag") === "R").as("r"))

@@ -22,7 +22,7 @@ import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
   * hash table sized |groups in partition|, not |rows in partition|.
   *
   * Measured (x200, 120M-row lineitem, 29M order groups, local[32]):
-  * per-order count 8.5 → 5.1 s; the q21-shaped 5-aggregate 10.9 → 6.2 s.
+  * per-order count ~8.5 → ~5.0 s; the q21-shaped 5-aggregate 10.9 → 6.2 s.
   * At sf0.1 the two shapes tie at the noise floor. At 1000 executors the
   * argument is unchanged — the exchange bytes are identical, only the
   * wasted per-task partial pass is removed.

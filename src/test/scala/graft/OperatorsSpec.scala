@@ -443,11 +443,33 @@ class OperatorsSpec extends GraftSpec {
     // the Exchange line is upstream of it and must carry no aggregate
     assert(!plan.substring(exIdx).contains("HashAggregate"),
       "partial aggregate found upstream of the exchange:\n" + plan.take(1200))
-    // aliasing the key through groupCols keeps the same contract
-    val aliased = Aggregates.byShuffledKey(df, col("k"), col("k").as("g"))
-      .agg(count(lit(1)).as("n")).orderBy("g").collect()
+    // aliasing the key through groupCols keeps the same contract —
+    // results AND plan shape (alias-aware output partitioning must
+    // still satisfy the aggregate's distribution: one exchange, no
+    // pre-exchange partial pass)
+    def assertShuffleFirstPlan(d: org.apache.spark.sql.DataFrame): Unit = {
+      val p = d.queryExecution.executedPlan.toString
+      val i = p.indexOf("Exchange hashpartitioning")
+      assert(i >= 0, p.take(800))
+      assert(!p.substring(i).contains("HashAggregate"),
+        "partial aggregate found upstream of the exchange:\n" + p.take(1200))
+      assert(p.indexOf("Exchange hashpartitioning", i + 1) < 0,
+        "second exchange found — the groupBy did not reuse the repartition:\n" + p.take(1200))
+    }
+    val aliasedDf = Aggregates.byShuffledKey(df, col("k"), col("k").as("g"))
+      .agg(count(lit(1)).as("n"))
+    assertShuffleFirstPlan(aliasedDf)
+    val aliased = aliasedDf.orderBy("g").collect()
     assert(aliased.map(r => (r.getLong(0), r.getLong(1))).sameElements(
       plain.map(r => (r.getLong(0), r.getLong(2)))))
+    // multi-key form (the Jaccard pair-count shape)
+    val two = df.withColumn("k2", col("v") % 7)
+    val multiDf = Aggregates.byShuffledKeys(two, Seq(col("k"), col("k2")))
+      .agg(sum("v").as("s"))
+    assertShuffleFirstPlan(multiDf)
+    val multiPlain = two.groupBy("k", "k2").agg(sum("v").as("s"))
+      .orderBy("k", "k2").collect()
+    assert(multiDf.orderBy("k", "k2").collect().sameElements(multiPlain))
   }
 
   test("bloom semiReduce: mixed integral key types keep all true matches") {
