@@ -585,7 +585,12 @@ object NearDup {
       .withColumn("mn", min(col("doc_id")).over(wh))
       .withColumn("mx", max(col("doc_id")).over(wh))
       .where(col("mn") === col("mx") || col("doc_id") === col("mn"))
-    val rebuilt = kept.groupBy("doc_id")
+    // shuffle-first rebuild: kept is partitioned by line hash, so a
+    // doc's surviving lines are spread and the collect partial can't
+    // reduce (Aggregates scaladoc). Wall-clock-neutral at x200 (the
+    // line text IS the exchange payload either way); kept for the
+    // removed per-task partial pass, which is pure CPU at any scale
+    val rebuilt = Aggregates.byShuffledKey(kept, col("doc_id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("kl"))
       .select(col("doc_id"),
         array_join(col("kl.line"), "\n").as("clean_text"),
