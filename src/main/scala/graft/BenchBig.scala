@@ -38,7 +38,8 @@ object BenchBig {
     "sample_negatives", "ann_hard_negatives",
     "sketch_cms_heavy_hitters", "text_classifier_score", "pipeline_corpus_curation",
     "dedup_line_level", "graph_pagerank", "sketch_kmv_per_group", "agg_grid_quantiles",
-    "input_layer_assemble", "sample_dsir_topn", "sketch_kmv_overlap")
+    "input_layer_assemble", "sample_dsir_topn", "sketch_kmv_overlap",
+    "ann_topk_pq", "pq_codebooks", "classifier_train_lr", "classifier_lr_confusion")
 
   /** The relational (TPC-H-shaped) suite: semi/anti joins, correlated
     * subqueries, outer-join aggregation, disjunctive pushdown — the

@@ -238,6 +238,85 @@ object OracleFragments {
        |      ORDER BY ${sqDistSql("t.q", "c.cent")}, c.cid) AS rn
        |  FROM iq t CROSS JOIN cents c) WHERE rn = 1)""".stripMargin
 
+  /** One row per (vector, subspace): vec_id, sub, sv = the sub'th
+    * dsub-wide slice of the quantized vector (name: sq). Expects `iq`
+    * from [[quantizeCte]]. Mirrors [[graft.operators.Pq.subQuantized]]. */
+  def pqSubCte(m: Int, dsub: Int): String =
+    s"""sq AS (SELECT vec_id, CAST(s.sub AS BIGINT) AS sub,
+       |  list_slice(q, s.sub*$dsub + 1, (s.sub+1)*$dsub) AS sv
+       |  FROM iq CROSS JOIN range($m) s(sub))""".stripMargin
+
+  /** Per-subspace integer k-means over `sq`, unrolled for `iters` Lloyd
+    * iterations (names: pc0..pc<iters>, pcents(sub, cid, cent)). The
+    * [[kmeansCtes]] recipe PARTITIONED BY subspace — init = each sub's
+    * ksub smallest vec_ids, assignment = min squared-L2 with ties to
+    * the smaller cid, update = per-dim floor(sum/count), empty cells
+    * keep their centroid. Mirrors [[graft.operators.Pq.train]]
+    * bit-for-bit. */
+  def pqKmeansCtes(ksub: Int, iters: Int): String = {
+    val init =
+      s"""pc0 AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+         |  AS BIGINT) AS cid, sv AS cent FROM sq QUALIFY cid < $ksub)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pa$i AS (SELECT sub, vec_id, sv, cid FROM (
+         |  SELECT t.sub, t.vec_id, t.sv, c.cid,
+         |    row_number() OVER (PARTITION BY t.sub, t.vec_id
+         |      ORDER BY ${sqDistSql("t.sv", "c.cent")}, c.cid) AS rn
+         |  FROM sq t JOIN pc${i - 1} c ON c.sub = t.sub) WHERE rn = 1),
+         |pu$i AS (SELECT sub, cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS elem
+         |  FROM (SELECT sub, cid, unnest(sv) AS x, unnest(range(len(sv))) AS pos FROM pa$i)
+         |  GROUP BY sub, cid, pos),
+         |pc$i AS (SELECT o.sub, o.cid, COALESCE(n.cent, o.cent) AS cent
+         |  FROM pc${i - 1} o LEFT JOIN
+         |    (SELECT sub, cid, list(elem ORDER BY pos) AS cent FROM pu$i GROUP BY sub, cid) n
+         |  ON n.sub = o.sub AND n.cid = o.cid)""".stripMargin
+    }
+    val all = (init +: steps).mkString(",\n")
+    s"$all,\npcents AS (SELECT sub, cid, cent FROM pc$iters)"
+  }
+
+  /** Every (vector, subspace)'s assigned code from `sq` × `pcents`
+    * (name: pcodes). Mirrors [[graft.operators.Pq.encode]]. */
+  val pqCodesCte: String =
+    s"""pcodes AS (SELECT vec_id, sub, cid FROM (
+       |  SELECT t.vec_id, t.sub, c.cid,
+       |    row_number() OVER (PARTITION BY t.vec_id, t.sub
+       |      ORDER BY ${sqDistSql("t.sv", "c.cent")}, c.cid) AS rn
+       |  FROM sq t JOIN pcents c ON c.sub = t.sub) WHERE rn = 1)""".stripMargin
+
+  /** Unrolled fixed-point hard-sigmoid logistic GD over the embeddings
+    * table, mirroring [[graft.operators.Classifier]] bit-for-bit: CTE
+    * names fx (features+label), cnt, xj (exploded), w0..w<iters>
+    * (j, w). Every division is `//` on BIGINT, which truncates toward
+    * zero exactly like Spark's `div` and Java's `/` (verified — NOT
+    * floor division on negatives in any of the three). `d` must equal
+    * the embedding dim + 1 (bias feature = the grid scale, appended);
+    * `posCond` is the weak-label SQL predicate. */
+  def lrCtes(d: Int, iters: Int, lrMilli: Long, posCond: String): String = {
+    val fx =
+      s"""fx AS (SELECT vec_id,
+         |  list_append(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)),
+         |    CAST(1000 AS BIGINT)) AS x,
+         |  CASE WHEN $posCond THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fx),
+         |xj AS (SELECT vec_id, y, CAST(pos AS BIGINT) AS j, xv FROM
+         |  (SELECT vec_id, y, unnest(x) AS xv, unnest(range(len(x))) AS pos FROM fx)),
+         |w0 AS (SELECT CAST(r.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w FROM range($d) r(j))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""z$i AS (SELECT xj.vec_id, xj.y, CAST(SUM(xj.xv * w.w) AS BIGINT) // 1000 AS zn
+         |  FROM xj JOIN w${i - 1} w ON w.j = xj.j GROUP BY xj.vec_id, xj.y),
+         |e$i AS (SELECT vec_id, y,
+         |  (GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000000000 AS BIGINT),
+         |    500000000 + zn // 4)) - y*1000000000) // 1000 AS em FROM z$i),
+         |g$i AS (SELECT xj.j, CAST(SUM(e.em * xj.xv) AS BIGINT) AS g
+         |  FROM xj JOIN e$i e ON e.vec_id = xj.vec_id GROUP BY xj.j),
+         |w$i AS (SELECT w.j, w.w - ($lrMilli * (g.g // cnt.n)) // 1000 AS w
+         |  FROM w${i - 1} w JOIN g$i g ON g.j = w.j CROSS JOIN cnt)""".stripMargin
+    }
+    (fx +: steps).mkString(",\n")
+  }
+
   /** Unrolled integer-nano PageRank mirror of
     * [[graft.operators.Graph.pageRankNano]] over an edge CTE `e(src,
     * dst)`. CTE names: deg, r0..r<iters>, each rᵢ = (id, pr). Floor

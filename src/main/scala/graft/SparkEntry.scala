@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Metrics, Sketches, TextFunctions}
-import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Contamination, DedupClusters, EmbeddingLookup, FeatureScale, FuzzyJoin, Fusion, Gram, Graph, Importance, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Profile, Ragged, RangeClip, RangeJoin, Rolling, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
+import graft.operators.{Ann, AsofJoin, BlockDedup, Categorical, Classifier, Contamination, DedupClusters, EmbeddingLookup, FeatureScale, FuzzyJoin, Fusion, Gram, Graph, Importance, Ivf, Multimodal, NearDup, Partitioners, Pipelines, Pq, Profile, Ragged, RangeClip, RangeJoin, Rolling, Sampling, SeqPack, Sessionize, SkewJoin, TermStats, Upsert, WebCuration}
 import graft.streaming.StreamingOps
 import graft.schema.FieldSpec
 import graft.sources.{TabularReader, TabularWriter, TfRecordSource, TypedParquet}
@@ -807,6 +807,41 @@ object SparkEntry {
       // FP-free fast path over compressed vectors
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ivf.topKInt8(emb.filter(col("id") < 16), emb, k = 5)
+    },
+    "pq_codebooks" -> { (s, d) =>
+      // product-quantization codebooks: 4 subspaces x 4 centroids over
+      // the 64-dim embeddings (integer k-means per subspace, 2 Lloyd
+      // sweeps) + per-cell occupancy — the oracle re-trains every
+      // codebook from scratch (training is FP-free, see Pq)
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Pq.codebookSummary(emb, col("id"), col("vec"),
+        m = 4, ksub = 4, iters = 2, scale = 1000.0, dim = 64)
+    },
+    "ann_topk_pq" -> { (s, d) =>
+      // PQ asymmetric-distance search: corpus stored as 4 codes/vector
+      // (16x smaller than the floats), each query ranks by m BIGINT
+      // table lookups per neighbor — the compressed-storage ANN path,
+      // bit-exact end to end (no FP anywhere)
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Pq.adcTopK(emb.filter(col("id") < 16), emb, k = 5,
+        m = 4, ksub = 4, iters = 2, scale = 1000.0, dim = 64)
+    },
+    "classifier_train_lr" -> { (s, d) =>
+      // distributed full-batch GD on hard-sigmoid logistic loss (the
+      // corpus-curation quality-classifier loop) — pure fixed-point:
+      // one d-long Aggregator buffer per iteration, driver holds only
+      // weights; the oracle re-trains bit-for-bit
+      val feats = Classifier.embeddingFeatures(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), col("label") < 5, scale = 1000.0)
+      Classifier.weightsFrame(feats, d = 65, iters = 3, lrMilli = 4000L)
+    },
+    "classifier_lr_confusion" -> { (s, d) =>
+      // the trained model applied back over the corpus: confusion
+      // matrix of [p >= 1/2] vs the weak label — one narrow map over a
+      // weight literal + a 4-group aggregate
+      val feats = Classifier.embeddingFeatures(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), col("label") < 5, scale = 1000.0)
+      Classifier.confusion(feats, d = 65, iters = 3, lrMilli = 4000L)
     },
     "embedding_gram_matrix" -> { (s, d) =>
       // distributed Gram matrix (PCA/whitening sufficient statistic) on
@@ -2788,6 +2823,43 @@ object SparkEntry {
          |  FROM prb pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.q_id
          |  JOIN nv q ON q.vec_id = pr.q_id JOIN nv c ON c.vec_id = a.vec_id)
          |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    "pq_codebooks" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |${OracleFragments.quantizeCte(1000.0)},
+         |${OracleFragments.pqSubCte(4, 16)},
+         |${OracleFragments.pqKmeansCtes(4, 2)},
+         |${OracleFragments.pqCodesCte},
+         |occ AS (SELECT sub, cid, CAST(COUNT(*) AS BIGINT) AS n FROM pcodes GROUP BY sub, cid)
+         |SELECT c.sub, c.cid AS cluster_id, CAST(COALESCE(occ.n, 0) AS BIGINT) AS n_vectors,
+         |  array_to_string(c.cent, ',') AS centroid
+         |FROM pcents c LEFT JOIN occ ON occ.sub = c.sub AND occ.cid = c.cid""".stripMargin,
+    "ann_topk_pq" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |${OracleFragments.quantizeCte(1000.0)},
+         |${OracleFragments.pqSubCte(4, 16)},
+         |${OracleFragments.pqKmeansCtes(4, 2)},
+         |${OracleFragments.pqCodesCte},
+         |lut AS (SELECT q.vec_id AS q_id, c.sub, c.cid,
+         |  ${OracleFragments.sqDistSql("q.sv", "c.cent")} AS d
+         |  FROM sq q JOIN pcents c ON c.sub = q.sub WHERE q.vec_id < 16),
+         |pr AS (SELECT l.q_id, p.vec_id AS n_id, CAST(SUM(l.d) AS BIGINT) AS adist
+         |  FROM pcodes p JOIN lut l ON l.sub = p.sub AND l.cid = p.cid AND p.vec_id != l.q_id
+         |  GROUP BY l.q_id, p.vec_id)
+         |SELECT q_id, n_id, adist,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS BIGINT) AS rn
+         |FROM pr QUALIFY rn <= 5""".stripMargin,
+    "classifier_train_lr" ->
+      s"""WITH ${OracleFragments.lrCtes(65, 3, 4000L, "label < 5")}
+         |SELECT j, w AS w_nano FROM w3""".stripMargin,
+    "classifier_lr_confusion" ->
+      s"""WITH ${OracleFragments.lrCtes(65, 3, 4000L, "label < 5")},
+         |zf AS (SELECT xj.vec_id, xj.y, CAST(SUM(xj.xv * w.w) AS BIGINT) // 1000 AS zn
+         |  FROM xj JOIN w3 w ON w.j = xj.j GROUP BY xj.vec_id, xj.y)
+         |SELECT y, CASE WHEN GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000000000 AS BIGINT),
+         |    500000000 + zn // 4)) >= 500000000
+         |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM zf GROUP BY y, pred""".stripMargin,
     "embedding_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
         |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx

@@ -722,6 +722,36 @@ case class BpeEncode(child: Expression, merges: Seq[String]) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PQ asymmetric-distance score: Σ over subspaces of the query's
+  * precomputed distance-table entry for the neighbor's code
+  * ([[VecUtil.pqAdc]]). `left` = the neighbor's m codes (array<bigint>),
+  * `right` = the query's flattened m×ksub LUT; `ksub` rides the
+  * expression like MinHashSigs' k does. The ADC scan reads m longs per
+  * neighbor instead of the full vector — the bandwidth cut that makes
+  * PQ the corpus-scale ANN storage format. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) if ksub > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc needs two array<bigint> and ksub > 0, got ${a.simpleString}, ${b.simpleString}, ksub=$ksub")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.pqAdc($a, $b, $ksub);")
+
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -736,6 +766,8 @@ object GraftExpressions {
   def quantize_int8(v: Column): Column = column(QuantizeInt8(expression(v)))
   def sq_dist_l(a: Column, b: Column): Column = column(SqDistL(expression(a), expression(b)))
   def dot_l(a: Column, b: Column): Column = column(DotL(expression(a), expression(b)))
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    column(PqAdc(expression(codes), expression(lut), ksub))
   def bigram_hash_pairs(tokens: Column): Column = column(BigramHashPairs(expression(tokens)))
   def term_counts(tokens: Column): Column = column(TermCounts(expression(tokens)))
   def term_counts_text(s: Column): Column = column(TermCountsText(expression(s)))

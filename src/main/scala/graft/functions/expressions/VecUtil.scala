@@ -135,6 +135,29 @@ object VecUtil {
     s
   }
 
+  /** PQ asymmetric-distance lookup: Σ_s lut[s·ksub + codes[s]] over the
+    * m subspace codes of one neighbor against one query's flattened
+    * m×ksub distance table ([[graft.operators.Pq]]). Pure BIGINT — the
+    * ADC ranking is bit-portable end to end. Out-of-range codes fail
+    * loudly (a code ≥ ksub means the codes and the codebook disagree —
+    * scanning garbage LUT slots would silently mis-rank). */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Long = {
+    requireDense(codes, "pq_adc"); requireDense(lut, "pq_adc")
+    val m = codes.numElements()
+    if (lut.numElements() != m.toLong * ksub) throw new IllegalArgumentException(
+      s"pq_adc: LUT length ${lut.numElements()} != m($m) * ksub($ksub)")
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      val c = codes.getLong(i)
+      if (c < 0 || c >= ksub) throw new IllegalArgumentException(
+        s"pq_adc: code $c at subspace $i outside [0, $ksub)")
+      s += lut.getLong(i * ksub + c.toInt)
+      i += 1
+    }
+    s
+  }
+
   /** Token count of a space-separated string under `split(s, " ")`
     * semantics — count of 0x20 bytes + 1 (split keeps empty tokens, so
     * the identity is exact for every input, including "" and runs of
