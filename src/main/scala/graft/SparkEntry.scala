@@ -47,11 +47,11 @@ object SparkEntry {
   }
 
   private def numCsv(arr: Column): Column =
-    concat_ws(",", transform(arr, x => round(x.cast("double") * lit(1e6)).cast("long").cast("string")))
+    graft.functions.expressions.GraftExpressions.micro_csv(arr)
 
   /** CSV of an integer/string array (formatting is engine-invariant). */
   private def rawCsv(arr: Column): Column =
-    concat_ws(",", transform(arr, _.cast("string")))
+    graft.functions.expressions.GraftExpressions.raw_csv(arr)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Taobao-shaped pipeline is the reference's canonical workload:

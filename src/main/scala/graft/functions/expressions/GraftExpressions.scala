@@ -752,6 +752,79 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** Driver-gate serialization kernel: CSV of micro-scaled ints
+  * (`CAST(round(x*1e6) AS BIGINT)` per element) from a float/double
+  * array in ONE codegen'd call ([[VecUtil.microCsv]]). Replaces the
+  * `transform(arr, …) + concat_ws` plan, whose lambda is
+  * CodegenFallback — the interpreted-HOF class that regressed
+  * input_layer_assemble 0.66→7.1 s at sf0.1 in round 7. Bit-identical
+  * to the HOF form and to the DuckDB oracle's
+  * `array_to_string(list_transform(...))` (EquivalenceSpec). */
+case class MicroCsv(child: Expression) extends UnaryExpression {
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"micro_csv needs array<float> or array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecUtil.microCsv(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.microCsv($a, $isFloat);")
+
+  override def prettyName: String = "micro_csv"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Gate serialization for integer/string arrays: CSV with verbatim
+  * decimal / passthrough formatting, one codegen'd call
+  * ([[VecUtil.rawCsvNum]]/[[VecUtil.rawCsvStr]]); same
+  * skip-null-elements semantics as the `concat_ws` form it replaces. */
+case class RawCsv(child: Expression) extends UnaryExpression {
+
+  // 0 = long, 1 = int, 2 = string — branch resolved at plan time so the
+  // generated code is a single monomorphic kernel call
+  private def elemKind: Int = child.dataType match {
+    case ArrayType(LongType, _) => 0
+    case ArrayType(IntegerType, _) => 1
+    case _ => 2
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) | ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"raw_csv needs array<bigint|int|string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (elemKind == 2) VecUtil.rawCsvStr(arr) else VecUtil.rawCsvNum(arr, elemKind)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      if (elemKind == 2)
+        s"${ev.value} = graft.functions.expressions.VecUtil.rawCsvStr($a);"
+      else
+        s"${ev.value} = graft.functions.expressions.VecUtil.rawCsvNum($a, $elemKind);")
+
+  override def prettyName: String = "raw_csv"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
@@ -795,4 +868,6 @@ object GraftExpressions {
   def bpe_encode(s: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(s), merges.map { case (a, b) => s"$a $b" }))
   def clean_text(s: Column): Column = column(CleanText(expression(s)))
+  def micro_csv(arr: Column): Column = column(MicroCsv(expression(arr)))
+  def raw_csv(arr: Column): Column = column(RawCsv(expression(arr)))
 }

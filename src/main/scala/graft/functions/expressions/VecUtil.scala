@@ -947,4 +947,99 @@ object VecUtil {
     var t = 0
     while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
   }
+
+  /** Micro-int round of one double, reproducing the exact composition
+    * `CAST(round(x * 1e6) AS BIGINT)` that both the previous Spark plan
+    * (`round(_,0)` = BigDecimal HALF_UP on the double product) and the
+    * DuckDB oracle compute: NaN casts to 0, ±Inf saturates, everything
+    * else is BigDecimal.valueOf(product).setScale(0, HALF_UP). Kept as
+    * one function so the gate convention has a single definition. */
+  @inline private def microLong(d: Double): Long = {
+    val y = d * 1e6
+    if (java.lang.Double.isNaN(y)) 0L
+    else if (y == java.lang.Double.POSITIVE_INFINITY) Long.MaxValue
+    else if (y == java.lang.Double.NEGATIVE_INFINITY) Long.MinValue
+    else {
+      // HALF_UP (half away from zero) without BigDecimal. Spark's Round
+      // goes through BigDecimal.valueOf(y) — y's SHORTEST decimal
+      // representation — but for |y| < 2^52 the decimal and binary
+      // values never disagree on floor() or on the >= .5 comparison
+      // (a ".5" tail in the shortest repr is only produced by doubles
+      // that represent n.5 exactly, and m - floor(m) is an exact
+      // subtraction there), so magnitude floor + exact frac compare is
+      // bit-identical. At |y| >= 2^52 every double is an integer and
+      // rounding is the identity; the final toLong saturates like
+      // Spark's double->long cast. EquivalenceSpec fuzzes the .5
+      // boundaries against the BigDecimal form.
+      val neg = y < 0
+      val m = if (neg) -y else y
+      val r =
+        if (m >= 4503599627370496.0) m // 2^52: integral already
+        else {
+          val f = Math.floor(m)
+          if (m - f >= 0.5) f + 1.0 else f
+        }
+      if (neg) (-r).toLong else r.toLong
+    }
+  }
+
+  /** CSV of micro-scaled ints from a float/double array — the driver
+    * gate serialization (`numCsv`). Null elements are skipped exactly
+    * like `concat_ws` / DuckDB `array_to_string` skip NULLs, so this
+    * kernel is drop-in bit-identical to the interpreted
+    * `transform + concat_ws` plan it replaces (EquivalenceSpec). */
+  def microCsv(a: ArrayData, isFloat: Boolean): UTF8String = {
+    val n = a.numElements()
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    var first = true
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        if (!first) sb.append(',')
+        first = false
+        val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        sb.append(microLong(d))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** CSV of a long/int array (elemKind 0 = long, 1 = int); formatting
+    * is engine-invariant decimal. Null elements skipped (concat_ws
+    * semantics, see [[microCsv]]). */
+  def rawCsvNum(a: ArrayData, elemKind: Int): UTF8String = {
+    val n = a.numElements()
+    val sb = new java.lang.StringBuilder(n * 6)
+    var i = 0
+    var first = true
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        if (!first) sb.append(',')
+        first = false
+        if (elemKind == 0) sb.append(a.getLong(i)) else sb.append(a.getInt(i))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** CSV of a string array via direct UTF8String concat (no UTF-16
+    * round-trip). Null elements skipped (concat_ws semantics). */
+  def rawCsvStr(a: ArrayData): UTF8String = {
+    val n = a.numElements()
+    val parts = new java.util.ArrayList[UTF8String](2 * n)
+    val comma = UTF8String.fromString(",")
+    var i = 0
+    var first = true
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        if (!first) parts.add(comma)
+        first = false
+        parts.add(a.getUTF8String(i))
+      }
+      i += 1
+    }
+    UTF8String.concat(parts.toArray(new Array[UTF8String](parts.size)): _*)
+  }
 }

@@ -282,6 +282,52 @@ class EquivalenceSpec extends GraftSpec {
     assert(bad.isEmpty, s"kernel/column divergence on: ${bad.take(5).mkString(", ")}")
   }
 
+  test("native micro_csv / raw_csv kernels equal the transform+concat_ws forms") {
+    import spark.implicits._
+    import graft.functions.expressions.GraftExpressions.{micro_csv, raw_csv}
+    def microHof(arr: org.apache.spark.sql.Column) = concat_ws(",",
+      transform(arr, x => round(x.cast("double") * lit(1e6)).cast("long").cast("string")))
+    def rawHof(arr: org.apache.spark.sql.Column) =
+      concat_ws(",", transform(arr, _.cast("string")))
+    // corpus: the real gate columns — float embeddings and string tokens
+    assert(emb.filter(micro_csv(col("embedding")) =!= microHof(col("embedding")))
+      .count() === 0L)
+    assert(events.filter(raw_csv(array(col("event_type"), col("event_type")))
+      =!= rawHof(array(col("event_type"), col("event_type")))).count() === 0L)
+    // fuzz doubles: exact micro values (rounding boundary .5 cases),
+    // negatives, subnormal-ish tiny values, huge values, and NULL
+    // elements (concat_ws skips them — kernel must too)
+    val rnd = new scala.util.Random(2024)
+    val fuzzD = (1 to 3000).map { _ =>
+      val n = rnd.nextInt(6)
+      (0 until n).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => Some((rnd.nextInt(2000001) - 1000000) / 2e6) // exact .5 boundaries
+          case 1 => Some(rnd.nextDouble() * 1e12)
+          case 2 => Some(-rnd.nextDouble())
+          case 3 => Some(rnd.nextDouble() * 1e-9)
+          case 4 => None
+          case _ => Some(rnd.nextGaussian())
+        }
+      }
+    }.toDF("arr")
+    val badD = fuzzD.filter(!(micro_csv(col("arr")) <=> microHof(col("arr")))).collect()
+    assert(badD.isEmpty, s"micro_csv divergence on: ${badD.take(5).mkString(", ")}")
+    // fuzz longs + strings (incl. empty strings, non-ASCII, nulls)
+    val words = Array(Some(""), Some("a,b"), Some("héllo"), Some("😀"), None, Some("x"))
+    val fuzzM = (1 to 3000).map { _ =>
+      val n = rnd.nextInt(6)
+      ((0 until n).map(_ => if (rnd.nextBoolean()) Some(rnd.nextLong()) else None),
+        (0 until n).map(_ => words(rnd.nextInt(words.length))))
+    }.toDF("ls", "ss")
+    val badM = fuzzM.filter(!(raw_csv(col("ls")) <=> rawHof(col("ls")))
+      || !(raw_csv(col("ss")) <=> rawHof(col("ss")))).collect()
+    assert(badM.isEmpty, s"raw_csv divergence on: ${badM.take(5).mkString(", ")}")
+    // int arrays take the elemKind=1 kernel branch
+    val fuzzI = (1 to 500).map(_ => (0 until rnd.nextInt(5)).map(_ => rnd.nextInt())).toDF("is")
+    assert(fuzzI.filter(raw_csv(col("is")) =!= rawHof(col("is"))).count() === 0L)
+  }
+
   test("accuracy via expression equals direct computation on events") {
     val acc = events.agg(graft.functions.Metrics.accuracy(
       col("event_type") === "error", col("value") > 100.0)).collect().head.getDouble(0)
