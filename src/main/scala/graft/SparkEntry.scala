@@ -1947,6 +1947,30 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
           col("c_mktsegment"))
     },
+    "agg_bucketed_pergroup" -> { (s, d) =>
+      // the layout answer to the spread high-cardinality aggregate
+      // (q18/q21's named blocker — PERF.md): lineitem pre-bucketed on
+      // l_orderkey at WRITE time, so the per-order rollup plans with NO
+      // exchange at all — reduction happens where the key already
+      // lives, the durable 100 TB form of Aggregates.byShuffledKey
+      // (reference analog: the id-partitioned embedding layout,
+      // embedding/sharding.py:168-205). PlanShapeSpec asserts the
+      // exchange-free plan; this gates the values.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"b_lineitem$tag"
+      if (!s.catalog.tableExists(lt)) {
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, lt))
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").saveAsTable(lt)
+      }
+      s.table(lt)
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("b_qty_cents"))
+        .filter(col("b_qty_cents") > 150L * 100)
+        .select(col("b_orderkey"), col("b_qty_cents"))
+    },
 
     "upsert_scd2" -> { (s, d) =>
       // SCD-2 history merge: open rows of matched keys close at the
@@ -3605,6 +3629,10 @@ object SparkEntry {
     "join_bucketed_colocated" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "agg_bucketed_pergroup" ->
+      """SELECT l_orderkey AS b_orderkey,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS b_qty_cents
+        |FROM lineitem GROUP BY 1 HAVING b_qty_cents > 15000""".stripMargin,
     "window_trailing_range" ->
       """SELECT event_id, user_id,
         |  CAST(count(*) OVER w AS BIGINT) AS trailing_cnt,

@@ -9,13 +9,30 @@ import org.apache.spark.sql.functions._
   * assume pre-curated inputs; this is the engine-native form of that
   * upstream step).
   *
-  * Scale design: pure built-in string/regexp expressions — row-local,
-  * codegen'd, no UDFs, no shuffle. Patterns stay inside the regex
-  * subset Java and RE2 share, and replacement backreferences are
-  * avoided entirely (prefix/rest recombination via substr instead), so
-  * external engines mirror the transform bit-for-bit.
+  * Scale design: [[host]] and [[normalizeUrl]] are native byte-scan
+  * kernels ([[graft.functions.expressions.UrlHost]]/[[graft.functions.expressions.UrlNormalize]])
+  * — ONE codegen'd call each. The original regexp-Column chains (kept
+  * below as `hostCols`/`normalizeUrlCols` for the equivalence spec)
+  * duplicated into union branches and window-sort stages until the
+  * generated method crossed the JVM 64 KB limit ("Code grows beyond
+  * 64 KB", 156 inlined Matchers in one `sort_addToSorter`), silently
+  * dropping whole stages to interpreted execution. Patterns stay
+  * inside the regex subset Java and RE2 share, and replacement
+  * backreferences are avoided entirely (prefix/rest recombination via
+  * substr instead), so external engines mirror the transform
+  * bit-for-bit; the kernels replicate the regex semantics exactly for
+  * inputs free of raw Unicode line-terminator code points (URLs cannot
+  * contain them), fuzz-verified in EquivalenceSpec.
   */
 object WebFunctions {
+
+  /** Lowercased canonical host — native kernel. */
+  def host(url: Column): Column =
+    graft.functions.expressions.GraftExpressions.url_host(url)
+
+  /** Canonical URL — native kernel. */
+  def normalizeUrl(url: Column): Column =
+    graft.functions.expressions.GraftExpressions.url_normalize(url)
 
   /** scheme://authority prefix (authority = everything up to the first
     * '/', '?' or '#' past the scheme separator). */
@@ -29,7 +46,7 @@ object WebFunctions {
     * when the URL has no scheme-anchored authority — an unanchored
     * "//" match would fabricate hosts out of path-only URLs like
     * '/redirect//evil.com/x'. */
-  def host(url: Column): Column = {
+  def hostCols(url: Column): Column = {
     val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     val noUser = regexp_replace(auth, "^.*@", "")
     lower(when(noUser.startsWith("["),
@@ -43,7 +60,7 @@ object WebFunctions {
     * preserved byte-for-byte (case and ordering are significant there).
     * URLs without a scheme://authority prefix pass through with only
     * the fragment stripped. */
-  def normalizeUrl(url: Column): Column = {
+  def normalizeUrlCols(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val rawPre = regexp_extract(noFrag, PrefixRe, 0)
     val rest = noFrag.substr(length(rawPre) + 1, length(noFrag))

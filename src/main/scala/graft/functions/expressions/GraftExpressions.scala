@@ -752,6 +752,55 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** Lowercased canonical host of a URL ([[VecUtil.urlHost]]) — one
+  * codegen'd byte-scan call. The regexp-Column formulation
+  * ([[graft.functions.WebFunctions.hostCols]]) inflated generated
+  * methods past the JVM 64 KB limit when Catalyst duplicated it into
+  * union branches + window-sort stages (156 inlined Matchers in one
+  * `sort_addToSorter`!), silently dropping whole stages to interpreted
+  * execution — the round-7 web_host_cap 0.3–5.6 s instability. */
+case class UrlHost(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"url_host needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.urlHost(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.urlHost($s);")
+
+  override def prettyName: String = "url_host"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Canonical URL form ([[VecUtil.urlNormalize]]) — see [[UrlHost]] for
+  * why this is a native kernel rather than the regexp-Column chain. */
+case class UrlNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"url_normalize needs string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecUtil.urlNormalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expressions.VecUtil.urlNormalize($s);")
+
+  override def prettyName: String = "url_normalize"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Driver-gate serialization kernel: CSV of micro-scaled ints
   * (`CAST(round(x*1e6) AS BIGINT)` per element) from a float/double
   * array in ONE codegen'd call ([[VecUtil.microCsv]]). Replaces the
@@ -870,4 +919,6 @@ object GraftExpressions {
   def clean_text(s: Column): Column = column(CleanText(expression(s)))
   def micro_csv(arr: Column): Column = column(MicroCsv(expression(arr)))
   def raw_csv(arr: Column): Column = column(RawCsv(expression(arr)))
+  def url_host(s: Column): Column = column(UrlHost(expression(s)))
+  def url_normalize(s: Column): Column = column(UrlNormalize(expression(s)))
 }

@@ -948,6 +948,121 @@ object VecUtil {
     while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
   }
 
+  @inline private def isAsciiAlpha(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def isSchemeByte(b: Byte): Boolean =
+    isAsciiAlpha(b) || (b >= '0' && b <= '9') || b == '+' || b == '.' || b == '-'
+
+  /** End (exclusive) of the anchored `scheme://authority` prefix of
+    * b[0, len), or -1 when the prefix regex
+    * `^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*` does not match. No
+    * backtracking is needed: the scheme class excludes ':', so a
+    * shorter greedy run can never satisfy the literal "://" either. */
+  private def schemeAuthEnd(b: Array[Byte], len: Int): Int = {
+    if (len == 0 || !isAsciiAlpha(b(0))) return -1
+    var i = 1
+    while (i < len && isSchemeByte(b(i))) i += 1
+    if (i + 2 >= len || b(i) != ':' || b(i + 1) != '/' || b(i + 2) != '/') return -1
+    var j = i + 3
+    while (j < len && b(j) != '/' && b(j) != '?' && b(j) != '#') j += 1
+    j
+  }
+
+  /** Start of the authority inside a matched prefix (after "://"). */
+  private def authStart(b: Array[Byte], len: Int): Int = {
+    var i = 1
+    while (i < len && isSchemeByte(b(i))) i += 1
+    i + 3
+  }
+
+  /** Lowercased host of a URL — the byte-scan form of the regex chain
+    * `lower(strip-port(strip-userinfo(authority-of-anchored-prefix)))`
+    * (see [[graft.functions.WebFunctions.hostCols]]): userinfo = up to
+    * the LAST '@' of the authority, bracketed IPv6 unwrapped to the
+    * first ']', else a trailing ':' + digits-only port dropped. ""
+    * when no scheme-anchored authority exists. Contract: inputs are
+    * free of Unicode line-terminator code points (the regex forms'
+    * '.'-excludes-terminators subtlety; real URLs cannot contain raw
+    * terminators) — fuzzed bit-identical in EquivalenceSpec. */
+  def urlHost(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val end = schemeAuthEnd(b, b.length)
+    if (end < 0) return UTF8String.EMPTY_UTF8
+    val as = authStart(b, b.length)
+    // userinfo: last '@' within the authority
+    var hs = as
+    var k = end - 1
+    while (k >= as) { if (b(k) == '@') { hs = k + 1; k = as } ; k -= 1 }
+    var he = end
+    if (hs < end && b(hs) == '[') {
+      // bracketed literal: content up to the FIRST ']' ("" if none)
+      var e = hs + 1
+      while (e < end && b(e) != ']') e += 1
+      if (e >= end) return UTF8String.EMPTY_UTF8
+      hs += 1; he = e
+    } else {
+      // trailing ":digits*" port (possibly zero digits)
+      var c = end - 1
+      var colon = -1
+      var ok = true
+      while (ok && c >= hs) {
+        if (b(c) == ':') { colon = c; ok = false }
+        else if (b(c) < '0' || b(c) > '9') ok = false
+        else c -= 1
+      }
+      if (colon >= 0) he = colon
+    }
+    UTF8String.fromBytes(b, hs, he - hs).toLowerCase
+  }
+
+  /** Canonical URL — the byte-scan form of
+    * [[graft.functions.WebFunctions.normalizeUrlCols]]: fragment cut at
+    * the first '#', scheme+authority prefix lowercased, default :80/:443
+    * dropped for http/https, bare authority given the root path (also
+    * before a bare query). Path/query bytes preserved verbatim. Same
+    * terminator-free input contract as [[urlHost]]. */
+  def urlNormalize(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var len = b.length
+    var i = 0
+    while (i < len) { if (b(i) == '#') { len = i }; i += 1 }
+    val preEnd0 = schemeAuthEnd(b, len)
+    val preEnd = if (preEnd0 < 0) 0 else preEnd0
+    val pre = UTF8String.fromBytes(b, 0, preEnd).toLowerCase
+    val pb = pre.getBytes
+    var pl = pb.length
+    if (pl >= 10 && startsWithAscii(pb, "http://") && endsWithAscii(pb, ":80")) pl -= 3
+    else if (pl >= 12 && startsWithAscii(pb, "https://") && endsWithAscii(pb, ":443")) pl -= 4
+    val restLen = len - preEnd
+    val out =
+      if (pl > 0 && restLen == 0) {
+        val o = java.util.Arrays.copyOf(pb, pl + 1); o(pl) = '/'; o
+      } else if (pl > 0 && b(preEnd) == '?') {
+        val o = new Array[Byte](pl + 1 + restLen)
+        System.arraycopy(pb, 0, o, 0, pl); o(pl) = '/'
+        System.arraycopy(b, preEnd, o, pl + 1, restLen); o
+      } else {
+        val o = new Array[Byte](pl + restLen)
+        System.arraycopy(pb, 0, o, 0, pl)
+        System.arraycopy(b, preEnd, o, pl, restLen); o
+      }
+    UTF8String.fromBytes(out)
+  }
+
+  @inline private def startsWithAscii(b: Array[Byte], p: String): Boolean = {
+    if (b.length < p.length) return false
+    var i = 0
+    while (i < p.length) { if (b(i) != p.charAt(i).toByte) return false; i += 1 }
+    true
+  }
+  @inline private def endsWithAscii(b: Array[Byte], p: String): Boolean = {
+    val off = b.length - p.length
+    if (off < 0) return false
+    var i = 0
+    while (i < p.length) { if (b(off + i) != p.charAt(i).toByte) return false; i += 1 }
+    true
+  }
+
   /** Micro-int round of one double, reproducing the exact composition
     * `CAST(round(x * 1e6) AS BIGINT)` that both the previous Spark plan
     * (`round(_,0)` = BigDecimal HALF_UP on the double product) and the

@@ -123,6 +123,17 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("Exchange"), p)
   }
 
+  test("bucketed per-group aggregate plans NO exchange (layout-carried distribution)") {
+    val p = plan("agg_bucketed_pergroup")
+    // the write-time bucketing IS the shuffle: the scan reports the
+    // hash distribution on l_orderkey, so the per-order rollup —
+    // q18/q21's dominant cost as an exchange aggregate — runs with no
+    // Exchange node at all
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+  }
+
   test("gram matrix aggregates object buffers map-side; unpack join broadcasts") {
     val p = plan("embedding_gram_matrix")
     // partial ObjectHashAggregate before the single-buffer exchange:
