@@ -248,15 +248,21 @@ SELECT vec_id, sub, cid FROM (
     return stmts
 
 
-PQ_CODEBOOKS_QUERY = """WITH occ AS (
+# final-table names derive from the SAME iters value as the setup chain:
+# a hardcoded pq_c2/lr_w3 would silently read a stale penultimate table
+# if iters ever changed (CREATE OR REPLACE keeps earlier tables alive)
+def pq_codebooks_query(iters=2):
+    return f"""WITH occ AS (
   SELECT sub, cid, CAST(COUNT(*) AS BIGINT) AS n FROM pq_codes GROUP BY sub, cid)
 SELECT c.sub, c.cid AS cluster_id, CAST(COALESCE(occ.n, 0) AS BIGINT) AS n_vectors,
   array_to_string(c.cent, ',') AS centroid
-FROM pq_c2 c LEFT JOIN occ ON occ.sub = c.sub AND occ.cid = c.cid"""
+FROM pq_c{iters} c LEFT JOIN occ ON occ.sub = c.sub AND occ.cid = c.cid"""
 
-PQ_TOPK_QUERY = f"""WITH lut AS (
+
+def pq_topk_query(iters=2):
+    return f"""WITH lut AS (
   SELECT q.vec_id AS q_id, c.sub, c.cid, {_sqd('q.sv', 'c.cent')} AS d
-  FROM pq_sq q JOIN pq_c2 c ON c.sub = q.sub WHERE q.vec_id < 16),
+  FROM pq_sq q JOIN pq_c{iters} c ON c.sub = q.sub WHERE q.vec_id < 16),
 pr AS (SELECT l.q_id, p.vec_id AS n_id, CAST(SUM(l.d) AS BIGINT) AS adist
   FROM pq_codes p JOIN lut l ON l.sub = p.sub AND l.cid = p.cid AND p.vec_id != l.q_id
   GROUP BY l.q_id, p.vec_id)
@@ -290,24 +296,32 @@ FROM lr_w{i-1} w JOIN g ON g.j = w.j""")
     return stmts
 
 
-LR_TRAIN_QUERY = "SELECT j, w AS w_nano FROM lr_w3"
-LR_CONFUSION_QUERY = """WITH zf AS (
+def lr_train_query(iters=3):
+    return f"SELECT j, w AS w_nano FROM lr_w{iters}"
+
+
+def lr_confusion_query(iters=3):
+    return f"""WITH zf AS (
   SELECT xj.vec_id, xj.y, CAST(SUM(xj.xv * w.w) AS BIGINT) // 1000 AS zn
-  FROM lr_xj xj JOIN lr_w3 w ON w.j = xj.j GROUP BY xj.vec_id, xj.y)
+  FROM lr_xj xj JOIN lr_w{iters} w ON w.j = xj.j GROUP BY xj.vec_id, xj.y)
 SELECT y, CASE WHEN GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000000000 AS BIGINT),
     500000000 + zn // 4)) >= 500000000
   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
   CAST(count(*) AS BIGINT) AS n
 FROM zf GROUP BY y, pred"""
 
+
+PQ_ITERS = 2
+LR_ITERS = 3
+
 # name -> (setup stmt or [stmts], query): timed together like the CC closure
 SETUP_OVERRIDES = {
     "dedup_line_level": (LL_SETUP, LL_QUERY),
     "graph_pagerank": (PR_SETUP, PR_QUERY),
-    "pq_codebooks": (pq_setups(), PQ_CODEBOOKS_QUERY),
-    "ann_topk_pq": (pq_setups(), PQ_TOPK_QUERY),
-    "classifier_train_lr": (lr_setups(), LR_TRAIN_QUERY),
-    "classifier_lr_confusion": (lr_setups(), LR_CONFUSION_QUERY),
+    "pq_codebooks": (pq_setups(iters=PQ_ITERS), pq_codebooks_query(PQ_ITERS)),
+    "ann_topk_pq": (pq_setups(iters=PQ_ITERS), pq_topk_query(PQ_ITERS)),
+    "classifier_train_lr": (lr_setups(iters=LR_ITERS), lr_train_query(LR_ITERS)),
+    "classifier_lr_confusion": (lr_setups(iters=LR_ITERS), lr_confusion_query(LR_ITERS)),
 }
 
 # dedup_cluster_components' gate oracle nests the full MinHash pair

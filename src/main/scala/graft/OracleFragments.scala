@@ -291,7 +291,11 @@ object OracleFragments {
     * zero exactly like Spark's `div` and Java's `/` (verified — NOT
     * floor division on negatives in any of the three). `d` must equal
     * the embedding dim + 1 (bias feature = the grid scale, appended);
-    * `posCond` is the weak-label SQL predicate. */
+    * `posCond` is the weak-label SQL predicate. The gradient divisor
+    * `cnt` counts only rows with a non-NULL feature vector, matching
+    * [[graft.operators.Classifier.trainHardSigmoid]]'s isNotNull
+    * filter (xj already drops them via unnest; cnt must agree or a
+    * single NULL embedding silently diverges every weight). */
   def lrCtes(d: Int, iters: Int, lrMilli: Long, posCond: String): String = {
     val fx =
       s"""fx AS (SELECT vec_id,
@@ -299,7 +303,7 @@ object OracleFragments {
          |    CAST(1000 AS BIGINT)) AS x,
          |  CASE WHEN $posCond THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
          |  FROM embeddings),
-         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fx),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fx WHERE x IS NOT NULL),
          |xj AS (SELECT vec_id, y, CAST(pos AS BIGINT) AS j, xv FROM
          |  (SELECT vec_id, y, unnest(x) AS xv, unnest(range(len(x))) AS pos FROM fx)),
          |w0 AS (SELECT CAST(r.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w FROM range($d) r(j))""".stripMargin

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * entirely on the floor(v·scale) integer grid — subspace k-means uses
   * integer squared-L2 with id-ordered init and smaller-cid tie-breaks,
   * codes are argmin cids, and the ADC score is a BIGINT sum of BIGINT
-  * table entries. There is NO floating point anywhere in this module,
-  * so the DuckDB oracle re-trains the codebooks and re-ranks from
-  * scratch and must agree bit-for-bit (ties break deterministically:
-  * distance asc, then neighbor id asc).
+  * table entries. Like [[Ivf.kmeans]], the ONE non-integer step is the
+  * per-dim `floor(sum/count)` centroid update — an exact double
+  * division while |sum| < 2^53 (guaranteed at any realistic grid
+  * scale), so the DuckDB oracle re-trains the codebooks and re-ranks
+  * from scratch and must agree bit-for-bit (ties break
+  * deterministically: distance asc, then neighbor id asc).
   *
   * Scale design: codebooks are m·ksub·(d/m) = d·ksub longs — plan
   * literals, never a join. Training runs ONE distributed

@@ -110,6 +110,39 @@ class SourcesSpec extends GraftSpec {
       (1L, 10L, Some(-1.0)), (2L, 20L, Some(5.0)), (3L, 30L, None)))
   }
 
+  test("object-store rename semantics: multi-task commit + partitioned write survive copy+delete") {
+    // A real MiniDFSCluster needs hadoop-hdfs test jars that do not
+    // exist in this offline sandbox (verified: /opt/spark/jars +
+    // coursier cache carry only hadoop-client-api/runtime). The
+    // S3A/OSS-specific failure mode Spark jobs actually hit is NOT the
+    // wire protocol — it is rename: object stores have no atomic
+    // directory move, so every commit-protocol rename becomes per-object
+    // copy+delete. GraftObjectStoreFs implements exactly those
+    // semantics (flat per-object copy, recursive for "directories",
+    // append rejected), so the FileOutputCommitter v1 task-commit +
+    // job-commit rename chain and the Hive-layout partitioned write run
+    // against object-store behavior end-to-end.
+    import spark.implicits._
+    import graft.sources.{TabularReader, TabularWriter}
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftoss.impl", classOf[GraftObjectStoreFs].getName)
+    val dir = "graftoss:" + Files.createTempDirectory("graft_oss").toString
+    // multi-partition write => multiple task commits, each through the
+    // copy+delete rename path
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).as("k"), (col("id") * 2).as("v")).repartition(8)
+    TabularWriter.toParquet(df, dir + "/flat")
+    val back = TabularReader.fromParquet(spark, Seq(dir + "/flat"))
+    assert(back.count() === 1000L)
+    assert(back.agg(sum(col("v"))).head.getLong(0) === (0L until 1000L).map(_ * 2).sum)
+    // partitioned (Hive-layout) write + pruned read through the same FS
+    TabularWriter.toPartitioned(df, dir + "/part", Seq("k"))
+    val pruned = spark.read.parquet(dir + "/part").filter(col("k") === 3)
+    assert(pruned.count() === (0L until 1000L).count(_ % 7 == 3))
+    assert(GraftObjectStoreFs.renames.get() > 0,
+      "the commit protocol never exercised the object-store rename path")
+  }
+
   test("query results are invariant to input partition layout") {
     val li = Tables.lineitem(spark, sf)
     def q1(df: org.apache.spark.sql.DataFrame) =
@@ -319,4 +352,39 @@ class SourcesSpec extends GraftSpec {
 class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "graftfs"
   override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
+/** Object-store SEMANTICS over local disk: rename is never atomic —
+  * files copy byte-for-byte then delete the source, directories rename
+  * per contained object (the S3A/OSS behavior that breaks
+  * rename-assuming code); append is rejected (object stores are
+  * immutable-put). Top-level class: Hadoop instantiates by
+  * reflection. */
+class GraftObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.Path
+  override def getScheme: String = "graftoss"
+  override def getUri: java.net.URI = java.net.URI.create("graftoss:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    GraftObjectStoreFs.renames.incrementAndGet()
+    if (!exists(src)) return false
+    val st = getFileStatus(src)
+    if (st.isDirectory) {
+      if (exists(dst) && getFileStatus(dst).isFile) return false
+      mkdirs(dst)
+      val ok = listStatus(src).forall(s => rename(s.getPath, new Path(dst, s.getPath.getName)))
+      ok && delete(src, true)
+    } else {
+      org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+        /*deleteSource=*/ true, /*overwrite=*/ true, getConf)
+    }
+  }
+
+  override def append(f: Path, bufferSize: Int,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    throw new UnsupportedOperationException("object stores do not append")
+}
+
+object GraftObjectStoreFs {
+  val renames = new java.util.concurrent.atomic.AtomicLong(0L)
 }
