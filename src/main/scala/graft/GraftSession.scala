@@ -26,6 +26,13 @@ object GraftSession {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // TIMESTAMP_MICROS output instead of the INT96 default: INT96
+    // columns carry NO parquet min/max statistics (row-group pruning on
+    // any engine-written timestamp column was silently impossible —
+    // date-sorted layouts pruned nothing) and decode through a slower
+    // 12-byte path. µs is also what the driver's own testdata uses, so
+    // round-tripped fixtures keep the exact same values.
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // Runtime bloom-filter semi-join reduction: build a bloom from the
     // selective side of a shuffle join and prune the fact scan before its
     // exchange — the mechanism that keeps fact⋈dim-chain joins from
@@ -55,6 +62,13 @@ object GraftSession {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.listTables().collect().filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
+      // untimed GC: ContextCleaner frees broadcast/shuffle state only
+      // when the weak references are collected — without this, a long
+      // suite accumulates heap until GC pauses land INSIDE later timed
+      // queries (measured: q12 3.4 s alone vs 5.8 s late in a 17-query
+      // session; the driver's own q1 6x-inflation note above is the
+      // same mechanism)
+      System.gc()
     } catch {
       case e: Throwable =>
         System.err.println(s"[session-hygiene] cleanup failed (continuing): ${e.getMessage}")

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
+
+/** Scratch probe (not a gate): the co-located-layout answer to the
+  * exchange-bound relational class (q9/q12 — ProbeRel showed blooms
+  * and pre-aggregation lose; the blocker is the orderkey exchange of
+  * BOTH join sides). Stage lineitem AND orders bucketed on the order
+  * key at write time, run the same queries over the bucketed tables:
+  * the fact join plans with no Exchange (dims broadcast onto the
+  * bucketed scan preserve its distribution). PERF.md round-8.
+  *
+  * Usage: runMain graft.ProbeBucketedJoin [dataDir] [buckets] [reps]
+  */
+object ProbeBucketedJoin {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/repo/benchdata/x200")
+    val buckets = if (args.length > 1) args(1).toInt else 32
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val ts = (x: String) => lit(x).cast(TimestampType)
+    def cents(c: String) = round(col(c) * 100).cast("long")
+
+    val (blT, boT) = ("probe_bj_lineitem", "probe_bj_orders")
+    if (!spark.catalog.tableExists(blT)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(blT, boT).foreach(t =>
+        GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, t)))
+      val t0 = System.nanoTime()
+      Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_linestatus"),
+          col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+        .write.mode("overwrite").bucketBy(buckets, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable(blT)
+      Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+        .write.mode("overwrite").bucketBy(buckets, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable(boT)
+      println(f"[probe] bucketed stage (one-time write): ${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
+    val bl = spark.table(blT)
+    val bo = spark.table(boT)
+
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save()
+      GraftSession.clearSessionState(spark)
+      val tms = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        GraftSession.clearSessionState(spark)
+        dt
+      }
+      println(f"[probe] $name: ${tms.map(t => f"$t%.2f").mkString(" ")} (min ${tms.min}%.2f)")
+    }
+
+    val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    def q12(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+      l.filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+
+    def q9(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) = {
+      val p = Tables.part(spark, d).filter(col("p_type") === "ECONOMY")
+      val amountE4 = cents("l_extendedprice") * (lit(100L) - cents("l_discount")) -
+        cents("p_retailprice") * cents("l_quantity")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(amountE4).cast(DoubleType) / 10000.0).as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }
+
+    time("q12_bucketed_join")(q12(bl, bo))
+    time("q9_bucketed_join")(q9(bl, bo))
+    println("[probe] q12 bucketed plan (expect no Exchange):")
+    q12(bl, bo).explain()
+    spark.stop()
+  }
+}

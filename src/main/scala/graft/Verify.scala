@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Timestamp outputs must land NAIVE (µs, isAdjustedToUTC=false) like
+    * the driver's own testdata: the driver's pandas compare reads the
+    * oracle side naive, so a tz-annotated µs column (what
+    * outputTimestampType=TIMESTAMP_MICROS writes for TimestampType)
+    * hash-mismatches on the tz attribute alone. Casting LTZ→NTZ under
+    * the UTC session zone is value-identical. */
+  def naiveTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+      .foldLeft(df)((d, f) => d.withColumn(f.name,
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(org.apache.spark.sql.types.TimestampNTZType)))
+
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: Verify <sfDir> <outDir>")
     val Array(sfDir, outDir) = args
@@ -11,7 +24,7 @@ object Verify {
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -17,8 +17,8 @@ object VerifySubset {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      Verify.naiveTs(SparkEntry.queries(name)(spark, sfDir)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[verify-subset] wrote $name")
     }
     val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
