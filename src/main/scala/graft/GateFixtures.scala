@@ -26,6 +26,39 @@ private[graft] object GateFixtures {
       target
     })
 
+  /** Order-key-bucketed catalog tables — the persistent co-located
+    * layout the bucketed gates read (PERF.md round-8: the exchange-free
+    * answer to the per-order aggregate/join class). Staged once per
+    * (session catalog, data dir); the warehouse dir outlives the JVM
+    * but the in-memory catalog doesn't, so stale locations are cleared
+    * before CREATE (same discipline as join_bucketed_colocated). */
+  def bucketedLineitem(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedTable(s, d, "b_lineitem") { name =>
+      import org.apache.spark.sql.functions.col
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable(name)
+    }
+
+  def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedTable(s, d, "b_orders") { name =>
+      import org.apache.spark.sql.functions.col
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable(name)
+    }
+
+  private def bucketedTable(s: org.apache.spark.sql.SparkSession, d: String,
+      base: String)(write: String => Unit): String = {
+    val name = base + d.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      deleteRecursively(java.nio.file.Paths.get(wh, name))
+      write(name)
+    }
+    name
+  }
+
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -1955,21 +1955,32 @@ object SparkEntry {
       // lives, the durable 100 TB form of Aggregates.byShuffledKey
       // (reference analog: the id-partitioned embedding layout,
       // embedding/sharding.py:168-205). PlanShapeSpec asserts the
-      // exchange-free plan; this gates the values.
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val lt = s"b_lineitem$tag"
-      if (!s.catalog.tableExists(lt)) {
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, lt))
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").saveAsTable(lt)
-      }
-      s.table(lt)
+      // exchange-free plan; this gates the values. Measured at x200:
+      // 11.7 s plain / 7.8 s shuffle-first / 3.8 s bucketed (PERF.md).
+      s.table(GateFixtures.bucketedLineitem(s, d))
         .groupBy(col("l_orderkey").as("b_orderkey"))
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("b_qty_cents"))
         .filter(col("b_qty_cents") > 150L * 100)
         .select(col("b_orderkey"), col("b_qty_cents"))
+    },
+    "join_bucketed_fact" -> { (s, d) =>
+      // co-located FACT⋈FACT join (q9/q12's named blocker was the
+      // orderkey exchange of BOTH sides — ProbeRel measured blooms and
+      // pre-aggregation strictly worse): lineitem AND orders bucketed
+      // on the order key at write time, dims broadcast onto the
+      // bucketed scan (preserving its distribution), so the line⋈order
+      // join plans with NO exchange. Measured at x200: q12-shape
+      // 3.35→1.88 s, q9-shape 5.72→2.83 s (PERF.md). PlanShapeSpec
+      // asserts the exchange-free join.
+      val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+      s.table(GateFixtures.bucketedLineitem(s, d))
+        .join(s.table(GateFixtures.bucketedOrders(s, d)),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .orderBy(col("l_linestatus"))
     },
 
     "upsert_scd2" -> { (s, d) =>
@@ -2064,16 +2075,26 @@ object SparkEntry {
       // Merge-rank semantics and goldens stay spec-asserted (LlmPrepSpec).
       val docs = Tables.documents(s, d)
       val merges = operators.Bpe.train(docs, col("text"), numMerges = 40)
-      val toks = operators.Bpe.encode(col("text"), merges)
-      val detok = concat_ws("", toks)
+      // STAGED projections so the encode kernel runs ONCE per row: the
+      // old single-projection form referenced `toks` three times
+      // (detok, and size twice) and Catalyst inlined the BpeEncode call
+      // into every use — the gate measured 3× the encode cost (31.8 vs
+      // 11.4 s at x200, ProbeBpe decomposition). Multi-referenced
+      // non-cheap aliases survive CollapseProject (SPARK-36718), so
+      // each stage below evaluates its expensive column exactly once.
       val nWords = size(filter(split(col("text"), " "), w => length(w) > 0))
       // NULL text: concat_ws would mask it to '' (oracle says NULL) and a
       // coalesce-to-true would silently pass the bound on the one row
       // where it can't be evaluated — mirror NULL explicitly instead.
-      docs.select(col("doc_id"),
-        when(col("text").isNotNull, detok).as("detok"),
-        when(col("text").isNotNull,
-          size(toks) <= length(detok) && size(toks) >= nWords).as("n_tokens_bounded"))
+      docs.select(col("doc_id"), col("text"),
+          operators.Bpe.encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"), col("text"), size(col("toks")).as("ntok"),
+          concat_ws("", col("toks")).as("detok0"))
+        .select(col("doc_id"),
+          when(col("text").isNotNull, col("detok0")).as("detok"),
+          when(col("text").isNotNull,
+            col("ntok") <= length(col("detok0")) && col("ntok") >= nWords)
+            .as("n_tokens_bounded"))
     },
     "window_trailing_range" -> { (s, d) =>
       // Trailing event-time RANGE window: per-user count + exact sum
@@ -3633,6 +3654,15 @@ object SparkEntry {
       """SELECT l_orderkey AS b_orderkey,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS b_qty_cents
         |FROM lineitem GROUP BY 1 HAVING b_qty_cents > 15000""".stripMargin,
+    "join_bucketed_fact" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_trailing_range" ->
       """SELECT event_id, user_id,
         |  CAST(count(*) OVER w AS BIGINT) AS trailing_cnt,

@@ -134,6 +134,26 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("Bucketed: true"), p.take(3000))
   }
 
+  test("bucketed fact-fact join plans NO shuffle exchange on either side") {
+    // at spec scale the orders side auto-broadcasts (also exchange-free
+    // in the shuffle sense, and the right tiny-data plan); disable
+    // broadcast to pin the CO-LOCATED shape the layout buys at fact
+    // scale — both sides bucketed 8-way on the order key, so the
+    // line⋈order join (q9/q12's named blocker as an exchange) plans
+    // with no shuffle Exchange below the join
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("join_bucketed_fact")
+      val joinIdx = p.indexOf("Join")
+      assert(joinIdx >= 0, p.take(3000))
+      assert(!p.substring(joinIdx).contains("Exchange"),
+        s"expected no exchange below the bucketed join:\n${p.take(3000)}")
+      assert("Bucketed: true".r.findAllIn(p).size >= 2, p.take(3000))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("gram matrix aggregates object buffers map-side; unpack join broadcasts") {
     val p = plan("embedding_gram_matrix")
     // partial ObjectHashAggregate before the single-buffer exchange:
