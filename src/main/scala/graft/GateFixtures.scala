@@ -31,9 +31,12 @@ private[graft] object GateFixtures {
     * answer to the per-order aggregate/join class). Staged once per
     * (session catalog, data dir); the warehouse dir outlives the JVM
     * but the in-memory catalog doesn't, so stale locations are cleared
-    * before CREATE (same discipline as join_bucketed_colocated). */
+    * before CREATE (same discipline as join_bucketed_colocated). The
+    * bf_ prefix avoids colliding with join_bucketed_colocated's own
+    * b_orders$tag table (bucketed on o_custkey — reusing it here would
+    * silently lose the o_orderkey distribution). */
   def bucketedLineitem(s: org.apache.spark.sql.SparkSession, d: String): String =
-    bucketedTable(s, d, "b_lineitem") { name =>
+    bucketedTable(s, d, "bf_lineitem") { name =>
       import org.apache.spark.sql.functions.col
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"))
@@ -41,7 +44,7 @@ private[graft] object GateFixtures {
     }
 
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
-    bucketedTable(s, d, "b_orders") { name =>
+    bucketedTable(s, d, "bf_orders") { name =>
       import org.apache.spark.sql.functions.col
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
