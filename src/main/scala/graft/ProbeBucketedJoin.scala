@@ -22,7 +22,7 @@ object ProbeBucketedJoin {
     val ts = (x: String) => lit(x).cast(TimestampType)
     def cents(c: String) = round(col(c) * 100).cast("long")
 
-    val (blT, boT) = ("probe_bj_lineitem", "probe_bj_orders")
+    val (blT, boT) = ("probe_bj_lineitem2", "probe_bj_orders2")
     if (!spark.catalog.tableExists(blT)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       Seq(blT, boT).foreach(t =>
@@ -30,11 +30,13 @@ object ProbeBucketedJoin {
       val t0 = System.nanoTime()
       Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_linestatus"),
           col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
-          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"),
+          col("l_returnflag"))
         .write.mode("overwrite").bucketBy(buckets, "l_orderkey")
         .sortBy("l_orderkey").saveAsTable(blT)
       Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_orderdate"))
+          col("o_orderdate"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
         .write.mode("overwrite").bucketBy(buckets, "o_orderkey")
         .sortBy("o_orderkey").saveAsTable(boT)
       println(f"[probe] bucketed stage (one-time write): ${(System.nanoTime()-t0)/1e9}%.1f s")
@@ -77,8 +79,67 @@ object ProbeBucketedJoin {
         .orderBy(col("n_name"), col("o_year").desc)
     }
 
+    // q21 over the co-located layout: the per-order aggregate AND the
+    // orders join both inherit the bucket distribution - zero fact
+    // exchanges end to end
+    def q21(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) = {
+      val li = l.select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").as("r"))
+      val lateS = when(col("r"), col("l_suppkey"))
+      val per = li.groupBy(col("l_orderkey").as("g_ok"))
+        .agg(min(col("l_suppkey")).as("minS"), max(col("l_suppkey")).as("maxS"),
+          min(lateS).as("minRS"), max(lateS).as("maxRS"),
+          sum(when(col("r"), 1L).otherwise(0L)).as("nR"))
+        .filter(col("minS") =!= col("maxS") &&
+          col("minRS").isNotNull && col("minRS") === col("maxRS"))
+      val n = Tables.nation(spark, d).filter(col("n_name") === "NATION_3")
+      val suppN = Tables.supplier(spark, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sn_suppkey"), col("s_name"))
+      val oF = o.filter(col("o_orderstatus") === "F")
+      per.join(broadcast(suppN), col("minRS") === col("sn_suppkey"))
+        .join(oF, col("g_ok") === col("o_orderkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("nR")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }
+    def q18(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) = {
+      val big = l.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(cents("l_quantity")).as("b_qty_cents"))
+        .filter(col("b_qty_cents") > 300L * 100)
+      big.join(o, col("b_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          (col("b_qty_cents").cast("double") / 100.0).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }
+    def q5(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) = {
+      val r = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+      val asiaNations = Tables.nation(spark, d)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val custAsia = Tables.customer(spark, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ordersAsia = o.join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+      l.join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(spark, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc)
+    }
     time("q12_bucketed_join")(q12(bl, bo))
     time("q9_bucketed_join")(q9(bl, bo))
+    time("q21_bucketed")(q21(bl, bo))
+    time("q21_shipped")(SparkEntry.queries("q21_waiting_supplier")(spark, d))
+    time("q18_bucketed")(q18(bl, bo))
+    time("q18_shipped")(SparkEntry.queries("q18_large_volume")(spark, d))
+    time("q5_bucketed")(q5(bl, bo))
+    time("q5_shipped")(SparkEntry.queries("q5_local_supplier")(spark, d))
     println("[probe] q12 bucketed plan (expect no Exchange):")
     q12(bl, bo).explain()
     spark.stop()
