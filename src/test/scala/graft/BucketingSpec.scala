@@ -38,4 +38,21 @@ class BucketingSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("toBucketedTable: per-key aggregate plans exchange-free and matches groupBy") {
+    import graft.sources.TabularWriter
+    spark.sql("DROP TABLE IF EXISTS tb_lineitem")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      TabularWriter.toBucketedTable(li, "tb_lineitem", "l_orderkey", buckets = 4)
+      val agg = spark.table("tb_lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("s"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed aggregate should not shuffle:\n$plan")
+      val got = agg.orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val want = li.groupBy("l_orderkey").agg(sum(col("l_quantity")).as("s"))
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === want.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS tb_lineitem")
+  }
 }
