@@ -132,6 +132,29 @@ object ProbeBucketedJoin {
           .cast("double") / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc)
     }
+    def q3(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) = {
+      val c = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+      val bldgOrders = o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      val revPerOrder = l.groupBy(col("l_orderkey"))
+        .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .cast("double") / 10000.0).as("revenue"))
+      revPerOrder.join(bldgOrders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }
+    def q10(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+      l.filter(col("l_returnflag") === "R")
+        .join(o.filter(col("o_orderdate") >= ts("1996-01-01")
+          && col("o_orderdate") < ts("1996-04-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     time("q12_bucketed_join")(q12(bl, bo))
     time("q9_bucketed_join")(q9(bl, bo))
     time("q21_bucketed")(q21(bl, bo))
@@ -140,6 +163,10 @@ object ProbeBucketedJoin {
     time("q18_shipped")(SparkEntry.queries("q18_large_volume")(spark, d))
     time("q5_bucketed")(q5(bl, bo))
     time("q5_shipped")(SparkEntry.queries("q5_local_supplier")(spark, d))
+    time("q3_bucketed")(q3(bl, bo))
+    time("q3_shipped")(SparkEntry.queries("q3_shipping_priority")(spark, d))
+    time("q10_bucketed")(q10(bl, bo))
+    time("q10_shipped")(SparkEntry.queries("q10_returned_items")(spark, d))
     println("[probe] q12 bucketed plan (expect no Exchange):")
     q12(bl, bo).explain()
     spark.stop()
