@@ -43,6 +43,45 @@ private[graft] object GateFixtures {
         .write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable(name)
     }
 
+  /** Sort-bucketed lineitem (one file per bucket, sorted by the order
+    * key inside it) — the layout that upgrades the exchange-free
+    * per-key rollup from a 30M-entry hash table to a STREAMING
+    * SortAggregate (one group's state at a time; x200 2.4→1.6 s,
+    * PERF.md round-9). Staged through the product API
+    * (TabularWriter.toBucketedTable) so the gate exercises the code
+    * path users call. */
+  def bucketedLineitemSorted(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedTable(s, d, "bs_lineitem") { name =>
+      import org.apache.spark.sql.functions.col
+      graft.sources.TabularWriter.toBucketedTable(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        name, "l_orderkey", buckets = 8, sorted = true)
+    }
+
+  /** Advisor-produced layout: LayoutAdvisor reads a two-query corpus
+    * (per-order rollup + line⋈order join — the q18/q21 class), derives
+    * (table=lineitem, key=l_orderkey, pruned column union, buckets)
+    * itself, and stages through its own stage() → toBucketedTable
+    * (sorted). The gate that reads this table proves the advised
+    * layout end-to-end: values against the DuckDB oracle, plan shape
+    * (streaming SortAggregate, zero Exchange) in PlanShapeSpec. The
+    * require pins the advice itself — if the advisor ever stops
+    * picking the order key off this corpus, the gate errors rather
+    * than silently staging something else. */
+  def advisorLineitem(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedTable(s, d, "adv_lineitem") { name =>
+      import org.apache.spark.sql.functions.{col, sum}
+      val li = Tables.lineitem(s, d)
+      val corpus = Seq(
+        li.groupBy(col("l_orderkey")).agg(sum(col("l_extendedprice")).as("p")),
+        li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q")))
+      val top = graft.plans.LayoutAdvisor.advise(corpus).head
+      require(top.table == "lineitem" && top.key == "l_orderkey",
+        s"advisor picked unexpected layout: $top")
+      graft.plans.LayoutAdvisor.stage(s, top, name)
+    }
+
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedTable(s, d, "bf_orders") { name =>
       import org.apache.spark.sql.functions.col

@@ -45,6 +45,20 @@ object GraftSession {
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "2GB")
     .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "512MB")
+    // Streaming aggregation over sort-bucketed layouts
+    // (TabularWriter.toBucketedTable(sorted=true)): the scan only
+    // reports its per-bucket sort order under the legacy listing conf
+    // (it must prove one file per bucket, which the writer guarantees),
+    // and the planner only swaps an already-co-located hash aggregate
+    // for a streaming SortAggregate — one group's state at a time
+    // instead of a groups-sized hash table — under
+    // replaceHashWithSortAgg. Both rewrites fire ONLY when the child
+    // is provably sorted on the grouping keys, i.e. exchange-free
+    // plans where partial+final run back-to-back on the same
+    // partition, so aggregation order (and any float sum) is
+    // unchanged. x200: per-order rollup 2.4→1.6 s (PERF.md round-9).
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    .config("spark.sql.execution.replaceHashWithSortAgg", "true")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   /** Between-query session hygiene for the multi-query mains (Bench,

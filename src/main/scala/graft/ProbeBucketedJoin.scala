@@ -22,23 +22,27 @@ object ProbeBucketedJoin {
     val ts = (x: String) => lit(x).cast(TimestampType)
     def cents(c: String) = round(col(c) * 100).cast("long")
 
-    val (blT, boT) = ("probe_bj_lineitem2", "probe_bj_orders2")
+    // round-9: staged through the product writer — one SORTED file per
+    // bucket, so the scan REPORTS its order (GraftSession's confs):
+    // bucketed joins plan without query-time sorts and per-key
+    // aggregates stream (SortAggregate) instead of hashing 30M groups
+    val (blT, boT) = ("probe_bj_lineitem3", "probe_bj_orders3")
     if (!spark.catalog.tableExists(blT)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       Seq(blT, boT).foreach(t =>
         GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, t)))
       val t0 = System.nanoTime()
-      Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_linestatus"),
+      graft.sources.TabularWriter.toBucketedTable(
+        Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_linestatus"),
           col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
           col("l_extendedprice"), col("l_discount"), col("l_quantity"),
-          col("l_returnflag"))
-        .write.mode("overwrite").bucketBy(buckets, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable(blT)
-      Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("l_returnflag")),
+        blT, "l_orderkey", buckets)
+      graft.sources.TabularWriter.toBucketedTable(
+        Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate"), col("o_custkey"), col("o_totalprice"),
-          col("o_orderstatus"))
-        .write.mode("overwrite").bucketBy(buckets, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable(boT)
+          col("o_orderstatus")),
+        boT, "o_orderkey", buckets)
       println(f"[probe] bucketed stage (one-time write): ${(System.nanoTime()-t0)/1e9}%.1f s")
     }
     val bl = spark.table(blT)
@@ -155,20 +159,71 @@ object ProbeBucketedJoin {
           .cast("double") / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
-    time("q12_bucketed_join")(q12(bl, bo))
-    time("q9_bucketed_join")(q9(bl, bo))
-    time("q21_bucketed")(q21(bl, bo))
-    time("q21_shipped")(SparkEntry.queries("q21_waiting_supplier")(spark, d))
-    time("q18_bucketed")(q18(bl, bo))
-    time("q18_shipped")(SparkEntry.queries("q18_large_volume")(spark, d))
-    time("q5_bucketed")(q5(bl, bo))
-    time("q5_shipped")(SparkEntry.queries("q5_local_supplier")(spark, d))
-    time("q3_bucketed")(q3(bl, bo))
-    time("q3_shipped")(SparkEntry.queries("q3_shipping_priority")(spark, d))
-    time("q10_bucketed")(q10(bl, bo))
-    time("q10_shipped")(SparkEntry.queries("q10_returned_items")(spark, d))
-    println("[probe] q12 bucketed plan (expect no Exchange):")
-    q12(bl, bo).explain()
+    // q8 over the co-located layout (round-9): the shipped q8's ONE
+    // remaining shuffle is promo-lines ⋈ ASIA-orders on the order key;
+    // with both facts bucketed the dims still broadcast-decorate and
+    // the fact join inherits the bucket distribution — zero exchanges
+    def q8(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) = {
+      val rKeys = Tables.nation(spark, d)
+        .join(broadcast(Tables.region(spark, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .select(col("n_nationkey"))
+      val asiaCust = Tables.customer(spark, d)
+        .join(broadcast(rKeys), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("c_custkey"))
+      val asiaOrders = o
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val p = Tables.part(spark, d).filter(col("p_type") === "PROMO")
+      val suppN = Tables.supplier(spark, d)
+        .join(broadcast(Tables.nation(spark, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_8").as("is_n8"))
+      val revE4 = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(((sum(when(col("is_n8"), revE4).otherwise(lit(0L)))
+            .cast(DoubleType) / 10000.0)
+          / (sum(revE4).cast(DoubleType) / 10000.0)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }
+
+    val only = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+    def want(n: String) = only.isEmpty || only.exists(n.startsWith)
+    if (want("q12")) time("q12_bucketed_join")(q12(bl, bo))
+    if (want("q9")) time("q9_bucketed_join")(q9(bl, bo))
+    if (want("q21")) {
+      time("q21_bucketed")(q21(bl, bo))
+      time("q21_shipped")(SparkEntry.queries("q21_waiting_supplier")(spark, d))
+    }
+    if (want("q18")) {
+      time("q18_bucketed")(q18(bl, bo))
+      time("q18_shipped")(SparkEntry.queries("q18_large_volume")(spark, d))
+    }
+    if (want("q5")) {
+      time("q5_bucketed")(q5(bl, bo))
+      time("q5_shipped")(SparkEntry.queries("q5_local_supplier")(spark, d))
+    }
+    if (want("q3")) {
+      time("q3_bucketed")(q3(bl, bo))
+      time("q3_shipped")(SparkEntry.queries("q3_shipping_priority")(spark, d))
+    }
+    if (want("q10")) {
+      time("q10_bucketed")(q10(bl, bo))
+      time("q10_shipped")(SparkEntry.queries("q10_returned_items")(spark, d))
+    }
+    if (want("q8")) {
+      time("q8_bucketed")(q8(bl, bo))
+      time("q8_shipped")(SparkEntry.queries("q8_market_share")(spark, d))
+      println("[probe] q8 bucketed plan (expect no Exchange below the fact join):")
+      q8(bl, bo).explain()
+    }
+    if (want("q12")) {
+      println("[probe] q12 bucketed plan (expect no Exchange):")
+      q12(bl, bo).explain()
+    }
     spark.stop()
   }
 }

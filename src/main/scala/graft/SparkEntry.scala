@@ -610,6 +610,29 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.bucketedTopKMultiProbe(emb.filter(col("id") < 16), emb, k = 5, bits = 6, probes = 3)
     },
+    "ann_recall_ivf" -> { (s, d) =>
+      // recall-GRADED ANN: the quality/speed trade the exact-shape ANN
+      // gates can't see. IVF at nprobe=4 of 8 cells (half the corpus
+      // cells scanned) must keep recall@5 ≥ 0.6 against the exact
+      // brute-force top-k over a 1-in-50 query sample (measured 0.70 at
+      // sf0.01 / 0.725 at sf0.1 — PERF.md r9). The invariant is
+      // integer-exact (hits·10 ≥ total·6, k-means training is
+      // bit-reproducible), so the oracle checks the SAME row: ok=1 plus
+      // the brute pair count it recomputes in SQL — recall below the
+      // bound flips ok to 0 and hash-fails the gate.
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(pmod(col("id"), lit(50)) === 0)
+      val brute = Ann.bruteForceTopK(q, emb, k = 5).select(col("q_id"), col("n_id"))
+      val ivf = Ivf.topK(q, emb, k = 5,
+          nClusters = 8, iters = 2, nprobe = 4, scale = 1000.0)
+        .select(col("q_id"), col("n_id"))
+      val hits = ivf.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val tot = brute.agg(count(lit(1)).as("n_brute"))
+      hits.crossJoin(broadcast(tot))
+        .select(when(col("hits") * 10 >= col("n_brute") * 6, 1L).otherwise(0L)
+          .as("recall_ok"), col("n_brute"))
+    },
     "ann_hard_negatives" -> { (s, d) =>
       // contrastive-training hard-negative mining: most-similar
       // same-bucket vectors with a DIFFERENT label
@@ -918,6 +941,17 @@ object SparkEntry {
         .select(col("user_id"),
           col("session_window.start").cast("long").as("session_start"),
           col("session_window.end").cast("long").as("session_end"), col("n"))
+    },
+
+    "sessionize_bounds_sorted" -> { (s, d) =>
+      // the sorted-kernel batch path for session bounds: one narrow
+      // (key, ts) exchange + one in-partition sort + a streaming
+      // gaps-and-islands pass — identical rows to session_window_agg
+      // (SessionizeSpec proves it) without the per-row window structs
+      // and MergingSessions machinery. x200: 5.1 → ~2 s (PERF.md r9).
+      Sessionize.sessionBoundsSorted(Tables.events(s, d),
+        col("user_id"), col("ts").cast("long"), gapSeconds = 1800L)
+        .withColumnRenamed("key", "user_id")
     },
 
     // ---- set operations (reference §2.9, superset) ---------------------
@@ -1611,6 +1645,16 @@ object SparkEntry {
       Sketches.gridQuantiles(Tables.events(s, d), col("value"),
         buckets = 256, qs = Seq(0.5, 0.9, 0.99))
     },
+    "agg_fixedstep_quantiles" -> { (s, d) =>
+      // ONE-pass quantiles on a fixed-point grid: cell(v)=floor(v/2),
+      // so occupancy is a single map-combinable scan and min/max never
+      // gates a second pass (the scale path beside the exact two-pass
+      // gridQuantiles — see Sketches scaladoc for the contract trade).
+      // step=2 is a power of two: (cell+0.5)*2 is exact binary, so the
+      // DuckDB mirror is bit-identical.
+      Sketches.fixedStepQuantiles(Tables.events(s, d), col("value"),
+        step = 2.0, qs = Seq(0.5, 0.9, 0.99))
+    },
     "sketch_cms_heavy_hitters" -> { (s, d) =>
       // count-min-sketch frequent terms: 3x512 counters of bounded state
       // regardless of corpus size; heavy = estimate >= 1/200 of all
@@ -1962,6 +2006,37 @@ object SparkEntry {
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("b_qty_cents"))
         .filter(col("b_qty_cents") > 150L * 100)
         .select(col("b_orderkey"), col("b_qty_cents"))
+    },
+    "agg_bucketed_sortstream" -> { (s, d) =>
+      // the STREAMING upgrade of agg_bucketed_pergroup: lineitem
+      // bucketed AND sorted on l_orderkey at write time, one file per
+      // bucket (TabularWriter.toBucketedTable sorted=true), so the
+      // per-order rollup plans as a complete-mode SortAggregate
+      // straight over the scan — no exchange, no sort, and ONE group's
+      // state at a time instead of a groups-sized hash table (the
+      // reference's streaming per-shard reduction,
+      // embedding/sharding.py:186-195). PlanShapeSpec asserts
+      // SortAggregate + zero Exchange; x200: 2.4→1.6 s (PERF.md r9).
+      s.table(GateFixtures.bucketedLineitemSorted(s, d))
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("b_qty_cents"))
+        .filter(col("b_qty_cents") > 150L * 100)
+        .select(col("b_orderkey"), col("b_qty_cents"))
+    },
+    "layout_advisor_agg" -> { (s, d) =>
+      // layout selection as product, not hand-staging: the
+      // LayoutAdvisor derives (lineitem, l_orderkey, pruned columns,
+      // buckets) from a two-query corpus and stages it itself
+      // (GateFixtures.advisorLineitem); this per-order revenue rollup
+      // then reads ONLY advisor-carried columns off the advised table
+      // — a column outside the advice would fail analysis loudly, the
+      // enforced form of r8's "carry only what the query class needs".
+      // PlanShapeSpec asserts the streaming exchange-free plan.
+      s.table(GateFixtures.advisorLineitem(s, d))
+        .groupBy(col("l_orderkey").as("a_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("a_price_cents"))
+        .filter(col("a_price_cents") > 30000L * 100)
+        .select(col("a_orderkey"), col("a_price_cents"))
     },
     "join_bucketed_fact" -> { (s, d) =>
       // co-located FACT⋈FACT join (q9/q12's named blocker was the
@@ -2679,6 +2754,14 @@ object SparkEntry {
          |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 16)
          |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    "ann_recall_ivf" ->
+      s"""WITH ${OracleFragments.vectorCtes},
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${OracleFragments.cosineSql("q", "c")} AS cosine
+         |  FROM nv q JOIN nv c ON c.vec_id != q.vec_id WHERE q.vec_id % 50 = 0),
+         |topk AS (${OracleFragments.annTopkSelectSql(5)})
+         |SELECT CAST(1 AS BIGINT) AS recall_ok,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS n_brute""".stripMargin,
     "ann_hard_negatives" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |bkt AS (SELECT nv.vec_id, v, nrm, emb.label,
@@ -3003,6 +3086,20 @@ object SparkEntry {
         |SELECT user_id, MIN(tsec) AS session_start, MAX(tsec) + 1800 AS session_end,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    "sessionize_bounds_sorted" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
+        |s AS (SELECT user_id, event_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |g AS (SELECT user_id, tsec,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s)
+        |SELECT user_id, MIN(tsec) AS session_start, MAX(tsec) + 1800 AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g GROUP BY user_id, sess""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |  CAST(floor(epoch_ms(ts)/1000) AS BIGINT) AS tsec FROM events),
@@ -3213,6 +3310,19 @@ object SparkEntry {
          |FROM k""".stripMargin,
     // grid math mirrored term-for-term: same bucket expression, same
     // ceil(q*n) target rank, same midpoint read-out
+    "agg_fixedstep_quantiles" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT CAST(floor(v / 2.0) AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1),
+        |n AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n FROM c),
+        |cum AS (SELECT a.cell, SUM(x.c) AS cum FROM c a JOIN c x ON x.cell <= a.cell
+        |  GROUP BY a.cell),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |t AS (SELECT q, n, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS tgt FROM qs, n),
+        |m AS (SELECT t.q, t.n, min(cum.cell) AS mc
+        |  FROM t JOIN cum ON cum.cum >= t.tgt GROUP BY t.q, t.n)
+        |SELECT q, round((CAST(mc AS DOUBLE) + 0.5) * 2.0, 9) AS fixed_quantile, n
+        |FROM m""".stripMargin,
     "agg_grid_quantiles" ->
       """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
         |mm AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n FROM v),
@@ -3651,6 +3761,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "agg_bucketed_pergroup" ->
+      """SELECT l_orderkey AS b_orderkey,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS b_qty_cents
+        |FROM lineitem GROUP BY 1 HAVING b_qty_cents > 15000""".stripMargin,
+    "layout_advisor_agg" ->
+      """SELECT l_orderkey AS a_orderkey,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS a_price_cents
+        |FROM lineitem GROUP BY 1 HAVING a_price_cents > 3000000""".stripMargin,
+    "agg_bucketed_sortstream" ->
       """SELECT l_orderkey AS b_orderkey,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS b_qty_cents
         |FROM lineitem GROUP BY 1 HAVING b_qty_cents > 15000""".stripMargin,

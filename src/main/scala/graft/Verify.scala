@@ -11,11 +11,22 @@ object Verify {
     * outputTimestampType=TIMESTAMP_MICROS writes for TimestampType)
     * hash-mismatches on the tz attribute alone. Casting LTZ→NTZ under
     * the UTC session zone is value-identical. */
-  def naiveTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+  def naiveTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    // recurse into containers: a TimestampType nested in an
+    // array/struct/map would otherwise land tz-adjusted
+    // (isAdjustedToUTC=true) and hash-mismatch the driver's naive read
+    def swap(dt: DataType): DataType = dt match {
+      case TimestampType => TimestampNTZType
+      case ArrayType(e, n) => ArrayType(swap(e), n)
+      case StructType(fs) => StructType(fs.map(f => f.copy(dataType = swap(f.dataType))))
+      case MapType(k, v, n) => MapType(swap(k), swap(v), n)
+      case other => other
+    }
+    df.schema.fields.filter(f => swap(f.dataType) != f.dataType)
       .foldLeft(df)((d, f) => d.withColumn(f.name,
-        org.apache.spark.sql.functions.col(f.name)
-          .cast(org.apache.spark.sql.types.TimestampNTZType)))
+        org.apache.spark.sql.functions.col(f.name).cast(swap(f.dataType))))
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: Verify <sfDir> <outDir>")

@@ -142,7 +142,13 @@ object Sketches {
     * grid has `buckets` groups); the cumulative sum runs on the
     * bucket×bucket triangle join (≤ buckets² tiny integer rows) rather
     * than a single-partition window, so nothing in the plan is
-    * unpartitioned. Returns one row per q: (q, grid_quantile, n). */
+    * unpartitioned. The two passes are SERIAL by contract — the
+    * range-relative cell function needs global min/max before any row
+    * can be bucketed — and that is this function's documented cost
+    * (2× scan wall time); when one data pass matters more than
+    * range-relative error, use [[fixedStepQuantiles]], which trades a
+    * caller-fixed absolute error bound for a single pass. Returns one
+    * row per q: (q, grid_quantile, n). */
   def gridQuantiles(df: DataFrame, value: Column, buckets: Int,
       qs: Seq[Double]): DataFrame = {
     require(buckets > 1 && qs.nonEmpty,
@@ -172,6 +178,71 @@ object Sketches {
       .select(col("q"),
         round(col("lo") + (col("mb").cast("double") + 0.5) *
           ((col("hi") - col("lo")) / buckets), 9).as("grid_quantile"),
+        col("n"))
+  }
+
+  /** ONE-pass fixed-step quantiles — the scale path beside
+    * [[gridQuantiles]]. gridQuantiles' grid is RANGE-relative (cells of
+    * (max-min)/buckets), which is what forces its exact two-pass shape:
+    * the bucket function depends on global min/max, so one full scan
+    * must finish before the other starts (both map-combinable and
+    * sound at scale, but serial — the documented cost of the
+    * range-relative contract). This variant fixes the cell function
+    * up front — cell(v) = floor(v / step) for a caller-chosen
+    * fixed-point `step` — so occupancy is a SINGLE map-combinable pass
+    * over the data; everything after (cumulative via the cell×cell
+    * triangle join, total row count as a sum over cells) runs on ≤
+    * #occupied-cells rows, not data. Read-out: midpoint (cell+0.5)·step
+    * of the first cell whose cumulative count reaches ceil(q·n).
+    *
+    * Contract trade: absolute error ≤ step/2 (data-independent),
+    * instead of gridQuantiles' range-relative cell; the occupied-cell
+    * count is spread/step, so `step` is sized to the domain the way
+    * `buckets` sizes the grid — same state bound, half the scans.
+    * Deterministic integer/binary arithmetic end-to-end (floor of an
+    * IEEE division, integer counts): any engine mirroring it is
+    * bit-identical, which is what the DuckDB gate checks. Returns one
+    * row per q: (q, fixed_quantile, n); empty input emits NULL
+    * quantile with n = 0, mirroring gridQuantiles. */
+  def fixedStepQuantiles(df: DataFrame, value: Column, step: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(step > 0 && java.lang.Double.isFinite(step),
+      s"fixedStepQuantiles: step must be positive and finite, got $step")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"fixedStepQuantiles: every q must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // finite-domain filter (drops NULL, NaN, ±Inf — a NaN would
+    // otherwise CAST to cell 0 under non-ANSI semantics and silently
+    // poison the histogram); the explicit isnotnull(cell) is a
+    // semantic no-op that keeps all three references to `cells` below
+    // canonically IDENTICAL — the triangle join infers isnotnull on
+    // its keys, and without the filter present everywhere the total-
+    // count subtree would differ and AQE stage reuse could not collapse
+    // the three scans into the one pass this function promises
+    val v = df.select(value.cast("double").as("v"))
+      .where(col("v") > lit(Double.NegativeInfinity) &&
+        col("v") < lit(Double.PositiveInfinity))
+    val cells = v.select(floor(col("v") / step).cast("long").as("cell"))
+      .where(col("cell").isNotNull)
+      .groupBy("cell").agg(count(lit(1)).as("c"))
+    val tot = cells.agg(coalesce(sum("c"), lit(0L)).as("n"))
+    // a.c rides along as a grouping key (same cardinality — cell is
+    // unique in the histogram) so column pruning can NOT reduce the
+    // `a` side to a distinct-only subtree: all three `cells`
+    // references stay canonically identical and AQE stage reuse
+    // computes the scan + histogram exchange exactly once
+    val cum = cells.as("a").join(cells.as("x"), col("x.cell") <= col("a.cell"))
+      .groupBy(col("a.cell").as("cell"), col("a.c").as("ac"))
+      .agg(sum(col("x.c")).as("cum"))
+      .select(col("cell"), col("cum"))
+    val targets = qs.toDF("q").crossJoin(broadcast(tot))
+      .select(col("q"), col("n"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("tgt"))
+    targets.join(cum, col("cum") >= col("tgt"), "left")
+      .groupBy(col("q"), col("n")).agg(min(col("cell")).as("mc"))
+      .select(col("q"),
+        round((col("mc").cast("double") + 0.5) * step, 9).as("fixed_quantile"),
         col("n"))
   }
 

@@ -980,10 +980,15 @@ object VecUtil {
     * (see [[graft.functions.WebFunctions.hostCols]]): userinfo = up to
     * the LAST '@' of the authority, bracketed IPv6 unwrapped to the
     * first ']', else a trailing ':' + digits-only port dropped. ""
-    * when no scheme-anchored authority exists. Contract: inputs are
-    * free of Unicode line-terminator code points (the regex forms'
-    * '.'-excludes-terminators subtlety; real URLs cannot contain raw
-    * terminators) — fuzzed bit-identical in EquivalenceSpec. */
+    * when no scheme-anchored authority exists. Canonical-semantics
+    * note: the byte scan treats raw line terminators (\n \r
+    *  ) as ORDINARY bytes — dirty crawl input like "u\n@h.com"
+    * still strips its userinfo — and this deliberately diverges from
+    * the Java-regex Column forms (kept only for the equivalence spec),
+    * whose '.' and '$' stop at terminators and would pass such input
+    * through unstripped. The kernel is the engine's defined semantics;
+    * EquivalenceSpec fuzzes bit-identity on terminator-free input and
+    * pins the terminator divergence with fixed golden cases. */
   def urlHost(s: UTF8String): UTF8String = {
     val b = s.getBytes
     val end = schemeAuthEnd(b, b.length)
@@ -1099,10 +1104,14 @@ object VecUtil {
   }
 
   /** CSV of micro-scaled ints from a float/double array — the driver
-    * gate serialization (`numCsv`). Null elements are skipped exactly
+    * gate serialization (`numCsv`). Null ELEMENTS are skipped exactly
     * like `concat_ws` / DuckDB `array_to_string` skip NULLs, so this
     * kernel is drop-in bit-identical to the interpreted
-    * `transform + concat_ws` plan it replaces (EquivalenceSpec). */
+    * `transform + concat_ws` plan it replaces (EquivalenceSpec) on
+    * non-null arrays. A NULL top-level ARRAY deliberately diverges:
+    * the expression is null-intolerant (NULL in → NULL out, DuckDB's
+    * array_to_string(NULL) semantics), where concat_ws would yield ''
+    * — asserted in EquivalenceSpec's null-array case. */
   def microCsv(a: ArrayData, isFloat: Boolean): UTF8String = {
     val n = a.numElements()
     val sb = new java.lang.StringBuilder(n * 8)

@@ -26,4 +26,63 @@ object Sessionize {
     df.withColumn("__sess", sessionIndex(key, tsSeconds, ord, gapSeconds))
       .groupBy(key.as("key"))
       .agg((max(col("__sess")) + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+
+  /** Session bounds via the sorted-scan kernel — the batch scale path
+    * beside Spark's native `session_window` aggregate (which stays the
+    * streaming-unified form). Same plan shape as gaucPerGroupSorted
+    * (Metrics.scala): hash-partition by key, ONE in-partition sort by
+    * (key, ts), then a streaming pass that closes a session when the
+    * key changes or the gap is exceeded — no per-row window structs,
+    * no MergingSessions machinery, O(1) state per open session.
+    * Gap-INCLUSIVE like session_window: an event exactly `gapSeconds`
+    * after the previous one still merges (new session iff diff > gap).
+    * Emits (key, session_start, session_end = last + gap, n); null
+    * keys/timestamps are dropped, matching session_window's
+    * null-filtered aggregate. SessionizeSpec proves it row-identical
+    * to the session_window plan; x200: 5.1 → ~2 s (PERF.md round-9).
+    */
+  def sessionBoundsSorted(df: DataFrame, key: Column, tsSeconds: Column,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"sessionBoundsSorted: gap must be positive, got $gapSeconds")
+    val base = df.select(key.cast("long").as("k"), tsSeconds.cast("long").as("t"))
+      .where(col("k").isNotNull && col("t").isNotNull)
+    implicit val inEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    implicit val outEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    base.as[(Long, Long)](inEnc)
+      .repartition(col("k")) // a key's sessions live in exactly one partition
+      .sortWithinPartitions(col("k"), col("t"))
+      .mapPartitions { iter =>
+        // incremental emission, one tuple per CLOSED session — never a
+        // partition-wide buffer (same discipline as gaucPerGroupSorted)
+        new scala.collection.AbstractIterator[(Long, Long, Long, Long)] {
+          private val in = iter.buffered
+          private var out: (Long, Long, Long, Long) = _
+          private var ready = false
+          private def advance(): Unit = {
+            ready = false
+            if (in.hasNext) {
+              val (k, t0) = in.next()
+              val start = t0; var last = t0; var n = 1L
+              var open = true
+              while (open && in.hasNext && in.head._1 == k) {
+                val t = in.head._2
+                if (t - last > gapSeconds) open = false
+                else { in.next(); last = t; n += 1 }
+              }
+              out = (k, start, last + gapSeconds, n)
+              ready = true
+            }
+          }
+          advance()
+          override def hasNext: Boolean = ready
+          override def next(): (Long, Long, Long, Long) = {
+            val r = out; advance(); r
+          }
+        }
+      }(outEnc)
+      .toDF("key", "session_start", "session_end", "n")
+  }
 }

@@ -48,7 +48,23 @@ object TabularWriter {
   def toBucketedTable(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
     require(buckets > 0, s"toBucketedTable: buckets must be positive, got $buckets")
-    val w = df.write.mode("overwrite").bucketBy(buckets, key)
+    // sorted layout: pre-repartition on the key into exactly `buckets`
+    // partitions (the writer-side murmur3 mapping is identical to the
+    // bucket-id function), so every bucket lands as ONE sorted file.
+    // Spark only trusts — and only REPORTS — a bucketed table's sort
+    // order when each bucket is a single file; with that proven, a
+    // per-key aggregate can plan as a streaming SortAggregate holding
+    // one group's state at a time instead of a groups-sized hash table
+    // (PERF.md round-9: the x200 per-order rollup drops 2.4→1.6 s on
+    // the identical layout; requires the two confs GraftSession sets —
+    // legacy.bucketedTableScan.outputOrdering + replaceHashWithSortAgg).
+    // Scan parallelism is unchanged (bucketed scans are one task per
+    // bucket regardless of file count); size `buckets` so one bucket's
+    // rows fit a task, exactly like the reference's id-partitioned
+    // embedding shards (embedding/sharding.py:168-205).
+    import org.apache.spark.sql.functions.col
+    val src = if (sorted) df.repartition(buckets, col(key)) else df
+    val w = src.write.mode("overwrite").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 

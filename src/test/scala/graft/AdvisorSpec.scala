@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.LayoutAdvisor
+
+/** LayoutAdvisor: derives write-time bucketed layouts from a query
+  * corpus (table + key from the plans' per-key operators, column set
+  * from Catalyst's pruning, buckets from on-disk bytes). */
+class AdvisorSpec extends GraftSpec {
+
+  test("advise: picks the hottest key per table and the pruned column union") {
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    val corpus = Seq(
+      // two aggregates on l_orderkey, one join hitting it again (and
+      // o_orderkey once) — l_orderkey must win for lineitem
+      li.groupBy(col("l_orderkey")).agg(sum(col("l_extendedprice")).as("p")),
+      li.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q")),
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")),
+      // a lone competing key on lineitem — outvoted
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n")))
+    val specs = LayoutAdvisor.advise(corpus)
+    val liSpec = specs.find(_.table == "lineitem").get
+    assert(liSpec.key === "l_orderkey")
+    // 2 groupBy hits + 1 join-side hit; l_partkey's single hit is outvoted
+    assert(liSpec.hits === 3)
+    // the column union spans ALL queries that read lineitem, so the
+    // losing query class still runs (just without the layout win)
+    assert(Set("l_orderkey", "l_extendedprice", "l_quantity", "l_partkey")
+      .subsetOf(liSpec.columns.toSet))
+    // lineitem (3 hits) ranks above orders (1)
+    assert(specs.head.table === "lineitem")
+  }
+
+  test("advise: hit counting, pruning enforcement, and bucket sizing") {
+    val li = Tables.lineitem(spark, sf)
+    val corpus = Seq(
+      li.groupBy(col("l_orderkey")).agg(sum(col("l_extendedprice")).as("p")))
+    val specs = LayoutAdvisor.advise(corpus)
+    assert(specs.size === 1)
+    val s0 = specs.head
+    assert(s0.table === "lineitem" && s0.key === "l_orderkey" && s0.hits === 1)
+    // Catalyst pruned the scan to exactly the two referenced columns —
+    // the advice carries them and NOTHING else
+    assert(s0.columns.toSet === Set("l_orderkey", "l_extendedprice"))
+    assert(s0.columns.head === "l_orderkey")
+    // tiny table floors at 8 buckets
+    assert(s0.buckets === 8)
+    // staged layout: reading an advised column works, a dropped one
+    // fails loudly (the enforcement half of "carry only what the
+    // query class needs")
+    spark.sql("DROP TABLE IF EXISTS adv_spec_li")
+    try {
+      LayoutAdvisor.stage(spark, s0, "adv_spec_li")
+      val t = spark.table("adv_spec_li")
+      assert(t.columns.toSet === Set("l_orderkey", "l_extendedprice"))
+      val cents = sum(round(col("l_extendedprice") * 100).cast("long")).as("c")
+      val got = t.groupBy("l_orderkey").agg(cents)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortAggregate"), plan)
+      val want = li.groupBy("l_orderkey").agg(cents)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === want.toSeq)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.table("adv_spec_li").select(col("l_quantity")).collect()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS adv_spec_li")
+  }
+
+  test("bucketsFor: scales with bytes, floors at 8, caps at 4096") {
+    assert(LayoutAdvisor.bucketsFor(0L, 1L << 30) === 8)
+    assert(LayoutAdvisor.bucketsFor(100L << 30, 1L << 30) === 100)
+    assert(LayoutAdvisor.bucketsFor(100L << 40, 1L << 30) === 4096)
+  }
+}

@@ -45,14 +45,42 @@ class BucketingSpec extends GraftSpec {
     try {
       val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
       TabularWriter.toBucketedTable(li, "tb_lineitem", "l_orderkey", buckets = 4)
-      val agg = spark.table("tb_lineitem").groupBy("l_orderkey")
-        .agg(sum(col("l_quantity")).as("s"))
+      // exact integer cents on both sides: the two plans aggregate in
+      // different orders, so a raw double sum would only compare equal
+      // while the fixture values stay integral
+      val cents = sum(round(col("l_quantity") * 100).cast("long")).as("s")
+      val agg = spark.table("tb_lineitem").groupBy("l_orderkey").agg(cents)
       val plan = agg.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed aggregate should not shuffle:\n$plan")
-      val got = agg.orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getDouble(1)))
-      val want = li.groupBy("l_orderkey").agg(sum(col("l_quantity")).as("s"))
-        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = agg.orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = li.groupBy("l_orderkey").agg(cents)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(got.toSeq === want.toSeq)
     } finally spark.sql("DROP TABLE IF EXISTS tb_lineitem")
+  }
+
+  test("toBucketedTable(sorted): per-key aggregate STREAMS — SortAggregate, no Exchange, no Sort") {
+    import graft.sources.TabularWriter
+    spark.sql("DROP TABLE IF EXISTS ts_lineitem")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      TabularWriter.toBucketedTable(li, "ts_lineitem", "l_orderkey", buckets = 4, sorted = true)
+      // one file per bucket — the precondition for the scan to report
+      // (and Spark to trust) the per-bucket sort order
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED ts_lineitem").collect()
+        .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+      val files = new java.io.File(loc).listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 4, s"expected one file per bucket, got ${files.map(_.getName).toSeq}")
+      val cents = sum(round(col("l_quantity") * 100).cast("long")).as("s")
+      val agg = spark.table("ts_lineitem").groupBy("l_orderkey").agg(cents)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("SortAggregate"), s"expected streaming SortAggregate:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed aggregate should not shuffle:\n$plan")
+      assert(!plan.contains("+- Sort "), s"scan order should carry the aggregate, no sort:\n$plan")
+      val got = agg.orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = li.groupBy("l_orderkey").agg(cents)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq === want.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS ts_lineitem")
   }
 }

@@ -326,6 +326,18 @@ class EquivalenceSpec extends GraftSpec {
     // int arrays take the elemKind=1 kernel branch
     val fuzzI = (1 to 500).map(_ => (0 until rnd.nextInt(5)).map(_ => rnd.nextInt())).toDF("is")
     assert(fuzzI.filter(raw_csv(col("is")) =!= rawHof(col("is"))).count() === 0L)
+    // NULL top-level array: the kernels are null-intolerant (NULL in →
+    // NULL out, DuckDB array_to_string(NULL) semantics) and DELIBERATELY
+    // diverge from concat_ws, which skips the NULL arg and yields '' —
+    // pin both sides of that contract so a silent change either way fails
+    val nulls = Seq((Option.empty[Seq[Double]], Option.empty[Seq[String]]),
+      (Some(Seq(1.5, -2.0)), Some(Seq("a", "b")))).toDF("da", "sa")
+    assert(nulls.filter(col("da").isNull)
+      .filter(micro_csv(col("da")).isNotNull || raw_csv(col("sa")).isNotNull)
+      .count() === 0L, "kernels must return NULL for a NULL array")
+    assert(nulls.filter(col("da").isNull)
+      .filter(microHof(col("da")) =!= lit("") || rawHof(col("sa")) =!= lit(""))
+      .count() === 0L, "concat_ws forms yield '' for a NULL array (the documented divergence)")
   }
 
   test("native url_host / url_normalize kernels equal the regexp-Column forms") {
@@ -368,6 +380,22 @@ class EquivalenceSpec extends GraftSpec {
     val r = Seq[Option[String]](None).toDF("url")
       .select(WebFunctions.host(col("url")), WebFunctions.normalizeUrl(col("url"))).head
     assert(r.isNullAt(0) && r.isNullAt(1))
+    // raw line terminators: the KERNEL is the canonical semantics —
+    // terminators are ordinary bytes, so dirty crawl input still gets
+    // its userinfo/port/fragment handling — while the Java-regex forms'
+    // '.'/'$' stop at terminators and pass such input through. Golden
+    // cases pin the kernel's outputs (and hence the divergence) so a
+    // silent change in either direction fails here.
+    val dirty = Seq(
+      ("http://u\n@H.com:80/x", "h.com", "http://u\n@h.com/x"),
+      ("http://A.com/p#f\ng", "a.com", "http://a.com/p"),
+      ("http://B.com:80 /y", "b.com:80 ", "http://b.com:80 /y"),
+      ("http://C.com\r/z?q=\rQ", "c.com\r", "http://c.com\r/z?q=\rQ"))
+      .toDF("url", "wantHost", "wantNorm")
+    val badDirty = dirty.filter(
+      WebFunctions.host(col("url")) =!= col("wantHost")
+        || WebFunctions.normalizeUrl(col("url")) =!= col("wantNorm")).collect()
+    assert(badDirty.isEmpty, s"terminator golden-case drift: ${badDirty.mkString(", ")}")
   }
 
   test("accuracy via expression equals direct computation on events") {

@@ -211,6 +211,35 @@ class LlmPrepSpec extends GraftSpec {
     }
   }
 
+  test("fixedStepQuantiles: one-pass, within step/2 of exact; empty input; bad args") {
+    val ev = Tables.events(spark, sf)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val step = 2.0
+    val out = Sketches.fixedStepQuantiles(ev, col("value"), step, qs)
+    val est = out.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // single data pass at RUNTIME: the three references to the cell
+    // histogram are kept canonically identical (see the function's
+    // comments), so AQE stage reuse executes the scan + histogram
+    // exchange once and the final plan shows the others as
+    // ReusedExchange — the initial-plan section naturally shows all 3
+    val finalPlan = out.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size === 1, finalPlan.take(3000))
+    assert("ReusedExchange".r.findAllIn(finalPlan).size === 2, finalPlan.take(3000))
+    val exact = ev.stat.approxQuantile("value", qs.toArray, 0.0)
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= step / 2 + 1e-9, s"q=$q exact=$ex est=${est(q)}")
+    }
+    val empty = Sketches.fixedStepQuantiles(ev.filter(lit(false)), col("value"), step, Seq(0.5))
+      .collect()
+    assert(empty.length === 1 && empty.head.isNullAt(1) && empty.head.getLong(2) === 0L)
+    intercept[IllegalArgumentException] {
+      Sketches.fixedStepQuantiles(ev, col("value"), step = 0.0, qs = Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.fixedStepQuantiles(ev, col("value"), step, qs = Seq(0.0))
+    }
+  }
+
   test("kmvDistinctPerGroup: every group estimate within the KMV envelope") {
     val ev = Tables.events(spark, sf)
     val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
