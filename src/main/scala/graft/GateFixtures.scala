@@ -82,6 +82,42 @@ private[graft] object GateFixtures {
       graft.plans.LayoutAdvisor.stage(s, top, name)
     }
 
+  /** Advisor-produced PAIR: advise() over a corpus whose join connects
+    * lineitem and orders on the order key, then stage BOTH specs —
+    * the bucket counts are aligned by the advisor's join-alignment
+    * class (AdvisorSpec), so the co-located join plans exchange-free.
+    * Returns (lineitemTable, ordersTable). */
+  def advisorPair(s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // the advice itself is cheap driver-side plan analysis — recomputed
+    // per staging closure; each TABLE goes through its own
+    // bucketedTable call so each gets the exists-check AND the stale
+    // warehouse-location cleanup (the warehouse dir outlives the JVM;
+    // staging both tables inside one closure left the second one's
+    // location undeleted in a fresh JVM → LOCATION_ALREADY_EXISTS)
+    def specs = {
+      val li = Tables.lineitem(s, d)
+      val corpus = Seq(
+        li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n")))
+      val ss = graft.plans.LayoutAdvisor.advise(corpus)
+      val liSpec = ss.find(_.table == "lineitem").get
+      val orSpec = ss.find(_.table == "orders").get
+      require(liSpec.key == "l_orderkey" && orSpec.key == "o_orderkey" &&
+        liSpec.buckets == orSpec.buckets,
+        s"advisor pair misaligned: $liSpec / $orSpec")
+      (liSpec, orSpec)
+    }
+    val lt = bucketedTable(s, d, "advp_lineitem") { name =>
+      graft.plans.LayoutAdvisor.stage(s, specs._1, name)
+    }
+    val ot = bucketedTable(s, d, "advp_orders") { name =>
+      graft.plans.LayoutAdvisor.stage(s, specs._2, name)
+    }
+    (lt, ot)
+  }
+
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedTable(s, d, "bf_orders") { name =>
       import org.apache.spark.sql.functions.col

@@ -2038,6 +2038,20 @@ object SparkEntry {
         .filter(col("a_price_cents") > 30000L * 100)
         .select(col("a_orderkey"), col("a_price_cents"))
     },
+    "layout_advisor_join" -> { (s, d) =>
+      // the advisor's JOIN-alignment productized end-to-end: both fact
+      // tables staged by LayoutAdvisor from one corpus, bucket counts
+      // aligned by its union-find class (lineitem's size-derived count
+      // would otherwise differ from orders' and silently re-shuffle a
+      // side), so the co-located per-priority rollup joins with no
+      // exchange below the join (PlanShapeSpec).
+      val (lt, ot) = GateFixtures.advisorPair(s, d)
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
     "join_bucketed_fact" -> { (s, d) =>
       // co-located FACT⋈FACT join (q9/q12's named blocker was the
       // orderkey exchange of BOTH sides — ProbeRel measured blooms and
@@ -3768,6 +3782,12 @@ object SparkEntry {
       """SELECT l_orderkey AS a_orderkey,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS a_price_cents
         |FROM lineitem GROUP BY 1 HAVING a_price_cents > 3000000""".stripMargin,
+    "layout_advisor_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_bucketed_sortstream" ->
       """SELECT l_orderkey AS b_orderkey,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS b_qty_cents

@@ -70,13 +70,24 @@ object LayoutAdvisor {
     * any per-key operator reads, ranked by hits (ties broken by table
     * name for determinism). Tables whose best key carries fewer than
     * `minHits` operators are dropped — a one-off key does not pay for
-    * a write-time shuffle of the whole table. */
+    * a write-time shuffle of the whole table.
+    *
+    * Join alignment: a co-located join only stays exchange-free when
+    * BOTH sides share the bucket count, so tables whose chosen keys
+    * meet in an equi-join are placed in one alignment class and all
+    * get the class MAXIMUM of their size-derived counts (the bigger
+    * table's count; re-bucketing the smaller side is cheap relative to
+    * shuffling the big one per query). Without this, lineitem at 4× the
+    * bytes of orders would get 4× the buckets and the order-key join
+    * would silently re-shuffle one side at every query. */
   def advise(corpus: Seq[DataFrame], targetBucketBytes: Long = 1L << 30,
       minHits: Int = 1): Seq[LayoutSpec] = {
     require(corpus.nonEmpty, "LayoutAdvisor.advise: empty corpus")
     // (path, keyColumn) -> hit count; path -> (bytes, union of pruned columns)
     val hits = scala.collection.mutable.Map.empty[(String, String), Int]
     val tables = scala.collection.mutable.Map.empty[String, (Long, Set[String])]
+    // equi-join edges between (path, column) pairs, for bucket alignment
+    val joinEdges = scala.collection.mutable.Set.empty[((String, String), (String, String))]
     corpus.foreach { df =>
       val plan = df.queryExecution.optimizedPlan
       // attributes referenced by ANY operator in the plan — the v1
@@ -112,21 +123,49 @@ object LayoutAdvisor {
           }
         case j: Join =>
           j.condition.toSeq.flatMap(conjuncts).foreach {
-            case EqualTo(l: AttributeReference, r: AttributeReference) => hit(l); hit(r)
+            case EqualTo(l: AttributeReference, r: AttributeReference) =>
+              hit(l); hit(r)
+              for (lp <- byId.get(l.exprId.id); rp <- byId.get(r.exprId.id))
+                if (lp != rp) joinEdges += (if (lp.toString < rp.toString) (lp, rp) else (rp, lp))
             case _ =>
           }
         case _ =>
       }
     }
-    hits.groupBy(_._1._1).toSeq.flatMap { case (path, keyed) =>
-      val ((_, key), n) = keyed.maxBy { case ((_, k), c) => (c, k) }
-      val (bytes, cols) = tables(path)
-      if (n < minHits) None
-      else Some(LayoutSpec(path, tableName(path), key,
-        bucketsFor(bytes, targetBucketBytes),
+    // per-table key choice: most hits wins; ties prefer a key that
+    // participates in an equi-join (co-location pays on the join AND
+    // every downstream per-key agg, where a tied agg-only key pays
+    // once), then name for determinism
+    val joinKeyset: Set[(String, String)] =
+      joinEdges.flatMap(e => Seq(e._1, e._2)).toSet
+    val chosen = hits.groupBy(_._1._1).toSeq.flatMap { case (path, keyed) =>
+      val ((_, key), n) = keyed.maxBy { case ((p, k), c) => (c, joinKeyset((p, k)), k) }
+      if (n < minHits) None else Some((path, key, n))
+    }
+    // alignment classes: union-find over join edges between CHOSEN
+    // (path, key) pairs; every class member gets the class max buckets
+    val parent = scala.collection.mutable.Map.empty[(String, String), (String, String)]
+    def find(x: (String, String)): (String, String) = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val chosenSet = chosen.map(c => (c._1, c._2)).toSet
+    joinEdges.foreach { case (a, b) =>
+      if (chosenSet(a) && chosenSet(b)) parent(find(a)) = find(b)
+    }
+    val ownBuckets = chosen.map { case (path, key, _) =>
+      (path, key) -> bucketsFor(tables(path)._1, targetBucketBytes)
+    }.toMap
+    val classMax = ownBuckets.keys.groupBy(find).map { case (root, members) =>
+      root -> members.map(ownBuckets).max
+    }
+    chosen.map { case (path, key, n) =>
+      val (_, cols) = tables(path)
+      LayoutSpec(path, tableName(path), key,
+        classMax(find((path, key))),
         // key first, then the rest of the observed pruned union in
         // stable order
-        (key +: cols.toSeq.filter(_ != key).sorted).distinct, n))
+        (key +: cols.toSeq.filter(_ != key).sorted).distinct, n)
     }.sortBy(s => (-s.hits, s.table))
   }
 

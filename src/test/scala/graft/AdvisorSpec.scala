@@ -70,6 +70,41 @@ class AdvisorSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS adv_spec_li")
   }
 
+  test("advise: join-connected tables get ALIGNED bucket counts (class max)") {
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    // a tiny target makes the size-derived counts differ (lineitem is
+    // ~3x orders' bytes), so alignment is actually observable
+    val tgt = 4096L
+    val liAlone = LayoutAdvisor.advise(
+      Seq(li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))), tgt).head.buckets
+    val orAlone = LayoutAdvisor.advise(
+      Seq(or.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))), tgt).head.buckets
+    assert(liAlone > orAlone, s"precondition: sizes must differ ($liAlone vs $orAlone)")
+    val specs = LayoutAdvisor.advise(Seq(
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))), tgt)
+    val liS = specs.find(_.table == "lineitem").get
+    val orS = specs.find(_.table == "orders").get
+    assert(liS.key === "l_orderkey" && orS.key === "o_orderkey")
+    // both sides carry the class max — the co-located join stays
+    // exchange-free instead of silently re-shuffling the small side
+    assert(liS.buckets === liAlone && orS.buckets === liAlone)
+  }
+
+  test("advise: hit ties prefer the join-participating key") {
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    // orders gets ONE agg hit on o_orderpriority and ONE join hit on
+    // o_orderkey — the join key must win the tie (co-location pays on
+    // the join and every downstream per-key agg; lexicographic order
+    // would pick o_orderpriority)
+    val specs = LayoutAdvisor.advise(Seq(
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))))
+    assert(specs.find(_.table == "orders").get.key === "o_orderkey")
+  }
+
   test("bucketsFor: scales with bytes, floors at 8, caps at 4096") {
     assert(LayoutAdvisor.bucketsFor(0L, 1L << 30) === 8)
     assert(LayoutAdvisor.bucketsFor(100L << 30, 1L << 30) === 100)

@@ -156,6 +156,23 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("Bucketed: true"), p.take(3000))
   }
 
+  test("advisor-aligned PAIR: co-located join plans no exchange below the join") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast to pin the co-located shape (spec-scale
+      // orders would otherwise broadcast — same discipline as
+      // join_bucketed_fact)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("layout_advisor_join")
+      val joinIdx = p.indexOf("Join")
+      assert(joinIdx >= 0, p.take(3000))
+      assert(!p.substring(joinIdx).contains("Exchange"),
+        s"expected no exchange below the advisor-aligned join:\n${p.take(3000)}")
+      assert("Bucketed: true".r.findAllIn(p).size >= 2, p.take(3000))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed fact-fact join plans NO shuffle exchange on either side") {
     // at spec scale the orders side auto-broadcasts (also exchange-free
     // in the shuffle sense, and the right tiny-data plan); disable
