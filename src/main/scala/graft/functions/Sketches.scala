@@ -201,7 +201,12 @@ object Sketches {
     * `buckets` sizes the grid — same state bound, half the scans.
     * Deterministic integer/binary arithmetic end-to-end (floor of an
     * IEEE division, integer counts): any engine mirroring it is
-    * bit-identical, which is what the DuckDB gate checks. Returns one
+    * bit-identical, which is what the DuckDB gate checks. Contract:
+    * size `step` so |v|/step < 2^63 for the data domain — a cell index
+    * beyond long range would saturate under Spark's non-ANSI cast
+    * where a strict engine (DuckDB CAST) errors, so out-of-range
+    * domains are outside the mirrored arithmetic (the same
+    * finite-domain discipline as the filter above). Returns one
     * row per q: (q, fixed_quantile, n); empty input emits NULL
     * quantile with n = 0, mirroring gridQuantiles. */
   def fixedStepQuantiles(df: DataFrame, value: Column, step: Double,
