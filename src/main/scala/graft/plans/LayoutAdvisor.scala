@@ -169,6 +169,91 @@ object LayoutAdvisor {
     }.sortBy(s => (-s.hits, s.table))
   }
 
+  /** Multi-projection advice: up to `perTable` bucketed projections
+    * PER TABLE, one per hot key (the column-store projection idea —
+    * a fact table queried by order key AND by customer key carries
+    * one sorted co-located projection per class; ProbeCustLayout
+    * measured the custkey class at 2× beside the orderkey class's
+    * wins). Differences from [[advise]], deliberately:
+    *
+    *  - columns are attributed PER KEY — a projection carries the
+    *    pruned union of the queries that hit ITS key, not everything
+    *    the table serves (secondary projections exist precisely to
+    *    serve their own class narrowly; advise()'s table-wide union
+    *    stays the right contract when one staged table must replace
+    *    the flat read for every query);
+    *  - a table can appear in several alignment classes — each
+    *    projection aligns its bucket count within its own join class.
+    */
+  def adviseProjections(corpus: Seq[DataFrame], perTable: Int,
+      targetBucketBytes: Long = 1L << 30, minHits: Int = 1): Seq[LayoutSpec] = {
+    require(perTable > 0, s"adviseProjections: perTable must be positive, got $perTable")
+    val hitAgg = scala.collection.mutable.Map.empty[(String, String), (Int, Set[String])]
+    val bytesOf = scala.collection.mutable.Map.empty[String, Long]
+    val joinEdges = scala.collection.mutable.Set.empty[((String, String), (String, String))]
+    corpus.foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      val refIds = plan.collect {
+        case n if n.children.nonEmpty => n.expressions.flatMap(_.references.toSeq)
+      }.flatten.map(_.exprId.id).toSet
+      val byId = scala.collection.mutable.Map.empty[Long, (String, String)]
+      val usedByPath = scala.collection.mutable.Map.empty[String, Set[String]]
+      plan.foreach {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+          val path = fs.location.rootPaths.head.toString
+          lr.output.foreach(a => byId(a.exprId.id) = (path, a.name))
+          val used = lr.output.filter(a => refIds(a.exprId.id))
+          usedByPath(path) = usedByPath.getOrElse(path, Set.empty) ++
+            (if (used.isEmpty) lr.output else used).map(_.name)
+          bytesOf.getOrElseUpdate(path, fs.sizeInBytes)
+        case _ =>
+      }
+      def hit(a: Attribute): Unit = byId.get(a.exprId.id).foreach { case pc @ (p, _) =>
+        val (c, cols) = hitAgg.getOrElse(pc, (0, Set.empty[String]))
+        hitAgg(pc) = (c + 1, cols ++ usedByPath.getOrElse(p, Set.empty))
+      }
+      plan.foreach {
+        case agg: Aggregate => agg.groupingExpressions.foreach {
+          case ar: AttributeReference => hit(ar)
+          case _ =>
+        }
+        case j: Join => j.condition.toSeq.flatMap(conjuncts).foreach {
+          case EqualTo(l: AttributeReference, r: AttributeReference) =>
+            hit(l); hit(r)
+            for (lp <- byId.get(l.exprId.id); rp <- byId.get(r.exprId.id))
+              if (lp != rp) joinEdges += (if (lp.toString < rp.toString) (lp, rp) else (rp, lp))
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    val joinKeyset: Set[(String, String)] = joinEdges.flatMap(e => Seq(e._1, e._2)).toSet
+    val chosen = hitAgg.groupBy(_._1._1).toSeq.flatMap { case (_, keyed) =>
+      keyed.toSeq
+        .sortBy { case ((p, k), (c, _)) => (-c, !joinKeyset((p, k)), k) }
+        .take(perTable)
+        .filter { case (_, (c, _)) => c >= minHits }
+    }
+    val parent = scala.collection.mutable.Map.empty[(String, String), (String, String)]
+    def find(x: (String, String)): (String, String) = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val chosenSet = chosen.map(_._1).toSet
+    joinEdges.foreach { case (a, b) =>
+      if (chosenSet(a) && chosenSet(b)) parent(find(a)) = find(b)
+    }
+    val own = chosen.map { case (pc @ (p, _), _) =>
+      pc -> bucketsFor(bytesOf(p), targetBucketBytes)
+    }.toMap
+    val classMax = own.keys.groupBy(find).map { case (root, ms) => root -> ms.map(own).max }
+    chosen.map { case ((p, k), (c, cols)) =>
+      LayoutSpec(p, tableName(p), k, classMax(find((p, k))),
+        (k +: cols.toSeq.filter(_ != k).sorted).distinct, c)
+    }.sortBy(s => (-s.hits, s.table, s.key))
+  }
+
   /** Stage one advised layout as catalog table `name` (parquet read of
     * spec.path → exactly spec.columns → bucketed+sorted on spec.key).
     * The write is the only shuffle this table's per-key query class

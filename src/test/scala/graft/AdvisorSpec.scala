@@ -105,6 +105,36 @@ class AdvisorSpec extends GraftSpec {
     assert(specs.find(_.table == "orders").get.key === "o_orderkey")
   }
 
+  test("adviseProjections: one projection per hot key, per-class column attribution") {
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    // orders is hit by TWO key classes: the order key (join + agg = 2
+    // hits) and the customer key (1 agg hit); lineitem by one
+    val corpus = Seq(
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q")),
+      or.groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("v")))
+    val specs = LayoutAdvisor.adviseProjections(corpus, perTable = 2)
+    val orSpecs = specs.filter(_.table == "orders")
+    assert(orSpecs.map(_.key).toSet === Set("o_orderkey", "o_custkey"))
+    // per-class columns: the custkey projection carries what ITS query
+    // reads (custkey + totalprice) and NOT the orderkey class's columns
+    val ck = orSpecs.find(_.key == "o_custkey").get
+    assert(ck.columns.toSet === Set("o_custkey", "o_totalprice"))
+    val ok = orSpecs.find(_.key == "o_orderkey").get
+    assert(!ok.columns.contains("o_totalprice"))
+    // the orderkey projections of BOTH tables stay bucket-aligned;
+    // the custkey projection sizes independently (its own class)
+    val liok = specs.find(s => s.table == "lineitem" && s.key == "l_orderkey").get
+    assert(liok.buckets === ok.buckets)
+    // perTable=1 collapses to the hottest key only
+    val one = LayoutAdvisor.adviseProjections(corpus, perTable = 1)
+    assert(one.filter(_.table == "orders").map(_.key) === Seq("o_orderkey"))
+    intercept[IllegalArgumentException] {
+      LayoutAdvisor.adviseProjections(corpus, perTable = 0)
+    }
+  }
+
   test("bucketsFor: scales with bytes, floors at 8, caps at 4096") {
     assert(LayoutAdvisor.bucketsFor(0L, 1L << 30) === 8)
     assert(LayoutAdvisor.bucketsFor(100L << 30, 1L << 30) === 100)
