@@ -89,13 +89,16 @@ private[graft] object GateFixtures {
     * Returns (lineitemTable, ordersTable). */
   def advisorPair(s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
-    // the advice itself is cheap driver-side plan analysis — recomputed
-    // per staging closure; each TABLE goes through its own
-    // bucketedTable call so each gets the exists-check AND the stale
-    // warehouse-location cleanup (the warehouse dir outlives the JVM;
-    // staging both tables inside one closure left the second one's
-    // location undeleted in a fresh JVM → LOCATION_ALREADY_EXISTS)
-    def specs = {
+    // each TABLE goes through its own bucketedTable call so each gets
+    // the exists-check AND the stale warehouse-location cleanup (the
+    // warehouse dir outlives the JVM; staging both tables inside one
+    // closure left the second one's location undeleted in a fresh JVM
+    // → LOCATION_ALREADY_EXISTS). lazy val: the corpus analysis runs
+    // at most ONCE — both staging closures read the SAME advice, so a
+    // partial previous run (one table already in the catalog) can
+    // never stage the second table from a re-derivation against
+    // different catalog state
+    lazy val specs = {
       val li = Tables.lineitem(s, d)
       val corpus = Seq(
         li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -117,6 +120,52 @@ private[graft] object GateFixtures {
     }
     (lt, ot)
   }
+
+  /** The full bucketed-layout LIFECYCLE in one fixture: create sorted
+    * layout from part of the fact table → appendToBucketedTable the
+    * rest (co-location survives, streaming breaks — multi-file buckets)
+    * → compactBuckets (one sorted file per bucket again). The gate that
+    * reads this table checks values against the whole-table DuckDB
+    * oracle — appended rows lost, duplicated or mis-bucketed would all
+    * hash-fail — and BucketingSpec pins the plan shape at each stage. */
+  def appendCompactLineitem(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedTable(s, d, "ac_lineitem") { name =>
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(s, d)
+      graft.sources.TabularWriter.toBucketedTable(
+        li.where(col("l_linenumber") =!= 1).select(col("l_orderkey"), col("l_quantity")),
+        name, "l_orderkey", buckets = 8, sorted = true)
+      graft.sources.TabularWriter.appendToBucketedTable(
+        li.where(col("l_linenumber") === 1).select(col("l_orderkey"), col("l_quantity")),
+        name)
+      graft.sources.TabularWriter.compactBuckets(s, name)
+    }
+
+  /** Advisor-chosen SORTED layout (the predicate half of layout
+    * selection): adviseSorted reads a range-filter corpus, picks
+    * (orders, o_orderdate) itself, and stageSorted writes the
+    * range-clustered narrow projection. The gate's date-banded rollup
+    * over this layout must match the whole-orders DuckDB oracle (rows
+    * clustered into the wrong file would still be read — but rows LOST
+    * or duplicated by the rewrite hash-fail), and AdvisorSpec asserts
+    * the pruning property (a narrow range touches strictly fewer
+    * files). The require pins the advice: if the advisor stops picking
+    * the date column off this corpus the gate errors loudly. */
+  def advisorSortedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
+    dir("advsorted_orders", d) { target =>
+      import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+      val o = Tables.orders(s, d)
+      val corpus = Seq(
+        o.where(col("o_orderdate") >= lit("1998-01-01"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v")),
+        o.where(col("o_orderdate").between(lit("1996-01-01"), lit("1996-12-31")))
+          .agg(count(lit(1)).as("n")))
+      val top = graft.plans.LayoutAdvisor.adviseSorted(corpus).head
+      require(top.table == "orders" && top.sortCols == Seq("o_orderdate"),
+        s"advisor picked unexpected sorted layout: $top")
+      graft.plans.LayoutAdvisor.stageSorted(s, top, target)
+    }
 
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedTable(s, d, "bf_orders") { name =>

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The advisor END-TO-END relational sweep (round-10): feed the FULL
+  * 17-query q* suite to LayoutAdvisor as its corpus, stage exactly what
+  * it advises, redirect the engine's table resolution at the staged
+  * layouts (Tables.redirect — zero query changes), and run all 17 over
+  * them. This replaces the per-shape hand-staged probes (ProbeBucketedJoin,
+  * ProbeCustLayout) with the product path a user would actually run:
+  * advise(corpus) → stage → query.
+  *
+  * Staging is one-time: a fresh JVM re-ATTACHES the already-written
+  * bucketed files as external tables (TabularWriter.attach — the
+  * local-mode stand-in for a persistent metastore), so
+  * process-interleaved protocol runs (fresh JVM per rep) don't re-pay
+  * the layout write.
+  *
+  * Usage: runMain graft.ProbeAdvisorSweep [dataDir] [reps] [layout|flat|check] [names]
+  * Prints one BenchBig-shaped JSON line; `flat` runs the identical
+  * suite without redirects (the A/B control in the same harness);
+  * `check` runs every query BOTH ways and asserts row-identical
+  * results (the rel suite is integer-exact by construction, so exact
+  * equality is the contract, not a tolerance).
+  */
+object ProbeAdvisorSweep {
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/repo/benchdata/x200")
+    val reps = if (args.length > 1) args(1).toInt else 1
+    val mode = if (args.length > 2) args(2) else "layout"
+    val names = if (args.length > 3) args(3).split(",").toSeq else BenchBig.Rel
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    if (mode == "check") {
+      val redirects = ensureAdvised(spark, d)
+      def rows(n: String): Seq[String] =
+        SparkEntry.queries(n)(spark, d).collect().map(_.toString).sorted.toSeq
+      var bad = 0
+      names.foreach { n =>
+        redirects.foreach { case (t, ct) => Tables.redirect(d, t, ct) }
+        val layout = rows(n)
+        Tables.clearRedirects()
+        val flat = rows(n)
+        val ok = layout == flat
+        if (!ok) bad += 1
+        println(s"[check] $n: ${if (ok) "IDENTICAL" else s"MISMATCH (${layout.size} vs ${flat.size} rows)"}")
+      }
+      println(s"""{"metric":"advisor_check","bad":$bad,"n":${names.size}}""")
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
+    if (mode == "layout") ensureAdvised(spark, d)
+
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, d)
+      df.select(sum(xxhash64(df.columns.map(col): _*).cast("double")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def clean(name: String): Double = {
+      val dt = once(name)
+      GraftSession.clearSessionState(spark)
+      dt
+    }
+    names.foreach(clean) // warm-up pass (JIT/codegen + page cache)
+    val all = names.map(n => n -> (1 to reps).map(_ => clean(n)))
+    val qs = all.map { case (k, v) => JsonOut.q(k) + ":" + v.min }.mkString("{", ",", "}")
+    println(s"""{"metric":"advisor_sweep","mode":${JsonOut.q(mode)},"queries":$qs,"sf":${JsonOut.q(d)}}""")
+    val rs = all.map { case (k, v) =>
+      JsonOut.q(k) + ":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    System.err.println(s"""{"reps":$rs}""")
+    spark.stop()
+  }
+
+  /** Advise over the 17-query corpus (flat reads), stage or re-attach
+    * every advised layout, and install the redirects. 64 MB bucket
+    * target ≈ 32 buckets on the x200 lineitem — one bucket per core in
+    * the local harness, the same per-task sizing rule a cluster run
+    * would apply with a bigger constant. minHits=2: a single-query key
+    * does not pay for a whole-table rewrite. */
+  def ensureAdvised(spark: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(String, String)] = {
+    Tables.clearRedirects()
+    val corpus = BenchBig.Rel.map(n => SparkEntry.queries(n)(spark, d))
+    val specs = graft.plans.LayoutAdvisor.advise(corpus,
+      targetBucketBytes = 64L << 20, minHits = 2)
+    specs.foreach(s => println(
+      s"[advise] ${s.table} key=${s.key} buckets=${s.buckets} hits=${s.hits} cols=${s.columns.size}"))
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // dir-tagged names (GateFixtures discipline): the same JVM-spanning
+    // warehouse serves several data dirs — an untagged name would
+    // silently serve sf0.1's staging to an x200 run
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    specs.map { spec =>
+      val t = s"adv_sweep_${spec.table}$tag"
+      if (!spark.catalog.tableExists(t)) {
+        val loc = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+          val t0 = System.nanoTime()
+          graft.sources.TabularWriter.attach(
+            spark, t, loc.toString, spec.key, spec.buckets)
+          println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        } else {
+          GateFixtures.deleteRecursively(loc)
+          val t0 = System.nanoTime()
+          graft.plans.LayoutAdvisor.stage(spark, spec, t)
+          println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        }
+      }
+      Tables.redirect(d, spec.table, t)
+      spec.table -> t
+    }
+  }
+}

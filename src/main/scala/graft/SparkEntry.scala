@@ -620,6 +620,18 @@ object SparkEntry {
       // bit-reproducible), so the oracle checks the SAME row: ok=1 plus
       // the brute pair count it recomputes in SQL — recall below the
       // bound flips ok to 0 and hash-fails the gate.
+      //
+      // ORACLE CONTRACT — deliberately ONE-SIDED on the hit count: the
+      // numerator (|IVF pairs ∩ brute pairs|) exists only by running
+      // IVF — its k-means cell assignment has no SQL oracle form — so
+      // DuckDB recomputes the DENOMINATOR exactly (n_brute, both
+      // engines' brute top-5 over the same sample) and pins
+      // recall_ok=1; the Spark side alone grades the numerator against
+      // the bound. What the gate therefore proves: the brute baseline
+      // is bit-identical across engines, and IVF's recall never drops
+      // below 0.6 without hash-failing. What it cannot prove: that the
+      // hit count itself wasn't miscounted by a bug that keeps it
+      // above the bound (that join is pinned by IvfSpec instead).
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val q = emb.filter(pmod(col("id"), lit(50)) === 0)
       val brute = Ann.bruteForceTopK(q, emb, k = 5).select(col("q_id"), col("n_id"))
@@ -2052,6 +2064,40 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
     },
+    "layout_advisor_sorted" -> { (s, d) =>
+      // the advisor's PREDICATE-side advice end-to-end: adviseSorted
+      // derived (orders, o_orderdate, pruned columns, file count) from
+      // a range-filter corpus and staged the range-clustered layout
+      // (GateFixtures.advisorSortedOrders); this date-banded rollup
+      // reads it and must equal the whole-orders oracle. The files
+      // cover disjoint date ranges, so the predicate prunes whole
+      // files via footer stats (AdvisorSpec asserts strictly-fewer
+      // files touched) — the sorted-layout analogue of hive
+      // partitioning for continuous keys at 100 TB.
+      s.read.parquet(GateFixtures.advisorSortedOrders(s, d))
+        .where(col("o_orderdate").between(lit("1996-01-01"), lit("1996-12-31")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    "layout_append_compact" -> { (s, d) =>
+      // a bucketed fact table that GREW: created sorted from 5/6 of
+      // lineitem, the rest appended (appendToBucketedTable — same
+      // bucket function, so co-location survives the append), then
+      // compactBuckets to merge each bucket back to one sorted file
+      // (GateFixtures.appendCompactLineitem). This per-order rollup
+      // over the post-lifecycle table must equal the whole-table
+      // oracle — a lost/duplicated/mis-bucketed appended row
+      // hash-fails — and BucketingSpec pins the plan at each stage
+      // (append: zero-Exchange HashAggregate; compacted: streaming
+      // SortAggregate, zero Exchange, zero Sort).
+      s.table(GateFixtures.appendCompactLineitem(s, d))
+        .groupBy(col("l_orderkey").as("ac_orderkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("ac_qty_cents"))
+        .filter(col("ac_qty_cents") > 150L * 100)
+        .select(col("ac_orderkey"), col("ac_qty_cents"))
+    },
     "join_bucketed_fact" -> { (s, d) =>
       // co-located FACT⋈FACT join (q9/q12's named blocker was the
       // orderkey exchange of BOTH sides — ProbeRel measured blooms and
@@ -2768,6 +2814,8 @@ object SparkEntry {
          |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 16)
          |${OracleFragments.annTopkSelectSql(5)}""".stripMargin,
+    // one-sided by contract (see the queries entry): n_brute recomputed
+    // exactly; recall_ok pinned to 1 — DuckDB cannot rerun IVF's k-means
     "ann_recall_ivf" ->
       s"""WITH ${OracleFragments.vectorCtes},
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -3324,8 +3372,14 @@ object SparkEntry {
          |FROM k""".stripMargin,
     // grid math mirrored term-for-term: same bucket expression, same
     // ceil(q*n) target rank, same midpoint read-out
+    // isfinite mirrors the Spark side's finite-domain filter (NULL, NaN
+    // and ±Inf all dropped on BOTH sides), and the LEFT join mirrors its
+    // left-join read-out: an empty domain still yields one row per q
+    // (NULL quantile, n = 0) — the two engines agree on ALL inputs, not
+    // just the current events data
     "agg_fixedstep_quantiles" ->
-      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND isfinite(CAST(value AS DOUBLE))),
         |c AS (SELECT CAST(floor(v / 2.0) AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS c
         |  FROM v GROUP BY 1),
         |n AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n FROM c),
@@ -3334,7 +3388,7 @@ object SparkEntry {
         |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
         |t AS (SELECT q, n, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS tgt FROM qs, n),
         |m AS (SELECT t.q, t.n, min(cum.cell) AS mc
-        |  FROM t JOIN cum ON cum.cum >= t.tgt GROUP BY t.q, t.n)
+        |  FROM t LEFT JOIN cum ON cum.cum >= t.tgt GROUP BY t.q, t.n)
         |SELECT q, round((CAST(mc AS DOUBLE) + 0.5) * 2.0, 9) AS fixed_quantile, n
         |FROM m""".stripMargin,
     "agg_grid_quantiles" ->
@@ -3788,6 +3842,16 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_advisor_sorted" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_append_compact" ->
+      """SELECT l_orderkey AS ac_orderkey,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ac_qty_cents
+        |FROM lineitem GROUP BY 1 HAVING ac_qty_cents > 15000""".stripMargin,
     "agg_bucketed_sortstream" ->
       """SELECT l_orderkey AS b_orderkey,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS b_qty_cents

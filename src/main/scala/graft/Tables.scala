@@ -6,7 +6,24 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided test tables (TESTDATA.md). */
 object Tables {
+
+  /** Layout redirection: point a (data dir, table) at a staged catalog
+    * table (e.g. a LayoutAdvisor-advised bucketed layout) so EVERY
+    * query in the engine — the shipped q1–q22 included — reads the
+    * optimized layout with zero query changes. This is the thin local
+    * stand-in for a catalog that resolves logical table names to
+    * physical layouts at cluster scale. Empty by default: gates and
+    * Verify always read the flat driver data unless a probe/session
+    * explicitly installs redirects. */
+  private val redirects =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  def redirect(sfDir: String, name: String, table: String): Unit =
+    redirects.put((sfDir, name), table)
+  def clearRedirects(): Unit = redirects.clear()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val redirected = redirects.get((sfDir, name))
+    if (redirected != null) return spark.table(redirected)
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     // TIMESTAMP(NANOS) columns arrive as long nanos (nanosAsLong); convert
     // to TimestampType at µs precision — identical to DuckDB's ns→µs

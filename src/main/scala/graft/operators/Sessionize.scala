@@ -40,10 +40,30 @@ object Sessionize {
     * keys/timestamps are dropped, matching session_window's
     * null-filtered aggregate. SessionizeSpec proves it row-identical
     * to the session_window plan; x200: 5.1 → ~2 s (PERF.md round-9).
+    *
+    * CONTRACT: `key` and `tsSeconds` must be INTEGRAL columns (byte/
+    * short/int/long — e.g. a numeric user id and `ts.cast("long")`
+    * epoch seconds). The kernel's tuple encoder is (Long, Long); a
+    * non-integral key (string ids, decimals) is rejected here with a
+    * require rather than silently cast-to-NULL-and-dropped, which
+    * would return an EMPTY result instead of failing. String keys:
+    * hash or dictionary-encode to long first (the type-generic
+    * [[sessionIndex]]/[[sessionCounts]] window forms take any key).
     */
   def sessionBoundsSorted(df: DataFrame, key: Column, tsSeconds: Column,
       gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, s"sessionBoundsSorted: gap must be positive, got $gapSeconds")
+    // resolve the two columns against df to enforce the integral-type
+    // contract up front (cast("long") below would turn a string key
+    // into NULLs and the null filter would silently drop every row)
+    val integral = Set("tinyint", "smallint", "int", "bigint")
+    df.select(key.as("k"), tsSeconds.as("t")).schema.fields.foreach { f =>
+      require(integral(f.dataType.simpleString),
+        s"sessionBoundsSorted: key and tsSeconds must be integral " +
+          s"(tinyint/smallint/int/bigint); got ${f.name}: ${f.dataType.simpleString}. " +
+          "Hash or dictionary-encode non-numeric keys to long, or use " +
+          "the type-generic sessionIndex/sessionCounts window forms.")
+    }
     val base = df.select(key.cast("long").as("k"), tsSeconds.cast("long").as("t"))
       .where(col("k").isNotNull && col("t").isNotNull)
     implicit val inEnc = org.apache.spark.sql.Encoders.tuple(

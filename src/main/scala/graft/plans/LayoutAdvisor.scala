@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BinaryComparison, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Write-time layout selection for a query corpus.
@@ -66,6 +66,31 @@ object LayoutAdvisor {
     case other => Seq(other)
   }
 
+  /** Propagate leaf attributions through RENAME chains: a grouping or
+    * join key that reaches the operator via `select(col("x").as("k"))`
+    * carries the Alias's exprId, not the leaf's — without this the
+    * advisor silently fails to count the actually-hot key on renamed
+    * corpora. Only pure renames (Alias over a bare AttributeReference)
+    * are followed; a DERIVED key (`substr(x)`, `x+y`) is correctly NOT
+    * attributed — bucketing the source column would not co-locate the
+    * derived values. Fixpoint handles multi-level rename chains. */
+  private def resolveAliases(plan: LogicalPlan,
+      byId: scala.collection.mutable.Map[Long, (String, String)]): Unit = {
+    val edges = plan.collect { case n => n.expressions }.flatten.flatMap(_.collect {
+      case al @ Alias(ar: AttributeReference, _) => al.exprId.id -> ar.exprId.id
+      // a rename that only changes type-widening metadata still maps
+      // through a cast (e.g. col("x").cast("long").as("k")) — NOT
+      // followed: the cast changes the hash of the value
+    })
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, c) =>
+        if (!byId.contains(a) && byId.contains(c)) { byId(a) = byId(c); changed = true }
+      }
+    }
+  }
+
   /** Analyze a corpus and recommend one bucketed layout per table that
     * any per-key operator reads, ranked by hits (ties broken by table
     * name for determinism). Tables whose best key carries fewer than
@@ -113,6 +138,7 @@ object LayoutAdvisor {
           tables(path) = (bytes, prev ++ cols.map(_.name))
         case _ =>
       }
+      resolveAliases(plan, byId)
       def hit(a: Attribute): Unit =
         byId.get(a.exprId.id).foreach { pc => hits(pc) = hits.getOrElse(pc, 0) + 1 }
       plan.foreach {
@@ -135,11 +161,14 @@ object LayoutAdvisor {
     // per-table key choice: most hits wins; ties prefer a key that
     // participates in an equi-join (co-location pays on the join AND
     // every downstream per-key agg, where a tied agg-only key pays
-    // once), then name for determinism
+    // once), then the lexicographically FIRST name for determinism —
+    // the same rule adviseProjections applies, so the two entry points
+    // rank identical corpora identically
     val joinKeyset: Set[(String, String)] =
       joinEdges.flatMap(e => Seq(e._1, e._2)).toSet
     val chosen = hits.groupBy(_._1._1).toSeq.flatMap { case (path, keyed) =>
-      val ((_, key), n) = keyed.maxBy { case ((p, k), c) => (c, joinKeyset((p, k)), k) }
+      val ((_, key), n) = keyed.toSeq
+        .sortBy { case ((p, k), c) => (-c, !joinKeyset((p, k)), k) }.head
       if (n < minHits) None else Some((path, key, n))
     }
     // alignment classes: union-find over join edges between CHOSEN
@@ -209,6 +238,7 @@ object LayoutAdvisor {
           bytesOf.getOrElseUpdate(path, fs.sizeInBytes)
         case _ =>
       }
+      resolveAliases(plan, byId)
       def hit(a: Attribute): Unit = byId.get(a.exprId.id).foreach { case pc @ (p, _) =>
         val (c, cols) = hitAgg.getOrElse(pc, (0, Set.empty[String]))
         hitAgg(pc) = (c + 1, cols ++ usedByPath.getOrElse(p, Set.empty))
@@ -263,5 +293,132 @@ object LayoutAdvisor {
     graft.sources.TabularWriter.toBucketedTable(
       spark.read.parquet(spec.path).select(spec.columns.map(col): _*),
       name, spec.key, spec.buckets, sorted = true)
+  }
+
+  /** One recommended SORT-clustered layout: rewrite `columns` of the
+    * table read at `paths`, clustered on `sortCols` — one column →
+    * [[graft.sources.TabularWriter.toRangeSorted]] (perfect single-key
+    * clustering), two → [[graft.sources.TabularWriter.toZOrdered]]
+    * (box-pruning on both). `hits` = range/point predicates across the
+    * corpus this layout prunes for. */
+  case class SortedSpec(paths: Seq[String], table: String,
+      sortCols: Seq[String], numFiles: Int, columns: Seq[String], hits: Int)
+
+  /** ~One output file per `target` bytes, floored at 8 so small inputs
+    * still produce a multi-file clustering for pruning to act on. */
+  def filesFor(bytes: Long, target: Long): Int =
+    math.max(8L, (bytes + target - 1) / target).toInt
+
+  /** Advise SORTED / Z-ORDERED layouts from the corpus's FILTER shapes
+    * — the second half of layout selection. [[advise]] serves per-KEY
+    * operators (aggregates, joins) with bucketing; this serves range
+    * and point PREDICATES with clustering + parquet min/max pruning:
+    * each Filter conjunct of the optimized plans that compares a leaf
+    * column against a foldable value (>, >=, <, <=, =, BETWEEN's
+    * conjuncts — casts unwrapped, renames resolved through
+    * [[resolveAliases]]) is a hit for (table, column). Per table the
+    * hottest column wins → range-sort; a second column with hits →
+    * z-order (box pruning on both, the two-key lakehouse layout).
+    * Tables named in `exclude` (e.g. [[advise]]'s bucketing winners —
+    * see [[adviseAll]]) are skipped: one physical layout per table, and
+    * the exchange a bucketed layout removes dominates the scan a sorted
+    * layout prunes whenever both apply.
+    *
+    * Multi-root relations (a read of several directories) keep ALL
+    * their roots in the spec — [[stageSorted]] reads every root, so the
+    * advised rewrite covers the same rows the corpus actually read. */
+  def adviseSorted(corpus: Seq[DataFrame], targetFileBytes: Long = 256L << 20,
+      minHits: Int = 1, exclude: Set[String] = Set.empty): Seq[SortedSpec] = {
+    require(corpus.nonEmpty, "LayoutAdvisor.adviseSorted: empty corpus")
+    val hits = scala.collection.mutable.Map.empty[(String, String), Int]
+    val tables = scala.collection.mutable.Map.empty[String, (Seq[String], Long, Set[String])]
+    corpus.foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      val refIds = plan.collect {
+        case n if n.children.nonEmpty => n.expressions.flatMap(_.references.toSeq)
+      }.flatten.map(_.exprId.id).toSet
+      val byId = scala.collection.mutable.Map.empty[Long, (String, String)]
+      plan.foreach {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+          val roots = fs.location.rootPaths.map(_.toString)
+          val key = roots.mkString(",")
+          lr.output.foreach(a => byId(a.exprId.id) = (key, a.name))
+          val used = lr.output.filter(a => refIds(a.exprId.id))
+          val cols = if (used.isEmpty) lr.output else used
+          val (_, bytes, prev) = tables.getOrElse(key, (roots, fs.sizeInBytes, Set.empty[String]))
+          tables(key) = (roots, bytes, prev ++ cols.map(_.name))
+        case _ =>
+      }
+      resolveAliases(plan, byId)
+      def stripCast(e: Expression): Expression = e match {
+        case c: Cast => stripCast(c.child)
+        case other => other
+      }
+      plan.foreach {
+        case f: Filter => conjuncts(f.condition).foreach {
+          case cmp: BinaryComparison =>
+            val attr = (stripCast(cmp.left), stripCast(cmp.right)) match {
+              case (a: AttributeReference, r) if r.foldable => Some(a)
+              case (l, a: AttributeReference) if l.foldable => Some(a)
+              case _ => None
+            }
+            attr.flatMap(a => byId.get(a.exprId.id))
+              .foreach(pc => hits(pc) = hits.getOrElse(pc, 0) + 1)
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    hits.groupBy(_._1._1).toSeq.flatMap { case (key, keyed) =>
+      val (roots, bytes, cols) = tables(key)
+      val table = tableName(roots.head)
+      if (exclude(table)) None
+      else {
+        // hottest column range-sorts; a SECOND hot column upgrades to
+        // z-order. Hits and name tie-break exactly like advise().
+        val top = keyed.toSeq
+          .sortBy { case ((_, c), n) => (-n, c) }
+          .takeWhile { case (_, n) => n >= minHits }
+          .take(2).map(_._1._2)
+        if (top.isEmpty) None
+        else {
+          val n = keyed.map(_._2).sum
+          Some(SortedSpec(roots, table, top,
+            filesFor(bytes, targetFileBytes),
+            (top ++ cols.toSeq.filterNot(top.contains).sorted).distinct, n))
+        }
+      }
+    }.sortBy(s => (-s.hits, s.table))
+  }
+
+  /** Stage one sorted advice at `outPath`: every root read, exactly the
+    * advised columns carried, clustered by toRangeSorted (one col) or
+    * toZOrdered (two). Readers point range queries at `outPath` and get
+    * file/row-group pruning from the footer stats (PruningSpec). */
+  def stageSorted(spark: SparkSession, spec: SortedSpec, outPath: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(spec.paths: _*).select(spec.columns.map(col): _*)
+    spec.sortCols match {
+      case Seq(c) =>
+        graft.sources.TabularWriter.toRangeSorted(df, outPath, Seq(c), spec.numFiles)
+      case Seq(x, y) =>
+        graft.sources.TabularWriter.toZOrdered(df, outPath, x, y, spec.numFiles)
+      case other => throw new IllegalArgumentException(
+        s"stageSorted: expected 1 or 2 sort columns, got $other")
+    }
+  }
+
+  /** Complete layout advice for a corpus: bucketed layouts for the
+    * per-key operator classes first (they remove exchanges — the bigger
+    * win), then sorted/z-ordered layouts for tables whose corpus
+    * presence is predicate-shaped only. One physical layout per table. */
+  def adviseAll(corpus: Seq[DataFrame], targetBucketBytes: Long = 1L << 30,
+      targetFileBytes: Long = 256L << 20, minHits: Int = 1)
+      : (Seq[LayoutSpec], Seq[SortedSpec]) = {
+    val bucketed = advise(corpus, targetBucketBytes, minHits)
+    val sorted = adviseSorted(corpus, targetFileBytes, minHits,
+      exclude = bucketed.map(_.table).toSet)
+    (bucketed, sorted)
   }
 }

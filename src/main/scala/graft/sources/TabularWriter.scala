@@ -66,6 +66,139 @@ object TabularWriter {
     val src = if (sorted) df.repartition(buckets, col(key)) else df
     val w = src.write.mode("overwrite").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+    // post-write assertion: the streaming-plan property is PHYSICAL
+    // (one file per bucket) and Spark degrades silently when it breaks
+    // — the scan just stops reporting order and every reader falls back
+    // to hash aggregation. Fail here, at the write, instead.
+    if (sorted) assertOneFilePerBucket(df.sparkSession, table)
+  }
+
+  /** Append rows to an existing bucketed table created by
+    * [[toBucketedTable]], preserving the bucket spec (validated against
+    * the catalog — a mismatched spec is rejected by Spark's writer
+    * rather than silently corrupting the bucketing).
+    *
+    * WHAT SURVIVES an append: the co-location property. The bucket-id
+    * function is deterministic (murmur3 pmod buckets), so appended rows
+    * land in the same bucket as existing rows with the same key —
+    * per-key aggregates and key-equi-joins still plan with ZERO
+    * exchange.
+    *
+    * WHAT BREAKS: the streaming-sort property. Each bucket now holds
+    * ≥2 files (sorted internally, but Spark only trusts — and only
+    * reports — a bucketed scan's sort order when every bucket is ONE
+    * file), so per-key aggregates fall back from the streaming
+    * SortAggregate to an exchange-free HashAggregate, and co-located
+    * joins re-sort at query time. Run [[compactBuckets]] after an
+    * append batch (or on a cadence — the classic LSM-style tradeoff) to
+    * restore the streaming plans; BucketingSpec pins both plan shapes.
+    *
+    * The appended frame is pre-repartitioned onto the bucket function,
+    * so one append adds at most ONE new file per bucket — without it,
+    * every writing task would emit a file into every bucket it holds
+    * rows for and N appends × M tasks files would swamp the scan.
+    * Reference analog: the reference re-shards the whole embedding
+    * table on every variable rebuild (embedding/sharding.py:168-205) —
+    * this is the same rewrite-vs-append tension, resolved as
+    * cheap-append + explicit compaction instead of always-rewrite. */
+  def appendToBucketedTable(df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spec = bucketSpecOf(df.sparkSession, table)
+    val key = spec.bucketColumnNames.head
+    val src = df.repartition(spec.numBuckets, col(key))
+    val w = src.write.mode("append").bucketBy(spec.numBuckets, key)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w).saveAsTable(table)
+  }
+
+  /** Rewrite a bucketed table so every bucket is again ONE sorted file,
+    * restoring the streaming SortAggregate / no-query-time-sort plans
+    * after [[appendToBucketedTable]] calls have accumulated files. The
+    * rewrite is a single data pass with NO exchange on the read side
+    * (the scan is already bucketed) and lands via a temp table + catalog
+    * rename, so a crash mid-compaction leaves the original table intact.
+    * Cost model at 100 TB: one sequential rewrite of the table — the
+    * same price as the original layout write — amortized over every
+    * append since the last compaction (LSM economics). */
+  def compactBuckets(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val spec = bucketSpecOf(spark, table)
+    val key = spec.bucketColumnNames.head
+    val tmp = table + "__compacting"
+    // clear BOTH the catalog entry and any stale on-disk location a
+    // crashed previous compaction left behind (the warehouse dir
+    // outlives the catalog; CREATE fails on a dead location otherwise)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val tmpLoc = new Path(spark.sessionState.catalog
+      .defaultTablePath(TableIdentifier(tmp)))
+    val fs = tmpLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+    // Force the BUCKETED scan for the rewrite. A V1 write declares no
+    // distribution requirement, so DisableUnnecessaryBucketedScan would
+    // plan a per-FILE scan — while the repartition inside
+    // toBucketedTable is simultaneously elided because the logical
+    // relation reports the matching hash partitioning — and each
+    // file-task would write its own per-bucket file: the compaction
+    // would REPRODUCE the multi-file state it exists to fix (observed,
+    // not hypothetical). With the bucketed scan pinned on, the plan is
+    // one task per bucket merging that bucket's files: a single pass,
+    // ZERO exchange — compaction costs IO, not a shuffle.
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try toBucketedTable(spark.table(table), tmp, key, spec.numBuckets, sorted = true)
+    finally spark.conf.set(auto, prev)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** Register ALREADY-STAGED bucketed data (written by a previous
+    * session's [[toBucketedTable]]) as an EXTERNAL catalog table — no
+    * data rewrite, one DDL statement. Spark's local catalog is
+    * in-memory, so a fresh JVM forgets every staged layout while the
+    * warehouse files live on; at cluster scale a persistent metastore
+    * holds this mapping, and `attach` is its local-mode stand-in. The
+    * bucket-file naming is the writer's own, so the re-registered scan
+    * keeps the full co-location (and, via [[assertOneFilePerBucket]],
+    * streaming-sort) properties. Schema is read from the parquet
+    * footers. */
+  def attach(spark: SparkSession, table: String, path: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val schema = spark.read.parquet(path).schema.toDDL
+    val sortClause = if (sorted) s"SORTED BY (`$key` ASC) " else ""
+    spark.sql(
+      s"CREATE TABLE `$table` ($schema) USING parquet " +
+        s"CLUSTERED BY (`$key`) ${sortClause}INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    if (sorted) assertOneFilePerBucket(spark, table)
+  }
+
+  private def bucketSpecOf(spark: SparkSession, table: String) = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not a bucketed table (use toBucketedTable to create one)"))
+  }
+
+  /** Asserts every bucket of `table` is one data file — the physical
+    * precondition for the scan to report its per-bucket sort order.
+    * One directory listing; bucket ids parsed from the writer's
+    * `part-NNNNN-<uuid>_<bucketId>.c000…` naming. */
+  private[graft] def assertOneFilePerBucket(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_(\\d{5})\\.".r
+    val ids = fs.listStatus(loc).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1).toInt))
+    val dup = ids.groupBy(identity).collect { case (id, fs) if fs.length > 1 => id }
+    require(dup.isEmpty,
+      s"toBucketedTable($table): bucket(s) ${dup.toSeq.sorted.mkString(",")} have " +
+        "multiple files — the streaming sorted-scan plan needs ONE file per " +
+        "bucket; appends accumulate files, run compactBuckets to restore it")
   }
 
   /** Sort-clustered layout: range-partition the rows on `sortCols` and

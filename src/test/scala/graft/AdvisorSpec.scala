@@ -135,6 +135,126 @@ class AdvisorSpec extends GraftSpec {
     }
   }
 
+  test("advise/adviseProjections: keys passing through a RENAME are still counted") {
+    val li = Tables.lineitem(spark, sf)
+    // the hot key reaches the aggregate via select(...as("k")) — the
+    // alias carries a fresh exprId; resolveAliases must walk it back to
+    // the leaf or the advisor would drop the actually-hot key
+    val corpus = Seq(
+      li.select(col("l_orderkey").as("k"), col("l_quantity"))
+        .groupBy(col("k")).agg(sum(col("l_quantity")).as("q")))
+    val specs = LayoutAdvisor.advise(corpus)
+    assert(specs.size === 1)
+    assert(specs.head.table === "lineitem" && specs.head.key === "l_orderkey")
+    val proj = LayoutAdvisor.adviseProjections(corpus, perTable = 1)
+    assert(proj.map(s => (s.table, s.key)) === Seq(("lineitem", "l_orderkey")))
+    // a DERIVED key is correctly NOT attributed: bucketing the source
+    // column would not co-locate the derived values
+    val derived = Seq(li.select((col("l_orderkey") % 7).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n")))
+    assert(LayoutAdvisor.advise(derived).isEmpty)
+  }
+
+  test("advise and adviseProjections break exact ties identically (first name)") {
+    val li = Tables.lineitem(spark, sf)
+    // two keys, one agg hit each, neither join-connected: both entry
+    // points must pick the lexicographically FIRST (l_orderkey)
+    val corpus = Seq(
+      li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n")),
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n")))
+    assert(LayoutAdvisor.advise(corpus).head.key === "l_orderkey")
+    assert(LayoutAdvisor.adviseProjections(corpus, perTable = 1).head.key === "l_orderkey")
+  }
+
+  test("adviseSorted: hottest filter column range-sorts; a second hot column z-orders") {
+    val or = Tables.orders(spark, sf)
+    // o_orderdate: 2 range hits; o_totalprice: 1 — date wins slot one
+    val corpus = Seq(
+      or.where(col("o_orderdate") >= lit("1995-01-01"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")),
+      or.where(col("o_orderdate") < lit("1994-01-01") && col("o_totalprice") > 1000.0)
+        .agg(count(lit(1)).as("n")))
+    val specs = LayoutAdvisor.adviseSorted(corpus)
+    assert(specs.size === 1)
+    val s0 = specs.head
+    assert(s0.table === "orders")
+    assert(s0.sortCols === Seq("o_orderdate", "o_totalprice"))
+    assert(s0.numFiles === 8)
+    // column union spans the corpus reads, sort cols lead
+    assert(Set("o_orderdate", "o_totalprice", "o_orderpriority").subsetOf(s0.columns.toSet))
+    assert(s0.columns.take(2) === Seq("o_orderdate", "o_totalprice"))
+    // minHits=2 drops the single-hit price column back to a range sort
+    val strict = LayoutAdvisor.adviseSorted(corpus, minHits = 2)
+    assert(strict.head.sortCols === Seq("o_orderdate"))
+  }
+
+  test("adviseSorted: resolves renames/casts, skips excluded tables, handles multi-root reads") {
+    val d = sf
+    // multi-root: the SAME directory listed twice through a union-read —
+    // rootPaths has 2 entries; the spec must carry both
+    val two = spark.read.parquet(s"$d/orders.parquet", s"$d/orders.parquet")
+    val corpus = Seq(
+      two.select(col("o_orderdate").as("dt"), col("o_orderkey"))
+        .where(col("dt") >= lit("1995-01-01")).agg(count(lit(1)).as("n")))
+    val specs = LayoutAdvisor.adviseSorted(corpus)
+    assert(specs.size === 1)
+    assert(specs.head.sortCols === Seq("o_orderdate"))
+    assert(specs.head.paths.size === 2)
+    assert(LayoutAdvisor.adviseSorted(corpus, exclude = Set("orders")).isEmpty)
+  }
+
+  test("adviseAll: bucketing wins per-key tables, sorted advice covers the rest") {
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    val corpus = Seq(
+      // lineitem: per-key aggregate AND a range filter — bucketing
+      // wins the table, so no sorted spec for it
+      li.where(col("l_shipdate") >= lit("1995-01-01"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q")),
+      // orders: predicate-shaped presence only — sorted advice
+      or.where(col("o_orderdate") >= lit("1995-06-01")).agg(count(lit(1)).as("n")))
+    val (bucketed, sorted) = LayoutAdvisor.adviseAll(corpus)
+    assert(bucketed.map(_.table) === Seq("lineitem"))
+    assert(sorted.map(_.table) === Seq("orders"))
+    assert(sorted.head.sortCols === Seq("o_orderdate"))
+  }
+
+  test("stageSorted: staged layout prunes files on the advised predicate") {
+    val or = Tables.orders(spark, sf)
+    val corpus = Seq(
+      or.where(col("o_orderdate") >= lit("1995-01-01"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v")))
+    val s0 = LayoutAdvisor.adviseSorted(corpus).head
+    assert(s0.sortCols === Seq("o_orderdate"))
+    val out = java.nio.file.Files.createTempDirectory("adv_sorted_spec").resolve("orders").toString
+    try {
+      LayoutAdvisor.stageSorted(spark, s0, out)
+      val staged = spark.read.parquet(out)
+      assert(staged.columns.toSet === s0.columns.toSet)
+      // clustering proof: the staged files cover DISJOINT date ranges,
+      // so a narrow date predicate draws rows from strictly fewer files
+      // than the layout has — the property footer-stat pruning acts on
+      val allFiles = staged.select(input_file_name()).distinct().count()
+      assert(allFiles > 1, "need multiple files to observe clustering")
+      val hitFiles = staged.where(col("o_orderdate") >= lit("1998-06-01"))
+        .select(input_file_name()).distinct().count()
+      assert(hitFiles < allFiles,
+        s"narrow range should touch fewer than all $allFiles files, touched $hitFiles")
+      // and the values match the flat read
+      val want = or.where(col("o_orderdate") >= lit("1995-01-01"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+        .orderBy("o_orderpriority").collect().map(r => (r.getString(0), r.getLong(1)))
+      val got = staged.where(col("o_orderdate") >= lit("1995-01-01"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+        .orderBy("o_orderpriority").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq === want.toSeq)
+    } finally GateFixtures.deleteRecursively(
+      java.nio.file.Paths.get(out).getParent)
+  }
+
   test("bucketsFor: scales with bytes, floors at 8, caps at 4096") {
     assert(LayoutAdvisor.bucketsFor(0L, 1L << 30) === 8)
     assert(LayoutAdvisor.bucketsFor(100L << 30, 1L << 30) === 100)

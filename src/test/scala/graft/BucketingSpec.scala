@@ -83,4 +83,107 @@ class BucketingSpec extends GraftSpec {
       assert(got.toSeq === want.toSeq)
     } finally spark.sql("DROP TABLE IF EXISTS ts_lineitem")
   }
+
+  test("append keeps co-location (no Exchange), compactBuckets restores the streaming plan") {
+    import graft.sources.TabularWriter
+    spark.sql("DROP TABLE IF EXISTS ac_spec_lineitem")
+    try {
+      val full = Tables.lineitem(spark, sf)
+      val li = full.select(col("l_orderkey"), col("l_quantity"))
+      // half the data at create time, half appended — the split keys
+      // overlap so compaction must actually MERGE runs, not concatenate
+      TabularWriter.toBucketedTable(full.where(col("l_linenumber") =!= 1)
+        .select(col("l_orderkey"), col("l_quantity")),
+        "ac_spec_lineitem", "l_orderkey", buckets = 4, sorted = true)
+      TabularWriter.appendToBucketedTable(
+        full.where(col("l_linenumber") === 1)
+          .select(col("l_orderkey"), col("l_quantity")),
+        "ac_spec_lineitem")
+      val cents = sum(round(col("l_quantity") * 100).cast("long")).as("s")
+      def agg = spark.table("ac_spec_lineitem").groupBy("l_orderkey").agg(cents)
+      // post-append: multi-file buckets — co-location survives (zero
+      // Exchange) but the scan no longer reports order, so the plan
+      // falls back to HashAggregate. Documented contract.
+      val appended = agg.queryExecution.executedPlan.toString
+      assert(!appended.contains("Exchange"), s"append must keep co-location:\n$appended")
+      assert(appended.contains("HashAggregate"),
+        s"multi-file buckets cannot stream; expected hash fallback:\n$appended")
+      val want = li.groupBy("l_orderkey").agg(cents)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(agg.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === want.toSeq)
+      // compaction: one file per bucket again → streaming SortAggregate,
+      // zero Exchange, zero query-time Sort, same values
+      TabularWriter.compactBuckets(spark, "ac_spec_lineitem")
+      val compacted = agg.queryExecution.executedPlan.toString
+      assert(compacted.contains("SortAggregate"), s"expected streaming plan back:\n$compacted")
+      assert(!compacted.contains("Exchange"), s"compacted agg must not shuffle:\n$compacted")
+      assert(!compacted.contains("+- Sort "), s"compacted scan carries the order:\n$compacted")
+      assert(agg.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === want.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS ac_spec_lineitem")
+  }
+
+  test("attach: re-registers staged bucketed files as an external table with the full layout properties") {
+    import graft.sources.TabularWriter
+    spark.sql("DROP TABLE IF EXISTS att_src")
+    spark.sql("DROP TABLE IF EXISTS att_ext")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      TabularWriter.toBucketedTable(li, "att_src", "l_orderkey", buckets = 4, sorted = true)
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED att_src").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      // a fresh JVM's catalog is empty but the files live on: attach
+      // re-registers them without rewriting a byte
+      TabularWriter.attach(spark, "att_ext", loc, "l_orderkey", buckets = 4)
+      val cents = sum(round(col("l_quantity") * 100).cast("long")).as("s")
+      val agg = spark.table("att_ext").groupBy("l_orderkey").agg(cents)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("SortAggregate") && !plan.contains("Exchange"),
+        s"attached table must keep the streaming co-located plan:\n$plan")
+      val want = li.groupBy("l_orderkey").agg(cents)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(agg.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === want.toSeq)
+      // external: dropping the attached table must NOT delete the files
+      spark.sql("DROP TABLE att_ext")
+      assert(spark.read.parquet(loc).count() === li.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS att_ext")
+      spark.sql("DROP TABLE IF EXISTS att_src")
+    }
+  }
+
+  test("Tables.redirect points table resolution at a staged layout; clearRedirects restores") {
+    import graft.sources.TabularWriter
+    spark.sql("DROP TABLE IF EXISTS rd_lineitem")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      TabularWriter.toBucketedTable(li, "rd_lineitem", "l_orderkey", buckets = 4)
+      Tables.redirect(sf, "lineitem", "rd_lineitem")
+      try {
+        // the resolver now serves the staged layout: narrow schema,
+        // co-located per-key plans, same values
+        val got = Tables.lineitem(spark, sf)
+        assert(got.columns.toSet === Set("l_orderkey", "l_quantity"))
+        val agg = got.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      } finally Tables.clearRedirects()
+      assert(Tables.lineitem(spark, sf).columns.length > 2,
+        "clearRedirects must restore the flat read")
+    } finally spark.sql("DROP TABLE IF EXISTS rd_lineitem")
+  }
+
+  test("appendToBucketedTable rejects non-bucketed targets; bad specs are rejected by the writer") {
+    import graft.sources.TabularWriter
+    spark.sql("DROP TABLE IF EXISTS flat_spec_t")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")).limit(10)
+      li.write.mode("overwrite").saveAsTable("flat_spec_t")
+      val e = intercept[IllegalArgumentException] {
+        TabularWriter.appendToBucketedTable(li, "flat_spec_t")
+      }
+      assert(e.getMessage.contains("not a bucketed table"))
+    } finally spark.sql("DROP TABLE IF EXISTS flat_spec_t")
+  }
 }
