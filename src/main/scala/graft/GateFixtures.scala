@@ -167,6 +167,38 @@ private[graft] object GateFixtures {
       graft.plans.LayoutAdvisor.stageSorted(s, top, target)
     }
 
+  /** Advisor-chosen DERIVED-COLUMN projection: adviseDerivedCents reads
+    * the q1/q14-shaped money arithmetic off the corpus plans, picks
+    * (lineitem, {l_discount, l_extendedprice, l_quantity} cents,
+    * l_shipdate clustering) itself, and stageDerived writes the
+    * projection + sets the RewriteStoredCents table property. The gate
+    * keeps its round(x*100) arithmetic VERBATIM — the optimizer rule
+    * swaps in the stored longs, pruning drops the doubles from the scan
+    * (AdvisorSpec asserts both), and the values must equal the
+    * whole-table oracle computed from the raw doubles. */
+  def derivedCentsLineitem(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedTable(s, d, "dc_lineitem") { name =>
+      import org.apache.spark.sql.functions.{broadcast, col, lit, round, sum, when}
+      import org.apache.spark.sql.types.{DoubleType, TimestampType}
+      val li = Tables.lineitem(s, d)
+      val cents = (c: String) => round(col(c) * 100).cast("long")
+      val revE4 = cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
+      val corpus = Seq(
+        li.filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(cents("l_quantity")).as("q")),
+        li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg((sum(when(col("p_type") === "PROMO", revE4).otherwise(lit(0L)))
+            .cast(DoubleType) / 10000.0).as("p")))
+      val specs = graft.plans.LayoutAdvisor.adviseDerivedCents(corpus)
+      val top = specs.find(_.table == "lineitem").getOrElse(
+        sys.error(s"advisor found no lineitem derived spec: $specs"))
+      require(Set("l_quantity", "l_extendedprice", "l_discount")
+        .subsetOf(top.sourceCols.toSet) && top.sortCol.contains("l_shipdate"),
+        s"advisor picked unexpected derived spec: $top")
+      graft.plans.LayoutAdvisor.stageDerived(s, top, name)
+    }
+
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedTable(s, d, "bf_orders") { name =>
       import org.apache.spark.sql.functions.col

@@ -18,6 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.CollapseIdempotent)
+    // post-hoc resolution, NOT optimizer: must run before ColumnPruning
+    // hides the stored column (see the rule's scaladoc)
+    e.injectPostHocResolutionRule(_ => graft.plans.RewriteStoredCents)
     def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
       if (args.length != n) throw new IllegalArgumentException(
         s"$name requires exactly $n argument(s), got ${args.length}")

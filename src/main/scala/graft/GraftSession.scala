@@ -57,6 +57,12 @@ object GraftSession {
     // plans where partial+final run back-to-back on the same
     // partition, so aggregation order (and any float sum) is
     // unchanged. x200: per-order rollup 2.4→1.6 s (PERF.md round-9).
+    // Deliberately session-global, not scoped to the sorted-layout
+    // paths: on non-layout plans both confs are inert (r9 A/B: zero
+    // plan diffs, times within noise — PERF.md "Regression check"),
+    // and the listing cost of outputOrdering only arises when a
+    // bucketed table is planned. Scoping would make the documented
+    // plans depend on which code path set a conf.
     .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.execution.replaceHashWithSortAgg", "true")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

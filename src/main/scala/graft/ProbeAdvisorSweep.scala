@@ -51,6 +51,18 @@ object ProbeAdvisorSweep {
       if (bad > 0) sys.exit(1)
       return
     }
+    if (mode == "explain") {
+      // plan audit over the advised layouts (e.g. q8: every dim must
+      // BROADCAST onto the bucketed fact join — a dim that sort-merges
+      // would re-shuffle the fact side and void the layout)
+      ensureAdvised(spark, d)
+      names.foreach { n =>
+        println(s"===== $n (advisor layouts) =====")
+        SparkEntry.queries(n)(spark, d).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "layout") ensureAdvised(spark, d)
 
     def once(name: String): Double = {

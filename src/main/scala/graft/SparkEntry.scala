@@ -2081,6 +2081,30 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
         .orderBy(col("o_orderpriority"))
     },
+    "layout_derived_cents" -> { (s, d) =>
+      // the decode-constant class's layout answer as PRODUCT: the gate
+      // is q1's exact-money arithmetic VERBATIM (round(x*100) longs)
+      // over an advisor-staged derived projection
+      // (GateFixtures.derivedCentsLineitem) — RewriteStoredCents swaps
+      // each round-expression for the stored cents column at
+      // optimization time and pruning drops the raw doubles from the
+      // scan (AdvisorSpec asserts the plan; x200: q1 2.0×, q6 1.48×,
+      // q14 1.57×, q15 1.50× vs DuckDB where the flat class sat at
+      // 3.3–4.5× — PERF.md round-10). Values vs the whole-table oracle
+      // computed from the raw doubles: a stored column that drifted
+      // from cast(round(x*100) as long) by one cent hash-fails.
+      val cents = (c: String) => round(col(c) * 100).cast("long")
+      s.table(GateFixtures.derivedCentsLineitem(s, d))
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(cents("l_quantity")).cast(DoubleType) / 100.0).as("sum_qty"),
+          (sum(cents("l_extendedprice")).cast(DoubleType) / 100.0).as("sum_base_price"),
+          (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).cast(DoubleType) / 10000.0)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
     "layout_append_compact" -> { (s, d) =>
       // a bucketed fact table that GREW: created sorted from 5/6 of
       // lineitem, the rest appended (appendToBucketedTable — same
@@ -2266,6 +2290,10 @@ object SparkEntry {
     // plan variants share their base query's oracle: results must be
     // bit-identical, only the physical strategy differs
     "q1_pricing_summary_cents" -> oracleSqlBase("q1_pricing_summary"),
+    // the derived-cents layout gate must equal the same q1 oracle
+    // computed from the RAW doubles — the stored cents column is the
+    // thing under test
+    "layout_derived_cents" -> oracleSqlBase("q1_pricing_summary"),
     "metric_gauc_sorted" -> oracleSqlBase("metric_gauc"))
 
   /** Quality-score SQL expression over a `t(doc_id, toks)` CTE —

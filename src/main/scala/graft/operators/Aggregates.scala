@@ -42,14 +42,57 @@ object Aggregates {
     * to the partition key itself; pass them explicitly to alias the key
     * (they must be functionally determined by `key` for the no-second-
     * exchange property to hold).
-    */
+    *
+    * LAYOUT-AWARE (round 10): when `df` is a straight-line read of a
+    * catalog table BUCKETED on `key` (the scaladoc's "when NOT to use"
+    * case, detected instead of documented), the explicit repartition is
+    * skipped — rows are already co-located, so the plain groupBy plans
+    * exchange-free (and streams, on sorted layouts). Shipping the
+    * explicit exchange there re-introduced the exact shuffle the layout
+    * paid its write to remove: the x200 advisor sweep measured q18 with
+    * the hardcoded repartition at 7.0 s over the bucketed table vs the
+    * exchange-free shape's ~4 s class (PERF.md round-10). */
   def byShuffledKey(df: DataFrame, key: Column, groupCols: Column*): RelationalGroupedDataset = {
     val g = if (groupCols.isEmpty) Seq(key) else groupCols
-    df.repartition(key).groupBy(g: _*)
+    val pre = if (isCoLocatedOn(df, Seq(key))) df else df.repartition(key)
+    pre.groupBy(g: _*)
   }
 
   /** Multi-column key form of [[byShuffledKey]]: shuffle raw rows on all
-    * `keys`, then group by them. */
-  def byShuffledKeys(df: DataFrame, keys: Seq[Column]): RelationalGroupedDataset =
-    df.repartition(keys: _*).groupBy(keys: _*)
+    * `keys`, then group by them. A bucketed layout co-locates on its
+    * bucket key alone, so any superset grouping that CONTAINS the bucket
+    * key is also co-located (all rows of one bucket-key value share a
+    * partition). */
+  def byShuffledKeys(df: DataFrame, keys: Seq[Column]): RelationalGroupedDataset = {
+    val pre = if (isCoLocatedOn(df, keys)) df else df.repartition(keys: _*)
+    pre.groupBy(keys: _*)
+  }
+
+  /** True iff `df` is a projection/filter over a catalog table whose
+    * bucket column is among `keys` BY NAME — then rows with equal `keys`
+    * already share a partition and a pre-aggregation repartition is pure
+    * waste. Conservative by construction: any node other than a
+    * Project/Filter/alias chain over the relation (a join, a union, an
+    * existing repartition) returns false and keeps the explicit
+    * shuffle. Name-based key match: these entry points take unresolved
+    * columns; a derived key (`expr(key)+1`) is not an AttributeReference
+    * and correctly fails the match. */
+  private[graft] def isCoLocatedOn(df: DataFrame, keys: Seq[Column]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val names = keys.flatMap(k =>
+      org.apache.spark.sql.graftbridge.Bridge.attrName(k).map(_.toLowerCase)).toSet
+    if (names.isEmpty) return false
+    def leaf(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case Project(_, c) => leaf(c)
+      case Filter(_, c) => leaf(c)
+      case SubqueryAlias(_, c) => leaf(c)
+      case lr: LogicalRelation => Some(lr)
+      case _ => None
+    }
+    leaf(df.queryExecution.analyzed).exists(_.catalogTable.exists(_.bucketSpec.exists {
+      bs => bs.bucketColumnNames.size == 1 &&
+        names.contains(bs.bucketColumnNames.head.toLowerCase)
+    }))
+  }
 }

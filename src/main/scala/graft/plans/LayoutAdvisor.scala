@@ -49,12 +49,25 @@ object LayoutAdvisor {
   case class LayoutSpec(path: String, table: String, key: String,
       buckets: Int, columns: Seq[String], hits: Int)
 
-  /** One bucket per ~`target` bytes of source data, floored at 8 so
-    * small inputs still exercise the layout, capped at 4096 (a 100 TB
-    * table at the 1 GiB default = 4096 buckets ≈ 25 GB each — size
-    * `target` down if a single bucket must fit one task's memory). */
-  def bucketsFor(bytes: Long, target: Long): Int =
-    math.min(4096L, math.max(8L, (bytes + target - 1) / target)).toInt
+  /** One bucket per ~`target` bytes of source data, floored at
+    * `minBuckets` so small inputs still exercise the layout, capped at
+    * 4096 (a 100 TB table at the 1 GiB default = 4096 buckets ≈ 25 GB
+    * each — size `target` down if a single bucket must fit one task's
+    * memory). */
+  def bucketsFor(bytes: Long, target: Long, minBuckets: Int = 8): Int =
+    math.min(4096L, math.max(minBuckets.toLong, (bytes + target - 1) / target)).toInt
+
+  /** The floor every advised bucket count must clear: the session's
+    * target parallelism (spark.sql.shuffle.partitions). A bucketed side
+    * DICTATES its joins' and aggregates' partition count — a small
+    * dimension advised at 8 buckets drags every shuffle that meets it
+    * down to 8-way parallelism (measured x200: q13's customer⋈orders
+    * went 2.6→3.7 s on an 8-bucket customer — the layout made it WORSE
+    * until this floor). Never advise a layout below the parallelism the
+    * session plans for; the same rule holds at cluster scale with a
+    * bigger constant. */
+  private def parallelismFloor(corpus: Seq[DataFrame]): Int = math.max(8,
+    corpus.head.sparkSession.conf.get("spark.sql.shuffle.partitions", "8").toInt)
 
   private def tableName(path: String): String = {
     val base = path.stripSuffix("/").split('/').last
@@ -182,8 +195,9 @@ object LayoutAdvisor {
     joinEdges.foreach { case (a, b) =>
       if (chosenSet(a) && chosenSet(b)) parent(find(a)) = find(b)
     }
+    val floor = parallelismFloor(corpus)
     val ownBuckets = chosen.map { case (path, key, _) =>
-      (path, key) -> bucketsFor(tables(path)._1, targetBucketBytes)
+      (path, key) -> bucketsFor(tables(path)._1, targetBucketBytes, floor)
     }.toMap
     val classMax = ownBuckets.keys.groupBy(find).map { case (root, members) =>
       root -> members.map(ownBuckets).max
@@ -274,8 +288,9 @@ object LayoutAdvisor {
     joinEdges.foreach { case (a, b) =>
       if (chosenSet(a) && chosenSet(b)) parent(find(a)) = find(b)
     }
+    val floor = parallelismFloor(corpus)
     val own = chosen.map { case (pc @ (p, _), _) =>
-      pc -> bucketsFor(bytesOf(p), targetBucketBytes)
+      pc -> bucketsFor(bytesOf(p), targetBucketBytes, floor)
     }.toMap
     val classMax = own.keys.groupBy(find).map { case (root, ms) => root -> ms.map(own).max }
     chosen.map { case ((p, k), (c, cols)) =>
@@ -407,6 +422,125 @@ object LayoutAdvisor {
       case other => throw new IllegalArgumentException(
         s"stageSorted: expected 1 or 2 sort columns, got $other")
     }
+  }
+
+  /** One recommended DERIVED-COLUMN projection: rewrite the table at
+    * `path` carrying `<col>_cents = cast(round(col * 100) as bigint)`
+    * for each of `sourceCols`, optionally range-clustered on `sortCol`
+    * (the corpus's hottest filter column, so the projection also
+    * prunes). Queries keep their exact-money `round(x*100)` arithmetic
+    * unchanged — [[RewriteStoredCents]] swaps the expression for the
+    * stored column at optimization time and pruning drops the double
+    * from the scan. */
+  case class DerivedSpec(path: String, table: String, sourceCols: Seq[String],
+      sortCol: Option[String], numFiles: Int, hits: Int)
+
+  /** Advise stored-cents projections from the corpus's own money
+    * arithmetic: every `cast(round(col * 100) as bigint)` over a leaf
+    * column (the engine's exact-money idiom — casts/renames resolved)
+    * is a hit for (table, col). The decode-constant class (q1/q6/q14/
+    * q15) is made of exactly these expressions over double columns;
+    * storing the cents at write time was measured at 1.5–2.0× vs
+    * DuckDB where the flat scans sat at 3.3–4.5× (PERF.md round-10). */
+  def adviseDerivedCents(corpus: Seq[DataFrame], targetFileBytes: Long = 256L << 20,
+      minHits: Int = 1): Seq[DerivedSpec] = {
+    require(corpus.nonEmpty, "LayoutAdvisor.adviseDerivedCents: empty corpus")
+    import org.apache.spark.sql.types.LongType
+    val centsHits = scala.collection.mutable.Map.empty[(String, String), Int]
+    val filterHits = scala.collection.mutable.Map.empty[(String, String), Int]
+    val meta = scala.collection.mutable.Map.empty[String, (String, Long)] // pathKey -> (headPath, bytes)
+    corpus.foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      val byId = scala.collection.mutable.Map.empty[Long, (String, String)]
+      plan.foreach {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+          val roots = fs.location.rootPaths.map(_.toString)
+          val key = roots.mkString(",")
+          lr.output.foreach(a => byId(a.exprId.id) = (key, a.name))
+          meta.getOrElseUpdate(key, (roots.head, fs.sizeInBytes))
+        case _ =>
+      }
+      resolveAliases(plan, byId)
+      def stripCast(e: Expression): Expression = e match {
+        case c: Cast => stripCast(c.child)
+        case other => other
+      }
+      def hundred(l: org.apache.spark.sql.catalyst.expressions.Literal): Boolean =
+        l.value match {
+          case i: Int => i == 100
+          case lo: Long => lo == 100L
+          case d: Double => d == 100.0
+          case _ => false
+        }
+      plan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case c: Cast if c.dataType == LongType => c.child match {
+            case r: org.apache.spark.sql.catalyst.expressions.Round => r.child match {
+              case m: org.apache.spark.sql.catalyst.expressions.Multiply =>
+                val src = (stripCast(m.left), stripCast(m.right)) match {
+                  case (a: AttributeReference,
+                        l: org.apache.spark.sql.catalyst.expressions.Literal) if hundred(l) => Some(a)
+                  case (l: org.apache.spark.sql.catalyst.expressions.Literal,
+                        a: AttributeReference) if hundred(l) => Some(a)
+                  case _ => None
+                }
+                src.flatMap(a => byId.get(a.exprId.id))
+                  .foreach(pc => centsHits(pc) = centsHits.getOrElse(pc, 0) + 1)
+              case _ =>
+            }
+            case _ =>
+          }
+          case _ =>
+        })
+        node match {
+          case f: Filter => conjuncts(f.condition).foreach {
+            case cmp: BinaryComparison =>
+              val attr = (stripCast(cmp.left), stripCast(cmp.right)) match {
+                case (a: AttributeReference, rhs) if rhs.foldable => Some(a)
+                case (lhs, a: AttributeReference) if lhs.foldable => Some(a)
+                case _ => None
+              }
+              attr.flatMap(a => byId.get(a.exprId.id))
+                .foreach(pc => filterHits(pc) = filterHits.getOrElse(pc, 0) + 1)
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+    }
+    centsHits.groupBy(_._1._1).toSeq.flatMap { case (key, keyed) =>
+      val cols = keyed.toSeq.filter(_._2 >= minHits)
+        .sortBy { case ((_, c), n) => (-n, c) }.map(_._1._2)
+      if (cols.isEmpty) None
+      else {
+        val (headPath, bytes) = meta(key)
+        val sortCol = filterHits.toSeq.filter(_._1._1 == key)
+          .sortBy { case ((_, c), n) => (-n, c) }.headOption.map(_._1._2)
+        Some(DerivedSpec(headPath, tableName(headPath), cols, sortCol,
+          filesFor(bytes, targetFileBytes), keyed.map(_._2).sum))
+      }
+    }.sortBy(s => (-s.hits, s.table))
+  }
+
+  /** Stage one derived-cents projection as catalog table `name`: the
+    * FULL source schema plus `<col>_cents` longs computed with the
+    * exact expression [[RewriteStoredCents]] rewrites, range-clustered
+    * on `sortCol` when advised, and the table property set so the rule
+    * (and only it) treats the stored columns as authoritative. */
+  def stageDerived(spark: SparkSession, spec: DerivedSpec, name: String): Unit = {
+    import org.apache.spark.sql.functions.{col, round}
+    val base = spark.read.parquet(spec.path)
+    val withCents = spec.sourceCols.foldLeft(base)((df, c) =>
+      df.withColumn(c + "_cents", round(col(c) * 100).cast("long")))
+    val shaped = spec.sortCol match {
+      case Some(sc) => withCents
+        .repartitionByRange(spec.numFiles, col(sc)).sortWithinPartitions(sc)
+      case None => withCents
+    }
+    shaped.write.mode("overwrite").saveAsTable(name)
+    spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES " +
+      s"('${RewriteStoredCents.Property}' = '${spec.sourceCols.mkString(",")}')")
   }
 
   /** Complete layout advice for a corpus: bucketed layouts for the

@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The bare attribute name a Column refers to, if it is a plain
+    * (possibly qualified) column reference — None for any computed
+    * expression. Spark 4 Columns carry sql-api ColumnNodes, not
+    * catalyst Expressions, so name inspection has to happen at the
+    * node layer. */
+  def attrName(c: Column): Option[String] = c.node match {
+    case u: org.apache.spark.sql.internal.UnresolvedAttribute =>
+      Some(u.nameParts.last)
+    case _ => None
+  }
 }

@@ -255,6 +255,64 @@ class AdvisorSpec extends GraftSpec {
       java.nio.file.Paths.get(out).getParent)
   }
 
+  test("adviseDerivedCents + RewriteStoredCents: stored cents read, doubles pruned, exact values") {
+    val li = Tables.lineitem(spark, sf)
+    val cents = (c: String) => round(col(c) * 100).cast("long")
+    val corpus = Seq(
+      li.filter(col("l_shipdate") <= lit("1998-09-01").cast(org.apache.spark.sql.types.TimestampType))
+        .groupBy(col("l_returnflag")).agg(sum(cents("l_quantity")).as("q")),
+      li.agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("r")))
+    val specs = LayoutAdvisor.adviseDerivedCents(corpus)
+    assert(specs.size === 1)
+    val s0 = specs.head
+    assert(s0.table === "lineitem")
+    assert(s0.sourceCols.toSet === Set("l_quantity", "l_extendedprice", "l_discount"))
+    // the corpus's one filter column becomes the clustering choice
+    assert(s0.sortCol === Some("l_shipdate"))
+    spark.sql("DROP TABLE IF EXISTS dcs_lineitem")
+    try {
+      LayoutAdvisor.stageDerived(spark, s0, "dcs_lineitem")
+      // the query keeps its round(x*100) arithmetic VERBATIM
+      val q = spark.table("dcs_lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents("l_quantity")).as("q"),
+          sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("r"))
+      val plan = q.queryExecution.executedPlan.toString
+      // rewritten: stored longs read, NO round left anywhere, and
+      // pruning dropped every raw double from the scan
+      assert(plan.contains("l_quantity_cents"), s"expected stored cents in plan:\n$plan")
+      assert(!plan.toLowerCase.contains("round("), s"round must be rewritten away:\n$plan")
+      val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!scanSchema.contains("l_quantity:") && !scanSchema.contains("l_extendedprice:"),
+        s"raw doubles must be pruned from the scan:\n$scanSchema")
+      val want = li.groupBy(col("l_returnflag"))
+        .agg(sum(cents("l_quantity")).as("q"),
+          sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("r"))
+        .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val got = q.orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === want.toSeq)
+      // a projection that DROPS the cents column blocks the rewrite
+      // instead of producing an unresolved plan — falls back to compute
+      val blocked = spark.table("dcs_lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .groupBy(col("l_returnflag")).agg(sum(cents("l_quantity")).as("q"))
+      assert(blocked.queryExecution.executedPlan.toString.toLowerCase.contains("round("))
+      assert(blocked.orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq === want.map(t => (t._1, t._2)).toSeq)
+      // an UNMARKED table with a *_cents column is never rewritten
+      spark.sql("DROP TABLE IF EXISTS dcs_unmarked")
+      try {
+        li.limit(100).withColumn("l_quantity_cents", lit(0L))
+          .write.mode("overwrite").saveAsTable("dcs_unmarked")
+        val unmarked = spark.table("dcs_unmarked")
+          .agg(sum(cents("l_quantity")).as("q"))
+        assert(unmarked.queryExecution.executedPlan.toString.toLowerCase.contains("round("),
+          "rewrite must not fire without the table property")
+      } finally spark.sql("DROP TABLE IF EXISTS dcs_unmarked")
+    } finally spark.sql("DROP TABLE IF EXISTS dcs_lineitem")
+  }
+
   test("bucketsFor: scales with bytes, floors at 8, caps at 4096") {
     assert(LayoutAdvisor.bucketsFor(0L, 1L << 30) === 8)
     assert(LayoutAdvisor.bucketsFor(100L << 30, 1L << 30) === 100)

@@ -174,6 +174,43 @@ class BucketingSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS rd_lineitem")
   }
 
+  test("byShuffledKey is layout-aware: skips its shuffle on a bucketed input, keeps it on flat") {
+    import graft.operators.Aggregates
+    import graft.sources.TabularWriter
+    spark.sql("DROP TABLE IF EXISTS bsk_lineitem")
+    try {
+      val flat = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      TabularWriter.toBucketedTable(flat, "bsk_lineitem", "l_orderkey", buckets = 4, sorted = true)
+      val cents = sum(round(col("l_quantity") * 100).cast("long")).as("s")
+      // bucketed input (through a projection + filter + alias, the q18
+      // shape): the explicit repartition would re-introduce the exact
+      // exchange the layout removed — it must be skipped
+      val onLayout = Aggregates.byShuffledKey(
+        spark.table("bsk_lineitem").filter(col("l_quantity") > 0)
+          .select(col("l_orderkey"), col("l_quantity")),
+        col("l_orderkey"), col("l_orderkey").as("g_ok")).agg(cents)
+      val layoutPlan = onLayout.queryExecution.executedPlan.toString
+      assert(!layoutPlan.contains("Exchange"),
+        s"byShuffledKey must not re-shuffle a co-located input:\n$layoutPlan")
+      // flat input: the explicit pre-aggregation shuffle is the point
+      val onFlat = Aggregates.byShuffledKey(flat, col("l_orderkey")).agg(cents)
+      assert(onFlat.queryExecution.executedPlan.toString.contains("Exchange"))
+      // superset grouping keys containing the bucket key are co-located too
+      val multi = Aggregates.byShuffledKeys(
+        spark.table("bsk_lineitem"), Seq(col("l_orderkey"), col("l_quantity"))).agg(cents)
+      assert(!multi.queryExecution.executedPlan.toString.contains("Exchange"))
+      // a join above the relation is NOT straight-line: conservative fallback
+      val joined = spark.table("bsk_lineitem")
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      assert(!Aggregates.isCoLocatedOn(joined, Seq(col("l_orderkey"))))
+      // values match the plain groupBy
+      val got = onLayout.orderBy("g_ok").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = flat.filter(col("l_quantity") > 0).groupBy("l_orderkey").agg(cents)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq === want.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS bsk_lineitem")
+  }
+
   test("appendToBucketedTable rejects non-bucketed targets; bad specs are rejected by the writer") {
     import graft.sources.TabularWriter
     spark.sql("DROP TABLE IF EXISTS flat_spec_t")
