@@ -100,8 +100,14 @@ object ProbeAdvisorSweep {
     val corpus = BenchBig.Rel.map(n => SparkEntry.queries(n)(spark, d))
     val specs = graft.plans.LayoutAdvisor.advise(corpus,
       targetBucketBytes = 64L << 20, minHits = 2)
+    // the COMPOSITION: the advised bucketed tables also carry stored
+    // cents for every money column the corpus rounds (the decode
+    // constant and the exchanges fall out of the same one-time write)
+    val derived = graft.plans.LayoutAdvisor.adviseDerivedCents(corpus)
+      .map(ds => ds.table -> ds.sourceCols).toMap
     specs.foreach(s => println(
-      s"[advise] ${s.table} key=${s.key} buckets=${s.buckets} hits=${s.hits} cols=${s.columns.size}"))
+      s"[advise] ${s.table} key=${s.key} buckets=${s.buckets} hits=${s.hits} " +
+        s"cols=${s.columns.size} cents=${derived.getOrElse(s.table, Nil).mkString(",")}"))
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     // dir-tagged names (GateFixtures discipline): the same JVM-spanning
     // warehouse serves several data dirs — an untagged name would
@@ -109,17 +115,21 @@ object ProbeAdvisorSweep {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     specs.map { spec =>
       val t = s"adv_sweep_${spec.table}$tag"
+      val cents = derived.getOrElse(spec.table, Nil).filter(spec.columns.contains)
       if (!spark.catalog.tableExists(t)) {
         val loc = java.nio.file.Paths.get(wh, t)
         if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
           val t0 = System.nanoTime()
           graft.sources.TabularWriter.attach(
             spark, t, loc.toString, spec.key, spec.buckets)
+          // table properties live in the catalog the attach just
+          // recreated, not in the files — re-mark or the rule stays off
+          if (cents.nonEmpty) graft.plans.LayoutAdvisor.markDerived(spark, t, cents)
           println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
         } else {
           GateFixtures.deleteRecursively(loc)
           val t0 = System.nanoTime()
-          graft.plans.LayoutAdvisor.stage(spark, spec, t)
+          graft.plans.LayoutAdvisor.stageWithDerived(spark, spec, cents, t)
           println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
         }
       }

@@ -245,10 +245,13 @@ object Relational {
       // as a broadcast. Identical output, half the fact passes.
       val li = Tables.lineitem(s, d)
       // spread per-order key: shuffle raw rows before aggregating
-      // (Aggregates scaladoc — partial agg can't reduce this layout)
+      // (Aggregates scaladoc — partial agg can't reduce this layout).
+      // No explicit narrow select: Catalyst prunes to the two columns
+      // anyway, and a hand projection would BLOCK RewriteStoredCents
+      // from serving the stored l_quantity_cents on derived layouts
+      // (the rule only rewrites where the stored column stays in scope)
       val big = graft.operators.Aggregates
-        .byShuffledKey(li.select(col("l_orderkey"), col("l_quantity")),
-          col("l_orderkey"), col("l_orderkey").as("b_orderkey"))
+        .byShuffledKey(li, col("l_orderkey"), col("l_orderkey").as("b_orderkey"))
         .agg(sum(cents("l_quantity")).as("b_qty_cents"))
         .filter(col("b_qty_cents") > 300L * 100)
       val o = Tables.orders(s, d)

@@ -539,9 +539,35 @@ object LayoutAdvisor {
       case None => withCents
     }
     shaped.write.mode("overwrite").saveAsTable(name)
-    spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES " +
-      s"('${RewriteStoredCents.Property}' = '${spec.sourceCols.mkString(",")}')")
+    markDerived(spark, name, spec.sourceCols)
   }
+
+  /** Stage a BUCKETED advice that also CARRIES stored cents columns —
+    * the composition of the two layout answers: the bucket key removes
+    * the per-key exchanges, the stored `<col>_cents` longs remove the
+    * double decode + per-row rounding ([[RewriteStoredCents]] swaps the
+    * expressions, pruning drops the doubles), and both live in ONE
+    * physical table so a query class pays one write. `derivedCols` is
+    * intersected with the advice's carried columns (a cents column for
+    * a column the class never reads would be dead weight). */
+  def stageWithDerived(spark: SparkSession, spec: LayoutSpec,
+      derivedCols: Seq[String], name: String): Unit = {
+    import org.apache.spark.sql.functions.{col, round}
+    val keep = derivedCols.filter(spec.columns.contains)
+    val base = spark.read.parquet(spec.path).select(spec.columns.map(col): _*)
+    val withCents = keep.foldLeft(base)((df, c) =>
+      df.withColumn(c + "_cents", round(col(c) * 100).cast("long")))
+    graft.sources.TabularWriter.toBucketedTable(
+      withCents, name, spec.key, spec.buckets, sorted = true)
+    if (keep.nonEmpty) markDerived(spark, name, keep)
+  }
+
+  /** Set the [[RewriteStoredCents]] authority property on `table` —
+    * needed both at stage time and after a fresh-catalog re-`attach`
+    * (table properties live in the catalog, not the files). */
+  def markDerived(spark: SparkSession, table: String, sourceCols: Seq[String]): Unit =
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('${RewriteStoredCents.Property}' = '${sourceCols.mkString(",")}')")
 
   /** Complete layout advice for a corpus: bucketed layouts for the
     * per-key operator classes first (they remove exchanges — the bigger

@@ -313,6 +313,32 @@ class AdvisorSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dcs_lineitem")
   }
 
+  test("stageWithDerived: one table composes exchange-free AND stored-cents (streams, no round, doubles pruned)") {
+    val li = Tables.lineitem(spark, sf)
+    val cents = (c: String) => round(col(c) * 100).cast("long")
+    val corpus = Seq(
+      li.groupBy(col("l_orderkey")).agg(sum(cents("l_quantity")).as("q")))
+    val spec = LayoutAdvisor.advise(corpus).head
+    spark.sql("DROP TABLE IF EXISTS swd_lineitem")
+    try {
+      LayoutAdvisor.stageWithDerived(spark, spec, Seq("l_quantity"), "swd_lineitem")
+      val q = spark.table("swd_lineitem")
+        .groupBy(col("l_orderkey")).agg(sum(cents("l_quantity")).as("q"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortAggregate") && !plan.contains("Exchange"),
+        s"bucketed half must still stream exchange-free:\n$plan")
+      assert(plan.contains("l_quantity_cents") && !plan.toLowerCase.contains("round("),
+        s"derived half must serve the stored longs:\n$plan")
+      val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!scanSchema.contains("l_quantity:"),
+        s"raw double must be pruned from the scan:\n$scanSchema")
+      val wantRows = li.groupBy(col("l_orderkey")).agg(sum(cents("l_quantity")).as("q"))
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(q.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === wantRows.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS swd_lineitem")
+  }
+
   test("bucketsFor: scales with bytes, floors at 8, caps at 4096") {
     assert(LayoutAdvisor.bucketsFor(0L, 1L << 30) === 8)
     assert(LayoutAdvisor.bucketsFor(100L << 30, 1L << 30) === 100)
