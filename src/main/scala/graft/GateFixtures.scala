@@ -141,6 +141,35 @@ private[graft] object GateFixtures {
       graft.sources.TabularWriter.compactBuckets(s, name)
     }
 
+  /** The STREAMING-ingest lifecycle: a sorted bucketed table created
+    * from part of the fact table, the rest ARRIVING as a file stream
+    * appended micro-batch-by-micro-batch through
+    * StreamingLayout.intoBucketedTable (idempotent per batch id), with
+    * the final batch triggering compactBuckets so the table ends back
+    * at one sorted file per bucket. The gate's per-order rollup over
+    * the post-ingest table must equal the whole-table oracle — a
+    * batch lost, replayed-and-duplicated, or mis-bucketed hash-fails —
+    * and BucketingSpec drives the replay + plan assertions directly. */
+  def streamIngestLineitem(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedTable(s, d, "si_lineitem") { name =>
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      graft.sources.TabularWriter.toBucketedTable(
+        li.where(col("l_orderkey") % 3 =!= 0), name, "l_orderkey",
+        buckets = 8, sorted = true)
+      val root = Files.createTempDirectory("graft_si_stream")
+      sys.addShutdownHook(deleteRecursively(root))
+      val srcDir = root.resolve("src").toString
+      li.where(col("l_orderkey") % 3 === 0).repartition(2)
+        .write.mode("overwrite").parquet(srcDir)
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.StreamingLayout.intoBucketedTable(
+        stream, name, root.resolve("commits").toString,
+        root.resolve("ckpt").toString, compactEvery = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+
   /** Advisor-chosen SORTED layout (the predicate half of layout
     * selection): adviseSorted reads a range-filter corpus, picks
     * (orders, o_orderdate) itself, and stageSorted writes the

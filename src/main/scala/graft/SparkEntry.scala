@@ -2122,6 +2122,21 @@ object SparkEntry {
         .filter(col("ac_qty_cents") > 150L * 100)
         .select(col("ac_orderkey"), col("ac_qty_cents"))
     },
+    "layout_stream_ingest" -> { (s, d) =>
+      // a bucketed fact table fed by a STREAM: created sorted from
+      // 2/3 of lineitem, the rest arriving as a 2-batch file stream
+      // appended through StreamingLayout.intoBucketedTable (idempotent
+      // per batch id; the final batch triggers compactBuckets). This
+      // per-order rollup over the post-ingest table must equal the
+      // whole-table oracle — a lost batch, a replay-duplicated batch,
+      // or a mis-bucketed row hash-fails — and BucketingSpec drives
+      // the replay + the plan at each lifecycle stage.
+      s.table(GateFixtures.streamIngestLineitem(s, d))
+        .groupBy(col("l_orderkey").as("si_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("si_price_cents"))
+        .filter(col("si_price_cents") > 200000L * 100)
+        .select(col("si_orderkey"), col("si_price_cents"))
+    },
     "join_bucketed_fact" -> { (s, d) =>
       // co-located FACT⋈FACT join (q9/q12's named blocker was the
       // orderkey exchange of BOTH sides — ProbeRel measured blooms and
@@ -3880,6 +3895,10 @@ object SparkEntry {
       """SELECT l_orderkey AS ac_orderkey,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ac_qty_cents
         |FROM lineitem GROUP BY 1 HAVING ac_qty_cents > 15000""".stripMargin,
+    "layout_stream_ingest" ->
+      """SELECT l_orderkey AS si_orderkey,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS si_price_cents
+        |FROM lineitem GROUP BY 1 HAVING si_price_cents > 20000000""".stripMargin,
     "agg_bucketed_sortstream" ->
       """SELECT l_orderkey AS b_orderkey,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS b_qty_cents

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BinaryComparison, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, Contains, EndsWith, EqualNullSafe, EqualTo, Expression, In, IsNotNull, IsNull, Not, Or, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -45,9 +45,14 @@ object LayoutAdvisor {
   /** One recommended bucketed projection: stage `columns` of the table
     * at `path` bucketed+sorted on `key` into `buckets` files. `hits` =
     * how many per-key operators across the corpus this layout carries
-    * (the advisor's ranking signal, kept for reporting). */
+    * (the advisor's ranking signal, kept for reporting). `benefitBytes`
+    * = the estimated bytes of this table that cross per-key exchanges
+    * per corpus run, i.e. what the layout saves each time the corpus
+    * executes (per-hit table bytes discounted by the Selinger-style
+    * selectivity of every Filter between the scan and the operator —
+    * see [[advise]]'s minBenefitFraction). */
   case class LayoutSpec(path: String, table: String, key: String,
-      buckets: Int, columns: Seq[String], hits: Int)
+      buckets: Int, columns: Seq[String], hits: Int, benefitBytes: Long = 0L)
 
   /** One bucket per ~`target` bytes of source data, floored at
     * `minBuckets` so small inputs still exercise the layout, capped at
@@ -104,11 +109,62 @@ object LayoutAdvisor {
     }
   }
 
+  /** Textbook (Selinger-constant) selectivity guess for a filter
+    * predicate — no table statistics exist on a raw parquet read, so
+    * the estimate is structural: equality ~1/10, range comparison ~1/3,
+    * IN ~1/10 per value, IS NULL ~1/20, prefix/substring ~1/4,
+    * IS NOT NULL 1 (the optimizer injects one per join/filter column —
+    * it must not discount anything), AND multiplies, OR adds. The
+    * absolute numbers are crude by design; they only need to separate
+    * "the whole table reaches the per-key operator" from "a thin slice
+    * does" for the stage/don't-stage threshold. */
+  private def selectivity(e: Expression): Double = e match {
+    case And(l, r) => selectivity(l) * selectivity(r)
+    case Or(l, r) =>
+      val (a, b) = (selectivity(l), selectivity(r)); math.min(1.0, a + b - a * b)
+    case Not(c) => math.max(0.0, 1.0 - selectivity(c))
+    case _: EqualTo | _: EqualNullSafe => 0.1
+    case in: In => math.min(0.5, 0.1 * in.list.size)
+    case _: IsNull => 0.05
+    case _: IsNotNull => 1.0
+    case _: StartsWith | _: Contains | _: EndsWith => 0.25
+    case _: BinaryComparison => 1.0 / 3.0
+    case _ => 0.5
+  }
+
+  /** Estimated fraction of the rows of the leaf at `leafPath` that
+    * reach `n`: the product of [[selectivity]] over every Filter
+    * between that leaf and `n`. None when the leaf is not under `n`;
+    * self-joins take the first occurrence (the signal feeds a
+    * stage/don't-stage threshold, not an exact cost model). */
+  private def reachFraction(n: LogicalPlan, leafPath: String): Option[Double] = n match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.head.toString == leafPath =>
+        Some(1.0)
+      case _ => None
+    }
+    case f: Filter => reachFraction(f.child, leafPath).map(_ * selectivity(f.condition))
+    case other => other.children.flatMap(c => reachFraction(c, leafPath)).headOption
+  }
+
   /** Analyze a corpus and recommend one bucketed layout per table that
     * any per-key operator reads, ranked by hits (ties broken by table
     * name for determinism). Tables whose best key carries fewer than
     * `minHits` operators are dropped — a one-off key does not pay for
     * a write-time shuffle of the whole table.
+    *
+    * `minBenefitFraction` is the DON'T-STAGE signal from selectivity:
+    * each hit is weighted by the estimated fraction of the table's rows
+    * that reach its operator ([[reachFraction]] — a per-key aggregate
+    * above a one-day equality filter moves a thin slice through its
+    * exchange, so bucketing the whole table buys almost nothing; q10's
+    * selective-filter class measured exactly this, PERF.md round-10),
+    * and a table whose summed weights fall below the threshold is not
+    * advised. The unit is "table-scans' worth of exchange avoided per
+    * corpus run": staging costs ~one write-time shuffle of the table,
+    * so 1.0 means the layout pays for itself every time the corpus
+    * runs; repeated corpora amortize, which is why the default keeps
+    * every hit (0.0) and the threshold is the caller's run-rate call.
     *
     * Join alignment: a co-located join only stays exchange-free when
     * BOTH sides share the bucket count, so tables whose chosen keys
@@ -119,10 +175,12 @@ object LayoutAdvisor {
     * bytes of orders would get 4× the buckets and the order-key join
     * would silently re-shuffle one side at every query. */
   def advise(corpus: Seq[DataFrame], targetBucketBytes: Long = 1L << 30,
-      minHits: Int = 1): Seq[LayoutSpec] = {
+      minHits: Int = 1, minBenefitFraction: Double = 0.0): Seq[LayoutSpec] = {
     require(corpus.nonEmpty, "LayoutAdvisor.advise: empty corpus")
     // (path, keyColumn) -> hit count; path -> (bytes, union of pruned columns)
     val hits = scala.collection.mutable.Map.empty[(String, String), Int]
+    // (path, keyColumn) -> summed reach fractions (the benefit signal)
+    val weight = scala.collection.mutable.Map.empty[(String, String), Double]
     val tables = scala.collection.mutable.Map.empty[String, (Long, Set[String])]
     // equi-join edges between (path, column) pairs, for bucket alignment
     val joinEdges = scala.collection.mutable.Set.empty[((String, String), (String, String))]
@@ -152,18 +210,22 @@ object LayoutAdvisor {
         case _ =>
       }
       resolveAliases(plan, byId)
-      def hit(a: Attribute): Unit =
-        byId.get(a.exprId.id).foreach { pc => hits(pc) = hits.getOrElse(pc, 0) + 1 }
+      def hit(a: Attribute, at: LogicalPlan): Unit =
+        byId.get(a.exprId.id).foreach { pc =>
+          hits(pc) = hits.getOrElse(pc, 0) + 1
+          weight(pc) = weight.getOrElse(pc, 0.0) +
+            reachFraction(at, pc._1).getOrElse(1.0)
+        }
       plan.foreach {
         case agg: Aggregate =>
           agg.groupingExpressions.foreach {
-            case ar: AttributeReference => hit(ar)
+            case ar: AttributeReference => hit(ar, agg)
             case _ =>
           }
         case j: Join =>
           j.condition.toSeq.flatMap(conjuncts).foreach {
             case EqualTo(l: AttributeReference, r: AttributeReference) =>
-              hit(l); hit(r)
+              hit(l, j); hit(r, j)
               for (lp <- byId.get(l.exprId.id); rp <- byId.get(r.exprId.id))
                 if (lp != rp) joinEdges += (if (lp.toString < rp.toString) (lp, rp) else (rp, lp))
             case _ =>
@@ -182,7 +244,9 @@ object LayoutAdvisor {
     val chosen = hits.groupBy(_._1._1).toSeq.flatMap { case (path, keyed) =>
       val ((_, key), n) = keyed.toSeq
         .sortBy { case ((p, k), c) => (-c, !joinKeyset((p, k)), k) }.head
-      if (n < minHits) None else Some((path, key, n))
+      val frac = weight.getOrElse((path, key), n.toDouble)
+      if (n < minHits || frac < minBenefitFraction) None
+      else Some((path, key, n, frac))
     }
     // alignment classes: union-find over join edges between CHOSEN
     // (path, key) pairs; every class member gets the class max buckets
@@ -196,19 +260,20 @@ object LayoutAdvisor {
       if (chosenSet(a) && chosenSet(b)) parent(find(a)) = find(b)
     }
     val floor = parallelismFloor(corpus)
-    val ownBuckets = chosen.map { case (path, key, _) =>
+    val ownBuckets = chosen.map { case (path, key, _, _) =>
       (path, key) -> bucketsFor(tables(path)._1, targetBucketBytes, floor)
     }.toMap
     val classMax = ownBuckets.keys.groupBy(find).map { case (root, members) =>
       root -> members.map(ownBuckets).max
     }
-    chosen.map { case (path, key, n) =>
-      val (_, cols) = tables(path)
+    chosen.map { case (path, key, n, frac) =>
+      val (bytes, cols) = tables(path)
       LayoutSpec(path, tableName(path), key,
         classMax(find((path, key))),
         // key first, then the rest of the observed pruned union in
         // stable order
-        (key +: cols.toSeq.filter(_ != key).sorted).distinct, n)
+        (key +: cols.toSeq.filter(_ != key).sorted).distinct, n,
+        benefitBytes = (frac * bytes).toLong)
     }.sortBy(s => (-s.hits, s.table))
   }
 
@@ -229,9 +294,11 @@ object LayoutAdvisor {
     *    projection aligns its bucket count within its own join class.
     */
   def adviseProjections(corpus: Seq[DataFrame], perTable: Int,
-      targetBucketBytes: Long = 1L << 30, minHits: Int = 1): Seq[LayoutSpec] = {
+      targetBucketBytes: Long = 1L << 30, minHits: Int = 1,
+      minBenefitFraction: Double = 0.0): Seq[LayoutSpec] = {
     require(perTable > 0, s"adviseProjections: perTable must be positive, got $perTable")
     val hitAgg = scala.collection.mutable.Map.empty[(String, String), (Int, Set[String])]
+    val weight = scala.collection.mutable.Map.empty[(String, String), Double]
     val bytesOf = scala.collection.mutable.Map.empty[String, Long]
     val joinEdges = scala.collection.mutable.Set.empty[((String, String), (String, String))]
     corpus.foreach { df =>
@@ -253,18 +320,21 @@ object LayoutAdvisor {
         case _ =>
       }
       resolveAliases(plan, byId)
-      def hit(a: Attribute): Unit = byId.get(a.exprId.id).foreach { case pc @ (p, _) =>
-        val (c, cols) = hitAgg.getOrElse(pc, (0, Set.empty[String]))
-        hitAgg(pc) = (c + 1, cols ++ usedByPath.getOrElse(p, Set.empty))
-      }
+      def hit(a: Attribute, at: LogicalPlan): Unit =
+        byId.get(a.exprId.id).foreach { case pc @ (p, _) =>
+          val (c, cols) = hitAgg.getOrElse(pc, (0, Set.empty[String]))
+          hitAgg(pc) = (c + 1, cols ++ usedByPath.getOrElse(p, Set.empty))
+          weight(pc) = weight.getOrElse(pc, 0.0) +
+            reachFraction(at, p).getOrElse(1.0)
+        }
       plan.foreach {
         case agg: Aggregate => agg.groupingExpressions.foreach {
-          case ar: AttributeReference => hit(ar)
+          case ar: AttributeReference => hit(ar, agg)
           case _ =>
         }
         case j: Join => j.condition.toSeq.flatMap(conjuncts).foreach {
           case EqualTo(l: AttributeReference, r: AttributeReference) =>
-            hit(l); hit(r)
+            hit(l, j); hit(r, j)
             for (lp <- byId.get(l.exprId.id); rp <- byId.get(r.exprId.id))
               if (lp != rp) joinEdges += (if (lp.toString < rp.toString) (lp, rp) else (rp, lp))
           case _ =>
@@ -277,7 +347,10 @@ object LayoutAdvisor {
       keyed.toSeq
         .sortBy { case ((p, k), (c, _)) => (-c, !joinKeyset((p, k)), k) }
         .take(perTable)
-        .filter { case (_, (c, _)) => c >= minHits }
+        .filter { case (pc @ (_, _), (c, _)) =>
+          c >= minHits &&
+            weight.getOrElse(pc, c.toDouble) >= minBenefitFraction
+        }
     }
     val parent = scala.collection.mutable.Map.empty[(String, String), (String, String)]
     def find(x: (String, String)): (String, String) = {
@@ -293,9 +366,10 @@ object LayoutAdvisor {
       pc -> bucketsFor(bytesOf(p), targetBucketBytes, floor)
     }.toMap
     val classMax = own.keys.groupBy(find).map { case (root, ms) => root -> ms.map(own).max }
-    chosen.map { case ((p, k), (c, cols)) =>
-      LayoutSpec(p, tableName(p), k, classMax(find((p, k))),
-        (k +: cols.toSeq.filter(_ != k).sorted).distinct, c)
+    chosen.map { case (pc @ (p, k), (c, cols)) =>
+      LayoutSpec(p, tableName(p), k, classMax(find(pc)),
+        (k +: cols.toSeq.filter(_ != k).sorted).distinct, c,
+        benefitBytes = (weight.getOrElse(pc, c.toDouble) * bytesOf(p)).toLong)
     }.sortBy(s => (-s.hits, s.table, s.key))
   }
 
@@ -574,9 +648,10 @@ object LayoutAdvisor {
     * win), then sorted/z-ordered layouts for tables whose corpus
     * presence is predicate-shaped only. One physical layout per table. */
   def adviseAll(corpus: Seq[DataFrame], targetBucketBytes: Long = 1L << 30,
-      targetFileBytes: Long = 256L << 20, minHits: Int = 1)
+      targetFileBytes: Long = 256L << 20, minHits: Int = 1,
+      minBenefitFraction: Double = 0.0)
       : (Seq[LayoutSpec], Seq[SortedSpec]) = {
-    val bucketed = advise(corpus, targetBucketBytes, minHits)
+    val bucketed = advise(corpus, targetBucketBytes, minHits, minBenefitFraction)
     val sorted = adviseSorted(corpus, targetFileBytes, minHits,
       exclude = bucketed.map(_.table).toSet)
     (bucketed, sorted)

@@ -92,6 +92,35 @@ class AdvisorSpec extends GraftSpec {
     assert(liS.buckets === liAlone && orS.buckets === liAlone)
   }
 
+  test("advise: benefit signal discounts hits behind selective filters; minBenefitFraction declines staging") {
+    val li = Tables.lineitem(spark, sf)
+    def rollup(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    // full-table aggregate: the whole table crosses the exchange
+    val full = LayoutAdvisor.advise(Seq(rollup(li))).head
+    // range filter (~1/3 reaches the aggregate), equality (~1/10)
+    val ranged = LayoutAdvisor.advise(Seq(rollup(li.filter(col("l_quantity") > 0)))).head
+    val thin = LayoutAdvisor.advise(Seq(rollup(li.filter(col("l_partkey") === 42L)))).head
+    assert(full.benefitBytes > 0)
+    assert(thin.benefitBytes < ranged.benefitBytes &&
+      ranged.benefitBytes < full.benefitBytes,
+      s"benefit must fall with filter selectivity: ${thin.benefitBytes} / " +
+        s"${ranged.benefitBytes} / ${full.benefitBytes}")
+    // the don't-stage threshold: a per-key operator fed by a thin
+    // equality slice does not pay for bucketing the whole table...
+    assert(LayoutAdvisor.advise(Seq(rollup(li.filter(col("l_partkey") === 42L))),
+      minBenefitFraction = 0.5).isEmpty)
+    // ...while the unfiltered aggregate clears the same bar, and a
+    // corpus that REPEATS the thin query accumulates benefit past it
+    assert(LayoutAdvisor.advise(Seq(rollup(li)), minBenefitFraction = 0.5).nonEmpty)
+    val repeated = Seq.fill(6)(rollup(li.filter(col("l_partkey") === 42L)))
+    assert(LayoutAdvisor.advise(repeated, minBenefitFraction = 0.5).nonEmpty)
+    // adviseProjections applies the same threshold
+    assert(LayoutAdvisor.adviseProjections(
+      Seq(rollup(li.filter(col("l_partkey") === 42L))), perTable = 1,
+      minBenefitFraction = 0.5).isEmpty)
+  }
+
   test("advise: hit ties prefer the join-participating key") {
     val li = Tables.lineitem(spark, sf)
     val or = Tables.orders(spark, sf)

@@ -211,6 +211,42 @@ class BucketingSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS bsk_lineitem")
   }
 
+  test("StreamingLayout: replayed batch ids are idempotent; compactEvery restores the streaming plan") {
+    import graft.sources.TabularWriter
+    import graft.streaming.StreamingLayout
+    spark.sql("DROP TABLE IF EXISTS sil_spec_t")
+    val root = java.nio.file.Files.createTempDirectory("sil_spec")
+    try {
+      val full = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      TabularWriter.toBucketedTable(full.where(col("l_orderkey") % 2 === 0),
+        "sil_spec_t", "l_orderkey", buckets = 4, sorted = true)
+      val commits = root.resolve("commits").toString
+      val rest = full.where(col("l_orderkey") % 2 =!= 0)
+      // batch 0 committed, then REPLAYED (foreachBatch is at-least-once
+      // across recovery): the marker must make the second call a no-op
+      StreamingLayout.appendBatch(rest, 0L, "sil_spec_t", commits, 0)
+      StreamingLayout.appendBatch(rest, 0L, "sil_spec_t", commits, 0)
+      val cents = sum(round(col("l_quantity") * 100).cast("long")).as("s")
+      def agg = spark.table("sil_spec_t").groupBy("l_orderkey").agg(cents)
+      val want = full.groupBy("l_orderkey").agg(cents)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(agg.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === want.toSeq,
+        "replayed batch must not duplicate rows")
+      // batch 1 hits the compactEvery=2 boundary (empty batch: append
+      // skipped, compaction still fires) → streaming SortAggregate back
+      StreamingLayout.appendBatch(rest.limit(0), 1L, "sil_spec_t", commits, 2)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("SortAggregate") && !plan.contains("Exchange") &&
+        !plan.contains("+- Sort "), s"post-compaction plan must stream:\n$plan")
+      assert(agg.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === want.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sil_spec_t")
+      GateFixtures.deleteRecursively(root)
+    }
+  }
+
   test("appendToBucketedTable rejects non-bucketed targets; bad specs are rejected by the writer") {
     import graft.sources.TabularWriter
     spark.sql("DROP TABLE IF EXISTS flat_spec_t")
