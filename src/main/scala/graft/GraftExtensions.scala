@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.CollapseIdempotent)
+    e.injectOptimizerRule(_ => graft.plans.EagerAggregation)
     // post-hoc resolution, NOT optimizer: must run before ColumnPruning
     // hides the stored column (see the rule's scaladoc)
     e.injectPostHocResolutionRule(_ => graft.plans.RewriteStoredCents)

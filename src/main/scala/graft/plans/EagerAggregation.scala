@@ -1,0 +1,224 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: EAGER AGGREGATION — push a partial aggregate below a
+  * join (Yan & Larson, VLDB'95), plus its set-valued sibling, DISTINCT
+  * below a semi/anti join's build side.
+  *
+  * The q13 shape motivates it: `customer LEFT OUTER orders` followed by
+  * a per-customer count moves every order row (30M at x200, 100M+ at
+  * real scale) through the join exchange only to collapse them to one
+  * count per customer right after. Catalyst never reorders Aggregate
+  * past Join, so the full fact table crosses the wire. This rule
+  * rewrites
+  *
+  *   Aggregate(G ⊆ left, F(right-cols), Join(left, right, on k))
+  *     → Aggregate(G, F'(partials),
+  *         Join(left, Aggregate(k, partials, right), on k))
+  *
+  * so the fact side is reduced to one row per join key BEFORE the
+  * exchange — with map-side partial aggregation, before the network.
+  * The rewrite is exact (not a heuristic approximation) because each
+  * left row matches the pre-aggregated right on exactly the same keys
+  * as before, and the surviving aggregate recombines decomposable
+  * functions: sum→sum of sums, count→sum of counts (coalesced to 0 for
+  * NULL-extended outer rows), min/max→min/max of min/max.
+  *
+  * Fires only when ALL of the following hold (conservatism over reach —
+  * every guard is a correctness requirement, not a tuning choice):
+  *  - join type Inner or LeftOuter, condition a conjunction of plain
+  *    `EqualTo(leftAttr, rightAttr)` (no null-safe, no residual
+  *    predicates — by this point in optimization Catalyst has already
+  *    pushed single-side predicates below the join);
+  *  - grouping expressions reference only the left side (grouping on a
+  *    nullable-extended right column changes NULL-group semantics);
+  *  - every aggregate function is a non-distinct, unfiltered Sum /
+  *    Count / Min / Max whose input references only right-side columns
+  *    (an agg over LEFT columns sees join multiplicity — pushing the
+  *    right side down changes that multiplicity, so its presence
+  *    disables the rewrite; count(*) likewise counts multiplicity);
+  *  - the right side is not already an aggregate (re-fire guard: the
+  *    rule runs in a fixed-point batch and must converge).
+  *
+  * The semi/anti arm: `Join(left, right, LeftSemi|LeftAnti, on k)`
+  * probes right only for key EXISTENCE, so
+  * `Aggregate(k, k, right)` (distinct) below it is always exact — NULL
+  * keys match nothing on either side of the rewrite — and turns the
+  * build-side exchange into a map-side-combined distinct (q22's NOT
+  * EXISTS probes 30M order rows carrying 3M distinct custkeys: 10× less
+  * network). Fires only for pure-equi conditions whose right-side
+  * references are exactly the join keys, and only when the right side
+  * is not already an aggregate or a leaf smaller than its key set.
+  *
+  * Decimal note: `Sum(DecimalType(p,s))` widens to (p+10,s); summing
+  * the partials widens again, so the recombined sum is cast back to the
+  * original result type — exact, because the doubly-widened accumulator
+  * can only gain headroom. Float sums recombine in a different order
+  * than the flat plan; Spark's own shuffle already makes float sum
+  * order nondeterministic, so this introduces no new contract.
+  *
+  * Scale: at 1000 executors the win is the exchange — the fact side
+  * crosses the network pre-reduced (|keys| rows, map-side combined)
+  * instead of row-per-event. When the key is nearly unique the pre-agg
+  * reduces nothing and costs one extra hash pass over the build side;
+  * disable per-session with `spark.graft.eagerAggregation.enabled`.
+  *
+  * Reference analog: the reference fuses its per-key reductions into
+  * the exchange itself (allreduce/alltoall over pre-reduced shards,
+  * SURVEY §2.5); expressed Spark-first the same bytes-on-the-wire
+  * argument becomes a logical-plan rewrite.
+  */
+object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val FLAG = "spark.graft.eagerAggregation.enabled"
+
+  private def enabled: Boolean = conf.getConfString(FLAG, "true") == "true"
+
+  /** Equi-only condition split: Some((leftKeys, rightKeys)) iff every
+    * conjunct is EqualTo between one attr from each side. */
+  private def equiKeys(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Seq[Attribute], Seq[Attribute])] = {
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if left.outputSet.contains(l) && right.outputSet.contains(r) => Some((l, r))
+      case EqualTo(r: AttributeReference, l: AttributeReference)
+          if left.outputSet.contains(l) && right.outputSet.contains(r) => Some((l, r))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten.unzip) else None
+  }
+
+  /** Benefit guard for the semi/anti arm: a build side small enough to
+    * broadcast never shuffles, so there is no exchange for the distinct
+    * to shrink — inserting one there ADDS a shuffle (the aggregate's)
+    * to a plan that had none. Above the broadcast threshold the build
+    * side shuffles either way, the distinct's exchange replaces the
+    * join's, and the map-side partial is the win. Threshold disabled
+    * (<= 0) means every build shuffles, so always fire. The agg arm
+    * needs no such guard: its benefit (fewer rows through the join AND
+    * through the aggregate above it) exists on broadcast plans too. */
+  private def buildWouldShuffle(p: LogicalPlan): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t <= 0 || p.stats.sizeInBytes > t
+  }
+
+  /** Re-fire guard: true when the plan under (pruning) projections is
+    * already an aggregate — pre-aggregating it again cannot reduce and
+    * would keep the fixed-point batch rewriting forever. */
+  private def alreadyAggregated(plan: LogicalPlan): Boolean = plan match {
+    case _: Aggregate => true
+    case p: Project => alreadyAggregated(p.child)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case a @ Aggregate(_, _, j: Join, _) =>
+        rewriteAggJoin(a, j, None).getOrElse(a)
+      case a @ Aggregate(_, _, p @ Project(projList, j: Join), _)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        rewriteAggJoin(a, j, Some(p)).getOrElse(a)
+      case j @ Join(_, right, LeftSemi | LeftAnti, Some(cond), _)
+          if !alreadyAggregated(right) && buildWouldShuffle(right) =>
+        equiKeys(cond, j.left, right) match {
+          case Some((_, rightKeys)) if rightKeys.nonEmpty &&
+              cond.references.intersect(right.outputSet).subsetOf(
+                AttributeSet(rightKeys)) =>
+            j.copy(right = Aggregate(rightKeys, rightKeys, right))
+          case _ => j
+        }
+    }
+  }
+
+  /** The agg-through-join arm. `prune` is the attrs-only Project that
+    * column pruning may have slid between the Aggregate and the Join;
+    * it is rebuilt to carry the partial columns instead of the raw
+    * right-side inputs it used to forward. */
+  private def rewriteAggJoin(a: Aggregate, j: Join,
+      prune: Option[Project]): Option[LogicalPlan] = {
+    if (!(j.joinType == Inner || j.joinType == LeftOuter)) return None
+    if (alreadyAggregated(j.right)) return None
+    val (leftKeys, rightKeys) = j.condition.flatMap(equiKeys(_, j.left, j.right))
+      .getOrElse(return None)
+    if (rightKeys.isEmpty) return None
+    // a GLOBAL aggregate emits one row even over an empty join, where
+    // count must be 0 — but a recombining sum-of-counts over zero rows
+    // is NULL, so the ungrouped shape is excluded outright
+    if (a.groupingExpressions.isEmpty) return None
+    if (!a.groupingExpressions.forall(_.references.subsetOf(j.left.outputSet)))
+      return None
+
+    val aggs = a.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggs.isEmpty) return None
+    val supported = aggs.forall { ae =>
+      !ae.isDistinct && ae.filter.isEmpty &&
+        ae.references.nonEmpty &&
+        ae.references.subsetOf(j.right.outputSet) &&
+        (ae.aggregateFunction match {
+          case _: Sum | _: Count | _: Min | _: Max => true
+          case _ => false
+        })
+    }
+    if (!supported) return None
+
+    // one partial per distinct AggregateExpression (equality includes
+    // the resultId, so structurally-identical aggs from different
+    // output columns stay separate — harmless, and exact); kept as an
+    // ordered Seq so the pre-aggregate's column order is deterministic
+    val partialSeq: Seq[(AggregateExpression, Alias)] = aggs.distinct.map { ae =>
+      ae -> Alias(ae, s"_eager_${ae.aggregateFunction.prettyName}")()
+    }
+    val partial = partialSeq.toMap
+    val pre = Aggregate(rightKeys, rightKeys ++ partialSeq.map(_._2), j.right)
+
+    // CRITICAL: recombination inputs must be the JOIN's output
+    // attributes, not the pre-aggregate's — a LeftOuter join makes the
+    // right side nullable, and an attribute still carrying the
+    // aggregate's nullable=false both lets NullPropagation delete the
+    // count's Coalesce AND lets codegen skip the null check, reading
+    // the zeroed value slot of NULL-extended rows (observed: the same
+    // plan returned 0 or NULL for unmatched keys depending on the
+    // session — undefined behavior, not a semantics choice).
+    val newJoin = j.copy(right = pre)
+    val joined: Map[ExprId, Attribute] =
+      newJoin.output.map(a => a.exprId -> a).toMap
+
+    def recombine(ae: AggregateExpression): Expression = {
+      val pAttr = joined(partial(ae).toAttribute.exprId)
+      val merged = ae.aggregateFunction match {
+        case _: Sum => AggregateExpression(Sum(pAttr), ae.mode, isDistinct = false)
+        case _: Count =>
+          val input = if (j.joinType == LeftOuter)
+            Coalesce(Seq(pAttr, Literal(0L, LongType))) else pAttr
+          AggregateExpression(Sum(input), ae.mode, isDistinct = false)
+        case _: Min => AggregateExpression(Min(pAttr), ae.mode, isDistinct = false)
+        case _: Max => AggregateExpression(Max(pAttr), ae.mode, isDistinct = false)
+      }
+      if (merged.dataType == ae.dataType) merged else Cast(merged, ae.dataType)
+    }
+
+    val child = prune match {
+      case Some(p) =>
+        val kept = p.projectList.filter(e =>
+          newJoin.outputSet.contains(e.asInstanceOf[AttributeReference]))
+        Project(kept ++ partialSeq.map(pa => joined(pa._2.toAttribute.exprId)),
+          newJoin)
+      case None => newJoin
+    }
+    val newAggExprs = a.aggregateExpressions.map(_.transform {
+      // the guard stops the traversal from re-matching the freshly
+      // built recombination aggregate inside a Cast replacement
+      case ae: AggregateExpression if partial.contains(ae) => recombine(ae)
+    }.asInstanceOf[NamedExpression])
+    Some(a.copy(aggregateExpressions = newAggExprs, child = child))
+  }
+}
