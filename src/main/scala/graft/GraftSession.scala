@@ -65,6 +65,16 @@ object GraftSession {
     // plans depend on which code path set a conf.
     .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.execution.replaceHashWithSortAgg", "true")
+    // informational unique-key constraints (ANSI RELY-style) for the
+    // driver schema: EagerAggregation is cost-blind on raw parquet (no
+    // NDV stats), and a pre-aggregate keyed on a unique column reduces
+    // nothing — declaring the PKs lets the rule decline those provably
+    // useless fires (q12 measured 3.44→4.16 s before this existed,
+    // ProbeEagerRel). Users override per session; empty disables.
+    .config("spark.graft.eagerAggregation.uniqueKeys",
+      "orders.o_orderkey,customer.c_custkey,part.p_partkey," +
+        "supplier.s_suppkey,nation.n_nationkey,region.r_regionkey," +
+        "documents.doc_id,embeddings.vec_id")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   /** Between-query session hygiene for the multi-query mains (Bench,

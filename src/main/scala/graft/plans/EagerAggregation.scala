@@ -77,8 +77,53 @@ import org.apache.spark.sql.types.LongType
 object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
   private val FLAG = "spark.graft.eagerAggregation.enabled"
+  private val UNIQUE = "spark.graft.eagerAggregation.uniqueKeys"
 
   private def enabled: Boolean = conf.getConfString(FLAG, "true") == "true"
+
+  /** Informational unique-key constraints, "table.column,table.column".
+    * Eager aggregation is COST-BLIND on raw parquet reads (no NDV
+    * statistics exist), and a pre-aggregate whose keys contain a unique
+    * key of its table reduces NOTHING — every group is a singleton, so
+    * the fire is pure cost (measured: q12's orders-by-o_orderkey
+    * pre-agg, 3.44 → 4.16 s at x200, ProbeEagerRel). This conf is the
+    * informational-PK surface a real catalog would provide (ANSI
+    * RELY-style): declaring `orders.o_orderkey` tells the rule that
+    * grouping orders by o_orderkey cannot reduce, so both arms decline.
+    * Matching is by table-name substring so advised layouts
+    * (`adv_sweep_orders_…`) inherit their base table's constraints. */
+  private def declaredUnique: Set[(String, String)] =
+    conf.getConfString(UNIQUE, "").split(",").iterator.map(_.trim)
+      .filter(_.nonEmpty).flatMap { s =>
+        s.split("\\.") match {
+          case Array(t, c) => Some((t, c))
+          case _ => None
+        }
+      }.toSet
+
+  /** True when pre-aggregating `side` by `keys` provably reduces
+    * nothing: the subtree reads ONE table and some declared unique key
+    * of it is among the grouping keys (a superset of a unique key is
+    * still unique). Multi-leaf subtrees (joins) never block — a join
+    * output has no declared uniqueness. */
+  private def uniqueKeyBlocks(side: LogicalPlan, keys: Seq[Attribute]): Boolean = {
+    val declared = declaredUnique
+    if (declared.isEmpty) return false
+    side.collectLeaves() match {
+      case Seq(lr: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
+        val table = lr.catalogTable.map(_.identifier.table).getOrElse {
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              val base = fs.location.rootPaths.head.getName
+              if (base.endsWith(".parquet")) base.dropRight(".parquet".length) else base
+            case _ => return false
+          }
+        }
+        val keyNames = keys.map(_.name).toSet
+        declared.exists { case (t, c) => table.contains(t) && keyNames.contains(c) }
+      case _ => false
+    }
+  }
 
   /** Equi-only condition split: Some((leftKeys, rightKeys)) iff every
     * conjunct is EqualTo between one attr from each side. */
@@ -130,7 +175,8 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
         equiKeys(cond, j.left, right) match {
           case Some((_, rightKeys)) if rightKeys.nonEmpty &&
               cond.references.intersect(right.outputSet).subsetOf(
-                AttributeSet(rightKeys)) =>
+                AttributeSet(rightKeys)) &&
+              !uniqueKeyBlocks(right, rightKeys) =>
             j.copy(right = Aggregate(rightKeys, rightKeys, right))
           case _ => j
         }
@@ -148,6 +194,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     val (leftKeys, rightKeys) = j.condition.flatMap(equiKeys(_, j.left, j.right))
       .getOrElse(return None)
     if (rightKeys.isEmpty) return None
+    if (uniqueKeyBlocks(j.right, rightKeys)) return None
     // a GLOBAL aggregate emits one row even over an empty join, where
     // count must be 0 — but a recombining sum-of-counts over zero rows
     // is NULL, so the ungrouped shape is excluded outright

@@ -162,6 +162,32 @@ class EagerAggSpec extends GraftSpec {
     } finally spark.conf.set(thr, saved)
   }
 
+  test("declared unique keys decline provably-useless fires (q12's shape)") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    // q12 shape: grouping on the left, agg input on the right, pre-agg
+    // key = o_orderkey — declared unique in GraftSession, so every
+    // group is a singleton and the fire is pure cost → must decline
+    def q12ish = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n"))
+    assert(!aggBelowJoin(q12ish),
+      s"unique-key pre-agg must be declined:\n${optimized(q12ish)}")
+    // the same shape keyed on a NON-unique column (o_custkey) fires
+    val c = Tables.customer(spark, sf)
+    def byCust = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n"))
+    assert(aggBelowJoin(byCust))
+    // clearing the constraint restores the (cost-blind) fire
+    val uk = "spark.graft.eagerAggregation.uniqueKeys"
+    val saved = spark.conf.get(uk)
+    try {
+      spark.conf.set(uk, "")
+      assert(aggBelowJoin(q12ish))
+    } finally spark.conf.set(uk, saved)
+  }
+
   test("rule is visible to plain SQL through the session extensions") {
     Tables.customer(spark, sf).createOrReplaceTempView("ea_c")
     Tables.orders(spark, sf).createOrReplaceTempView("ea_o")
