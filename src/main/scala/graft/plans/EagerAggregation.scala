@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, NumericType}
 
 /** Optimizer rule: EAGER AGGREGATION — push a partial aggregate below a
   * join (Yan & Larson, VLDB'95), plus its set-valued sibling, DISTINCT
@@ -39,10 +39,15 @@ import org.apache.spark.sql.types.LongType
   *  - grouping expressions reference only the left side (grouping on a
   *    nullable-extended right column changes NULL-group semantics);
   *  - every aggregate function is a non-distinct, unfiltered Sum /
-  *    Count / Min / Max whose input references only right-side columns
-  *    (an agg over LEFT columns sees join multiplicity — pushing the
-  *    right side down changes that multiplicity, so its presence
-  *    disables the rewrite; count(*) likewise counts multiplicity);
+  *    Count / Min / Max / Average whose input references only
+  *    right-side columns (an agg over LEFT columns sees join
+  *    multiplicity — pushing the right side down changes that
+  *    multiplicity, so its presence disables the rewrite). count(*)
+  *    decomposes too — per left row the join multiplies by the per-key
+  *    right count, 1 for a NULL-extended row, so
+  *    sum(coalesce(cnt, 1)) is exact. avg decomposes as
+  *    sum-of-sums / sum-of-counts (non-decimal numerics, accumulated
+  *    in double exactly as Average itself does);
   *  - the right side is not already an aggregate (re-fire guard: the
   *    rule runs in a fixed-point batch and must converge).
   *
@@ -136,7 +141,13 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
           if left.outputSet.contains(l) && right.outputSet.contains(r) => Some((l, r))
       case _ => None
     }
-    if (pairs.forall(_.isDefined)) Some(pairs.flatten.unzip) else None
+    // dedup: repeated conjuncts on one attribute (l.a = r.k AND
+    // l.b = r.k) must not emit duplicate grouping attrs in the
+    // pre-aggregate output
+    if (pairs.forall(_.isDefined)) {
+      val (l, r) = pairs.flatten.unzip
+      Some((l.distinct, r.distinct))
+    } else None
   }
 
   /** Benefit guard for the semi/anti arm: a build side small enough to
@@ -206,26 +217,52 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       case ae: AggregateExpression => ae
     })
     if (aggs.isEmpty) return None
-    val supported = aggs.forall { ae =>
-      !ae.isDistinct && ae.filter.isEmpty &&
-        ae.references.nonEmpty &&
-        ae.references.subsetOf(j.right.outputSet) &&
-        (ae.aggregateFunction match {
-          case _: Sum | _: Count | _: Min | _: Max => true
-          case _ => false
-        })
-    }
-    if (!supported) return None
 
-    // one partial per distinct AggregateExpression (equality includes
-    // the resultId, so structurally-identical aggs from different
-    // output columns stay separate — harmless, and exact); kept as an
-    // ordered Seq so the pre-aggregate's column order is deterministic
-    val partialSeq: Seq[(AggregateExpression, Alias)] = aggs.distinct.map { ae =>
-      ae -> Alias(ae, s"_eager_${ae.aggregateFunction.prettyName}")()
+    /** Per-key partial aggregates computed below the join for one
+      * original AggregateExpression; None = the function does not
+      * decompose (the whole rewrite is then declined). count(*) (no
+      * references) decomposes too — each left row sees the per-key row
+      * count, 1 for a NULL-extended row — but only when its children
+      * are provably non-null (count(NULL) would wrongly become a row
+      * count). avg decomposes as sum/count; restricted to non-decimal
+      * numerics so the double accumulator matches Average's own
+      * (decimal averages carry result-precision rules this rewrite
+      * does not reproduce). */
+    def partialsFor(ae: AggregateExpression): Option[Seq[Alias]] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      if (!ae.references.subsetOf(j.right.outputSet)) return None
+      ae.aggregateFunction match {
+        case _: Sum | _: Min | _: Max if ae.references.nonEmpty =>
+          Some(Seq(Alias(ae, s"_eager_${ae.aggregateFunction.prettyName}")()))
+        case c: Count if ae.references.nonEmpty || c.children.forall(!_.nullable) =>
+          Some(Seq(Alias(ae, "_eager_count")()))
+        case avg: Average
+            if avg.child.dataType.isInstanceOf[NumericType] &&
+              !avg.child.dataType.isInstanceOf[DecimalType] =>
+          Some(Seq(
+            Alias(AggregateExpression(Sum(Cast(avg.child, DoubleType)),
+              ae.mode, isDistinct = false), "_eager_avgsum")(),
+            Alias(AggregateExpression(Count(Seq(avg.child)),
+              ae.mode, isDistinct = false), "_eager_avgcnt")()))
+        case _ => None
+      }
     }
+
+    // one partial set per distinct AggregateExpression (equality
+    // includes the resultId, so structurally-identical aggs from
+    // different output columns stay separate — harmless, and exact);
+    // kept as an ordered Seq so the pre-aggregate's column order is
+    // deterministic
+    val partialSeq: Seq[(AggregateExpression, Seq[Alias])] =
+      aggs.distinct.map { ae =>
+        partialsFor(ae) match {
+          case Some(ps) => ae -> ps
+          case None => return None
+        }
+      }
     val partial = partialSeq.toMap
-    val pre = Aggregate(rightKeys, rightKeys ++ partialSeq.map(_._2), j.right)
+    val pre = Aggregate(rightKeys,
+      rightKeys ++ partialSeq.flatMap(_._2), j.right)
 
     // CRITICAL: recombination inputs must be the JOIN's output
     // attributes, not the pre-aggregate's — a LeftOuter join makes the
@@ -240,15 +277,28 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       newJoin.output.map(a => a.exprId -> a).toMap
 
     def recombine(ae: AggregateExpression): Expression = {
-      val pAttr = joined(partial(ae).toAttribute.exprId)
+      val pAttrs = partial(ae).map(al => joined(al.toAttribute.exprId))
+      def merge(f: AggregateFunction) =
+        AggregateExpression(f, ae.mode, isDistinct = false)
       val merged = ae.aggregateFunction match {
-        case _: Sum => AggregateExpression(Sum(pAttr), ae.mode, isDistinct = false)
+        case _: Sum => merge(Sum(pAttrs.head))
+        case _: Count if ae.references.isEmpty =>
+          // count(*): a NULL-extended outer row was one joined row
+          val input = if (j.joinType == LeftOuter)
+            Coalesce(Seq(pAttrs.head, Literal(1L, LongType))) else pAttrs.head
+          merge(Sum(input))
         case _: Count =>
           val input = if (j.joinType == LeftOuter)
-            Coalesce(Seq(pAttr, Literal(0L, LongType))) else pAttr
-          AggregateExpression(Sum(input), ae.mode, isDistinct = false)
-        case _: Min => AggregateExpression(Min(pAttr), ae.mode, isDistinct = false)
-        case _: Max => AggregateExpression(Max(pAttr), ae.mode, isDistinct = false)
+            Coalesce(Seq(pAttrs.head, Literal(0L, LongType))) else pAttrs.head
+          merge(Sum(input))
+        case _: Min => merge(Min(pAttrs.head))
+        case _: Max => merge(Max(pAttrs.head))
+        case _: Average =>
+          // sum-of-sums / sum-of-counts; an all-NULL (or unmatched)
+          // group has sum NULL ⟺ count 0, so the division is NULL
+          // exactly where Average is NULL, never a 0-divide error
+          val Seq(pSum, pCnt) = pAttrs
+          Divide(merge(Sum(pSum)), Cast(merge(Sum(pCnt)), DoubleType))
       }
       if (merged.dataType == ae.dataType) merged else Cast(merged, ae.dataType)
     }
@@ -257,7 +307,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       case Some(p) =>
         val kept = p.projectList.filter(e =>
           newJoin.outputSet.contains(e.asInstanceOf[AttributeReference]))
-        Project(kept ++ partialSeq.map(pa => joined(pa._2.toAttribute.exprId)),
+        Project(kept ++ partialSeq.flatMap(_._2.map(al => joined(al.toAttribute.exprId))),
           newJoin)
       case None => newJoin
     }

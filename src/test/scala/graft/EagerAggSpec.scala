@@ -81,16 +81,13 @@ class EagerAggSpec extends GraftSpec {
     sameOnOff(q)
   }
 
-  test("does not fire: agg over LEFT columns (join multiplicity), count(*), distinct, global agg") {
+  test("does not fire: agg over LEFT columns (join multiplicity), distinct, global agg") {
     val c = Tables.customer(spark, sf)
     val o = Tables.orders(spark, sf)
     val j = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
     // left-side agg input sees multiplicity
     assert(!aggBelowJoin(j.groupBy(col("c_nationkey"))
       .agg(sum(col("c_acctbal")).as("s"))))
-    // count(*) counts multiplicity
-    assert(!aggBelowJoin(j.groupBy(col("c_custkey"))
-      .agg(count(lit(1)).as("n"))))
     // distinct aggregates don't decompose by sum-of-partials
     assert(!aggBelowJoin(j.groupBy(col("c_custkey"))
       .agg(countDistinct(col("o_orderpriority")).as("n"))))
@@ -100,6 +97,57 @@ class EagerAggSpec extends GraftSpec {
     // grouping on a right-side (NULL-extended) column
     assert(!aggBelowJoin(j.groupBy(col("o_orderpriority"))
       .agg(count(col("o_orderkey")).as("n"))))
+    // decimal averages carry result-precision rules the rewrite does
+    // not reproduce
+    assert(!aggBelowJoin(j.groupBy(col("c_custkey"))
+      .agg(avg(col("o_totalprice").cast("decimal(12,2)")).as("a"))))
+  }
+
+  test("count(*) and avg decompose: NULL-extended row counts 1; avg is sum/count") {
+    import spark.implicits._
+    val left = Seq(1L, 2L, 3L).toDF("k")
+    val right = Seq((1L, 10.0), (1L, 11.0)).toDF("rk", "v")
+    def starOuter = left.join(right, col("k") === col("rk"), "left_outer")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(aggBelowJoin(starOuter), s"count(*) must fire:\n${optimized(starOuter)}")
+    assert(starOuter.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .toSeq === Seq((1L, 2L), (2L, 1L), (3L, 1L)),
+      "a NULL-extended row is one joined row")
+    def avgOuter = left.join(right, col("k") === col("rk"), "left_outer")
+      .groupBy(col("k")).agg(avg(col("v")).as("a"))
+    assert(aggBelowJoin(avgOuter), s"avg must fire:\n${optimized(avgOuter)}")
+    val got = avgOuter.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Double]))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some(10.5)), (2L, None), (3L, None)),
+      "unmatched groups average to NULL, matched to the exact mean")
+    // and at table scale: mixed avg/count(*)/sum, inner + outer —
+    // integer columns exact vs the rule-off plan, the double average
+    // within 1 ULP-scale relative tolerance (sum-of-sums reassociates
+    // the float addition, the same documented caveat as any
+    // shuffle-order change; the engine's exact-money queries use the
+    // DECIMAL/cents discipline, which the rule recombines bit-exact)
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    for (jt <- Seq("inner", "left_outer")) {
+      def q = c.join(o, c("c_custkey") === o("o_custkey"), jt)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("rows"),
+          avg(col("o_totalprice")).as("avg_price"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("c_nationkey"))
+      assert(aggBelowJoin(q))
+      val on = q.collect()
+      val off = withRuleOff(q.collect())
+      assert(on.length === off.length)
+      on.zip(off).foreach { case (a, b) =>
+        assert(a.get(0) === b.get(0))
+        assert(a.getLong(1) === b.getLong(1))
+        assert(a.getLong(3) === b.getLong(3), "integer cents must be exact")
+        val (x, y) = (a.getDouble(2), b.getDouble(2))
+        assert(math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y)),
+          s"avg drift beyond reassociation tolerance: $x vs $y")
+      }
+    }
   }
 
   test("unmatched keys count 0, not NULL — the recombination coalesce must survive optimization") {
@@ -186,6 +234,19 @@ class EagerAggSpec extends GraftSpec {
       spark.conf.set(uk, "")
       assert(aggBelowJoin(q12ish))
     } finally spark.conf.set(uk, saved)
+  }
+
+  test("duplicate equi-conjuncts on one key dedup in the pre-aggregate") {
+    import spark.implicits._
+    val left = Seq((1L, 1L), (2L, 3L)).toDF("a", "b")
+    val right = Seq((1L, 10L), (1L, 11L)).toDF("rk", "v")
+    // both conjuncts target rk: the pre-agg must group by ONE rk, not
+    // emit a duplicate output attribute
+    def q = left.join(right, col("a") === col("rk") && col("b") === col("rk"))
+      .groupBy(col("a")).agg(sum(col("v")).as("s"))
+    assert(aggBelowJoin(q), s"rule must fire:\n${optimized(q)}")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 21L)))
   }
 
   test("rule is visible to plain SQL through the session extensions") {
