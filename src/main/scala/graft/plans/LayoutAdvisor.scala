@@ -74,8 +74,13 @@ object LayoutAdvisor {
   private def parallelismFloor(corpus: Seq[DataFrame]): Int = math.max(8,
     corpus.head.sparkSession.conf.get("spark.sql.shuffle.partitions", "8").toInt)
 
+  /** Table identity for a (possibly multi-root) read: the first root's
+    * basename. Bucketing advice keys tables by the comma-joined FULL
+    * root list (a relation composed from several directories is one
+    * table — advising and staging only `rootPaths.head` would silently
+    * build the layout from a fraction of the data). */
   private def tableName(path: String): String = {
-    val base = path.stripSuffix("/").split('/').last
+    val base = path.split(',').head.stripSuffix("/").split('/').last
     base.stripSuffix(".parquet").stripSuffix(".orc")
   }
 
@@ -139,7 +144,8 @@ object LayoutAdvisor {
     * stage/don't-stage threshold, not an exact cost model). */
   private def reachFraction(n: LogicalPlan, leafPath: String): Option[Double] = n match {
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation if fs.location.rootPaths.head.toString == leafPath =>
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.map(_.toString).mkString(",") == leafPath =>
         Some(1.0)
       case _ => None
     }
@@ -200,7 +206,7 @@ object LayoutAdvisor {
       plan.foreach {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-          val path = fs.location.rootPaths.head.toString
+          val path = fs.location.rootPaths.map(_.toString).mkString(",")
           lr.output.foreach(a => byId(a.exprId.id) = (path, a.name))
           val used = lr.output.filter(a => refIds(a.exprId.id))
           // a bare scan references nothing above the leaf: full width
@@ -311,7 +317,7 @@ object LayoutAdvisor {
       plan.foreach {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-          val path = fs.location.rootPaths.head.toString
+          val path = fs.location.rootPaths.map(_.toString).mkString(",")
           lr.output.foreach(a => byId(a.exprId.id) = (path, a.name))
           val used = lr.output.filter(a => refIds(a.exprId.id))
           usedByPath(path) = usedByPath.getOrElse(path, Set.empty) ++
@@ -379,8 +385,11 @@ object LayoutAdvisor {
     * ever pays. */
   def stage(spark: SparkSession, spec: LayoutSpec, name: String): Unit = {
     import org.apache.spark.sql.functions.col
+    // spec.path is the comma-joined root list of the advised relation:
+    // a multi-directory table stages ALL its roots, not just the first
     graft.sources.TabularWriter.toBucketedTable(
-      spark.read.parquet(spec.path).select(spec.columns.map(col): _*),
+      spark.read.parquet(spec.path.split(',').toIndexedSeq: _*)
+        .select(spec.columns.map(col): _*),
       name, spec.key, spec.buckets, sorted = true)
   }
 
@@ -522,7 +531,7 @@ object LayoutAdvisor {
     import org.apache.spark.sql.types.LongType
     val centsHits = scala.collection.mutable.Map.empty[(String, String), Int]
     val filterHits = scala.collection.mutable.Map.empty[(String, String), Int]
-    val meta = scala.collection.mutable.Map.empty[String, (String, Long)] // pathKey -> (headPath, bytes)
+    val meta = scala.collection.mutable.Map.empty[String, (String, Long)] // pathKey -> (joined roots, bytes)
     corpus.foreach { df =>
       val plan = df.queryExecution.optimizedPlan
       val byId = scala.collection.mutable.Map.empty[Long, (String, String)]
@@ -532,7 +541,7 @@ object LayoutAdvisor {
           val roots = fs.location.rootPaths.map(_.toString)
           val key = roots.mkString(",")
           lr.output.foreach(a => byId(a.exprId.id) = (key, a.name))
-          meta.getOrElseUpdate(key, (roots.head, fs.sizeInBytes))
+          meta.getOrElseUpdate(key, (roots.mkString(","), fs.sizeInBytes))
         case _ =>
       }
       resolveAliases(plan, byId)
@@ -604,7 +613,7 @@ object LayoutAdvisor {
     * (and only it) treats the stored columns as authoritative. */
   def stageDerived(spark: SparkSession, spec: DerivedSpec, name: String): Unit = {
     import org.apache.spark.sql.functions.{col, round}
-    val base = spark.read.parquet(spec.path)
+    val base = spark.read.parquet(spec.path.split(',').toIndexedSeq: _*)
     val withCents = spec.sourceCols.foldLeft(base)((df, c) =>
       df.withColumn(c + "_cents", round(col(c) * 100).cast("long")))
     val shaped = spec.sortCol match {
@@ -628,7 +637,8 @@ object LayoutAdvisor {
       derivedCols: Seq[String], name: String): Unit = {
     import org.apache.spark.sql.functions.{col, round}
     val keep = derivedCols.filter(spec.columns.contains)
-    val base = spark.read.parquet(spec.path).select(spec.columns.map(col): _*)
+    val base = spark.read.parquet(spec.path.split(',').toIndexedSeq: _*)
+      .select(spec.columns.map(col): _*)
     val withCents = keep.foldLeft(base)((df, c) =>
       df.withColumn(c + "_cents", round(col(c) * 100).cast("long")))
     graft.sources.TabularWriter.toBucketedTable(

@@ -232,6 +232,35 @@ class AdvisorSpec extends GraftSpec {
     assert(LayoutAdvisor.adviseSorted(corpus, exclude = Set("orders")).isEmpty)
   }
 
+  test("advise + stage: a multi-root read is ONE table and stages ALL its roots") {
+    // a relation composed from several directories (multi-file
+    // composition is a first-class source feature) must be advised and
+    // STAGED as the whole table — keying by rootPaths.head would build
+    // the layout from a fraction of the data and silently lose rows
+    val half1 = java.nio.file.Files.createTempDirectory("adv_mr1")
+    val half2 = java.nio.file.Files.createTempDirectory("adv_mr2")
+    spark.sql("DROP TABLE IF EXISTS adv_mr_t")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      li.where(col("l_orderkey") % 2 === 0).write.mode("overwrite").parquet(half1.toString)
+      li.where(col("l_orderkey") % 2 =!= 0).write.mode("overwrite").parquet(half2.toString)
+      val both = spark.read.parquet(half1.toString, half2.toString)
+      val corpus = Seq(both.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q")))
+      val specs = LayoutAdvisor.advise(corpus)
+      assert(specs.size === 1)
+      val spec = specs.head
+      assert(spec.key === "l_orderkey")
+      assert(spec.path.split(',').length === 2, s"spec must carry both roots: ${spec.path}")
+      LayoutAdvisor.stage(spark, spec, "adv_mr_t")
+      assert(spark.table("adv_mr_t").count() === li.count(),
+        "staged layout must contain EVERY root's rows")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS adv_mr_t")
+      GateFixtures.deleteRecursively(half1)
+      GateFixtures.deleteRecursively(half2)
+    }
+  }
+
   test("adviseAll: bucketing wins per-key tables, sorted advice covers the rest") {
     val li = Tables.lineitem(spark, sf)
     val or = Tables.orders(spark, sf)
