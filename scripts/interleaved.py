@@ -77,7 +77,14 @@ def main():
     print("|---|---|---|---|")
     for n, s, d, r in rows:
         print(f"| {n} | {s:.2f} | {d:.2f} | {r:.2f}x |")
-    ratios = [r for _, _, _, r in rows if r > 0]
+    # finite positive ratios only (a 0-second DuckDB rep would otherwise
+    # poison the geomean with inf), and fail legibly on an empty overlap
+    # instead of dividing by zero after all rounds have been paid for
+    import math
+    ratios = [r for _, _, _, r in rows if r > 0 and math.isfinite(r)]
+    if not ratios:
+        raise SystemExit("interleaved: no overlapping finite-ratio queries "
+                         "between the Spark and DuckDB runs — check names")
     geomean = 1.0
     for r in ratios:
         geomean *= r

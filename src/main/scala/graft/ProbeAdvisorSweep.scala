@@ -118,7 +118,16 @@ object ProbeAdvisorSweep {
       val cents = derived.getOrElse(spec.table, Nil).filter(spec.columns.contains)
       if (!spark.catalog.tableExists(t)) {
         val loc = java.nio.file.Paths.get(wh, t)
-        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+        // bucket membership is PHYSICAL: if this session's advice
+        // derived a different bucket count than the files were staged
+        // with (e.g. a different parallelism floor), attaching would
+        // now fail loudly — re-stage instead of attach, preserving the
+        // session's join-class alignment
+        val sidecar = loc.resolve("_graft_buckets")
+        val staleCount = java.nio.file.Files.exists(sidecar) &&
+          new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+            .trim.toInt != spec.buckets
+        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && !staleCount) {
           val t0 = System.nanoTime()
           graft.sources.TabularWriter.attach(
             spark, t, loc.toString, spec.key, spec.buckets)

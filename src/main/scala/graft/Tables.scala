@@ -23,8 +23,14 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val redirected = redirects.get((sfDir, name))
-    if (redirected != null) return spark.table(redirected)
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // redirected layouts get the SAME normalization as the flat path:
+    // a layout staged from a raw parquet read (stage/stageSorted read
+    // spark.read.parquet directly) carries the un-normalized schema,
+    // and serving it raw would silently hand a query long nanos where
+    // the flat path hands TimestampType (both transforms below are
+    // no-ops on already-normalized schemas)
+    val raw = if (redirected != null) spark.table(redirected)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
     // TIMESTAMP(NANOS) columns arrive as long nanos (nanosAsLong); convert
     // to TimestampType at µs precision — identical to DuckDB's ns→µs
     // truncation, keeping oracle parity. `div` (integer division —

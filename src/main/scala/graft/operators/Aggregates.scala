@@ -69,30 +69,52 @@ object Aggregates {
   }
 
   /** True iff `df` is a projection/filter over a catalog table whose
-    * bucket column is among `keys` BY NAME — then rows with equal `keys`
+    * bucket column is among `keys` — then rows with equal `keys`
     * already share a partition and a pre-aggregation repartition is pure
     * waste. Conservative by construction: any node other than a
     * Project/Filter/alias chain over the relation (a join, a union, an
     * existing repartition) returns false and keeps the explicit
-    * shuffle. Name-based key match: these entry points take unresolved
-    * columns; a derived key (`expr(key)+1`) is not an AttributeReference
-    * and correctly fails the match. */
+    * shuffle. Key names are resolved THROUGH the projection chain to
+    * the leaf attribute they actually read — a projection that aliases
+    * a different column to the bucket column's name
+    * (`select(col("x").as("bucket_col"))`) must NOT claim co-location:
+    * the grouped values are x's, and skipping the contract shuffle
+    * would silently degrade to the partial-agg-then-exchange plan this
+    * operator exists to avoid. A derived key (`expr(key)+1`) resolves
+    * to no leaf attribute and correctly fails the match. */
   private[graft] def isCoLocatedOn(df: DataFrame, keys: Seq[Column]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val names = keys.flatMap(k =>
       org.apache.spark.sql.graftbridge.Bridge.attrName(k).map(_.toLowerCase)).toSet
     if (names.isEmpty) return false
-    def leaf(p: LogicalPlan): Option[LogicalRelation] = p match {
-      case Project(_, c) => leaf(c)
-      case Filter(_, c) => leaf(c)
-      case SubqueryAlias(_, c) => leaf(c)
-      case lr: LogicalRelation => Some(lr)
-      case _ => None
+    // resolve an output name to the LEAF column it reads: follow pure
+    // renames only; anything derived breaks the chain
+    def leafColumn(p: LogicalPlan, name: String): Option[(LogicalRelation, String)] =
+      p match {
+        case Project(list, c) =>
+          list.find(_.name.toLowerCase == name).flatMap {
+            case ar: AttributeReference => leafColumn(c, ar.name.toLowerCase)
+            case al: Alias => al.child match {
+              case ar: AttributeReference => leafColumn(c, ar.name.toLowerCase)
+              case _ => None
+            }
+            case _ => None
+          }
+        case Filter(_, c) => leafColumn(c, name)
+        case SubqueryAlias(_, c) => leafColumn(c, name)
+        case lr: LogicalRelation =>
+          if (lr.output.exists(_.name.toLowerCase == name)) Some((lr, name)) else None
+        case _ => None
+      }
+    names.exists { n =>
+      leafColumn(df.queryExecution.analyzed, n).exists { case (lr, leafName) =>
+        lr.catalogTable.exists(_.bucketSpec.exists { bs =>
+          bs.bucketColumnNames.size == 1 &&
+            bs.bucketColumnNames.head.toLowerCase == leafName
+        })
+      }
     }
-    leaf(df.queryExecution.analyzed).exists(_.catalogTable.exists(_.bucketSpec.exists {
-      bs => bs.bucketColumnNames.size == 1 &&
-        names.contains(bs.bucketColumnNames.head.toLowerCase)
-    }))
   }
 }

@@ -237,8 +237,12 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
         case c: Count if ae.references.nonEmpty || c.children.forall(!_.nullable) =>
           Some(Seq(Alias(ae, "_eager_count")()))
         case avg: Average
-            if avg.child.dataType.isInstanceOf[NumericType] &&
+            if ae.references.nonEmpty &&
+              avg.child.dataType.isInstanceOf[NumericType] &&
               !avg.child.dataType.isInstanceOf[DecimalType] =>
+          // nonEmpty matters: avg(lit) over a LEFT OUTER join evaluates
+          // the constant on NULL-extended rows too — a pre-aggregate
+          // has no row for unmatched keys and would return NULL
           Some(Seq(
             Alias(AggregateExpression(Sum(Cast(avg.child, DoubleType)),
               ae.mode, isDistinct = false), "_eager_avgsum")(),

@@ -475,13 +475,18 @@ object LayoutAdvisor {
       else {
         // hottest column range-sorts; a SECOND hot column upgrades to
         // z-order. Hits and name tie-break exactly like advise().
-        val top = keyed.toSeq
+        val chosen = keyed.toSeq
           .sortBy { case ((_, c), n) => (-n, c) }
           .takeWhile { case (_, n) => n >= minHits }
-          .take(2).map(_._1._2)
+          .take(2)
+        val top = chosen.map(_._1._2)
         if (top.isEmpty) None
         else {
-          val n = keyed.map(_._2).sum
+          // hits = predicates the CHOSEN clustering actually prunes
+          // for — summing every filter column's hits would let a table
+          // with many lukewarm columns outrank one whose single hot
+          // column the layout fully serves
+          val n = chosen.map(_._2).sum
           Some(SortedSpec(roots, table, top,
             filesFor(bytes, targetFileBytes),
             (top ++ cols.toSeq.filterNot(top.contains).sorted).distinct, n))
@@ -549,32 +554,14 @@ object LayoutAdvisor {
         case c: Cast => stripCast(c.child)
         case other => other
       }
-      def hundred(l: org.apache.spark.sql.catalyst.expressions.Literal): Boolean =
-        l.value match {
-          case i: Int => i == 100
-          case lo: Long => lo == 100L
-          case d: Double => d == 100.0
-          case _ => false
-        }
       plan.foreach { node =>
-        node.expressions.foreach(_.foreach {
-          case c: Cast if c.dataType == LongType => c.child match {
-            case r: org.apache.spark.sql.catalyst.expressions.Round => r.child match {
-              case m: org.apache.spark.sql.catalyst.expressions.Multiply =>
-                val src = (stripCast(m.left), stripCast(m.right)) match {
-                  case (a: AttributeReference,
-                        l: org.apache.spark.sql.catalyst.expressions.Literal) if hundred(l) => Some(a)
-                  case (l: org.apache.spark.sql.catalyst.expressions.Literal,
-                        a: AttributeReference) if hundred(l) => Some(a)
-                  case _ => None
-                }
-                src.flatMap(a => byId.get(a.exprId.id))
-                  .foreach(pc => centsHits(pc) = centsHits.getOrElse(pc, 0) + 1)
-              case _ =>
-            }
-            case _ =>
-          }
-          case _ =>
+        // ONE matcher, shared with the rewrite rule: the advice must
+        // count exactly the expressions RewriteStoredCents will
+        // rewrite, or it stages columns the rule never reads
+        node.expressions.foreach(_.foreach { e =>
+          RewriteStoredCents.centsIdiom(e)
+            .flatMap(a => byId.get(a.exprId.id))
+            .foreach(pc => centsHits(pc) = centsHits.getOrElse(pc, 0) + 1)
         })
         node match {
           case f: Filter => conjuncts(f.condition).foreach {

@@ -72,6 +72,34 @@ object RewriteStoredCents extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** THE exact-money idiom this rule rewrites —
+    * `cast(round(x * 100) as bigint)` with a scale-0 round and the 100
+    * literal matched through implicit casts: Some(x). Shared with
+    * [[LayoutAdvisor.adviseDerivedCents]] so the advice can never count
+    * a hit the rule will not rewrite (a drifted copy once counted
+    * `round(x * 100, 2)` — scale 2 — as a cents hit and staged a dead
+    * column for it). */
+  private[plans] def centsIdiom(e: Expression): Option[AttributeReference] = {
+    def strip(x: Expression): Expression = x match {
+      case cc: Cast => strip(cc.child)
+      case other => other
+    }
+    e match {
+      case c: Cast if c.dataType == LongType => c.child match {
+        case r: Round if isZero(r.scale) => r.child match {
+          case m: Multiply => (strip(m.left), strip(m.right)) match {
+            case (a: AttributeReference, l: Literal) if isHundred(l) => Some(a)
+            case (l: Literal, a: AttributeReference) if isHundred(l) => Some(a)
+            case _ => None
+          }
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // source-attribute exprId -> stored cents attribute, over marked
     // relations only
@@ -93,26 +121,10 @@ object RewriteStoredCents extends Rule[LogicalPlan] {
         val inScope = n.children.flatMap(_.output).map(_.exprId.id).toSet
         n.transformExpressionsUp {
           case c: Cast if c.dataType == LongType =>
-            val replaced = c.child match {
-              case r: Round if isZero(r.scale) =>
-                r.child match {
-                  case m: Multiply =>
-                    def strip(e: Expression): Expression = e match {
-                      case cc: Cast => strip(cc.child)
-                      case other => other
-                    }
-                    val src = (strip(m.left), strip(m.right)) match {
-                      case (a: AttributeReference, l: Literal) if isHundred(l) => Some(a)
-                      case (l: Literal, a: AttributeReference) if isHundred(l) => Some(a)
-                      case _ => None
-                    }
-                    src.flatMap(a => centsFor.get(a.exprId.id))
-                      .filter(cents => inScope(cents.exprId.id))
-                  case _ => None
-                }
-              case _ => None
-            }
-            replaced.getOrElse(c)
+            centsIdiom(c)
+              .flatMap(a => centsFor.get(a.exprId.id))
+              .filter(cents => inScope(cents.exprId.id))
+              .getOrElse(c)
         }
     }
   }

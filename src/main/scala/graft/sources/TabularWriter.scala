@@ -71,6 +71,22 @@ object TabularWriter {
     // — the scan just stops reporting order and every reader falls back
     // to hash aggregation. Fail here, at the write, instead.
     if (sorted) assertOneFilePerBucket(df.sparkSession, table)
+    // sidecar for attach(): bucket membership is physical, so the
+    // count travels WITH the files (empty trailing buckets write no
+    // file — the file list alone cannot prove the staged count)
+    writeBucketSidecar(df.sparkSession, table, buckets)
+  }
+
+  private val BucketSidecar = "_graft_buckets"
+
+  private def writeBucketSidecar(spark: SparkSession, table: String,
+      buckets: Int): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(loc, BucketSidecar), true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Append rows to an existing bucketed table created by
@@ -116,8 +132,12 @@ object TabularWriter {
     * restoring the streaming SortAggregate / no-query-time-sort plans
     * after [[appendToBucketedTable]] calls have accumulated files. The
     * rewrite is a single data pass with NO exchange on the read side
-    * (the scan is already bucketed) and lands via a temp table + catalog
-    * rename, so a crash mid-compaction leaves the original table intact.
+    * (the scan is already bucketed) and lands via a RENAME-ASIDE swap
+    * (table → `__precompact`, compacted → table, drop aside): every
+    * crash window keeps BOTH copies on disk — the worst outcome is a
+    * missing table name, recoverable by renaming the aside copy back —
+    * unlike a drop-then-rename, whose managed-table DROP would delete
+    * the only committed copy before the rename ran.
     * Cost model at 100 TB: one sequential rewrite of the table — the
     * same price as the original layout write — amortized over every
     * append since the last compaction (LSM economics). */
@@ -149,8 +169,20 @@ object TabularWriter {
     spark.conf.set(auto, "false")
     try toBucketedTable(spark.table(table), tmp, key, spec.numBuckets, sorted = true)
     finally spark.conf.set(auto, prev)
-    spark.sql(s"DROP TABLE `$table`")
+    // swap via rename-aside, NOT drop-then-rename: a managed-table DROP
+    // deletes its data, so a crash between DROP and RENAME would leave
+    // the compacted copy as the ONLY copy under the wrong name. With
+    // rename-aside every crash window keeps BOTH copies on disk — the
+    // worst outcome is a missing table name recoverable by renaming
+    // `table__precompact` (or `table__compacting`) back.
+    val old = table + "__precompact"
+    spark.sql(s"DROP TABLE IF EXISTS `$old`")
+    val oldLoc = new Path(spark.sessionState.catalog
+      .defaultTablePath(TableIdentifier(old)))
+    if (fs.exists(oldLoc)) fs.delete(oldLoc, true)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$old`")
   }
 
   /** Register ALREADY-STAGED bucketed data (written by a previous
@@ -165,6 +197,37 @@ object TabularWriter {
     * footers. */
   def attach(spark: SparkSession, table: String, path: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
+    // validate the DECLARED bucket count against the files' own bucket
+    // ids BEFORE registering: Spark trusts the declared spec, so
+    // attaching 32-bucket files as a 16-bucket table would make every
+    // co-located join/aggregate skip its exchange over rows that are
+    // NOT where the spec claims — silently wrong results, not an error
+    // (concrete trigger: re-deriving advice under a different
+    // parallelism floor and attaching the old files with the new count)
+    val loc = new Path(path)
+    val pfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_(\\d{5})\\.".r
+    val ids = pfs.listStatus(loc).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1).toInt))
+    require(ids.nonEmpty,
+      s"attach($table): no bucketed data files under $path")
+    require(ids.max < buckets,
+      s"attach($table): declared $buckets buckets but files carry bucket id " +
+        s"${ids.max} — the location was staged with a different bucket count; " +
+        "attach with the ORIGINAL count (bucket membership is physical)")
+    // the writer's sidecar proves the exact staged count (file ids
+    // alone cannot: empty trailing buckets write no file, so an
+    // OVER-declared count could otherwise slip through)
+    val sidecar = new Path(loc, BucketSidecar)
+    if (pfs.exists(sidecar)) {
+      val in = pfs.open(sidecar)
+      val staged = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+      require(staged == buckets,
+        s"attach($table): declared $buckets buckets but $path was staged " +
+          s"with $staged (sidecar $BucketSidecar) — attach with the staged count")
+    }
     val schema = spark.read.parquet(path).schema.toDDL
     val sortClause = if (sorted) s"SORTED BY (`$key` ASC) " else ""
     spark.sql(

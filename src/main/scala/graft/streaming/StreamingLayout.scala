@@ -24,17 +24,25 @@ import graft.sources.TabularWriter
   * of the table — which is LSM economics: cheap appends, amortized
   * re-sorts, reads correct at every point of the lifecycle.
   *
-  * EXACTLY-ONCE: `foreachBatch` is at-least-once on failure/recovery —
-  * a batch whose append COMMITTED but whose checkpoint offset did not
-  * is replayed on restart, and a blind append would duplicate its rows.
-  * The sink therefore writes a marker file `commitDir/batch-<id>` after
-  * each append and skips any batch id already marked, making the append
-  * idempotent per batch id (the same ledger-outside-the-data discipline
-  * as Spark's own file-sink `_spark_metadata` log, kept OUTSIDE the
-  * table location because compaction rewrites that directory).
+  * DELIVERY CONTRACT — precisely: `foreachBatch` is at-least-once on
+  * failure/recovery — a batch whose append COMMITTED but whose
+  * checkpoint offset did not is replayed on restart, and a blind append
+  * would duplicate its rows. The sink writes a marker file
+  * `commitDir/batch-<id>` after each append and skips any batch id
+  * already marked (the same ledger-outside-the-data discipline as
+  * Spark's own file-sink `_spark_metadata` log, kept OUTSIDE the table
+  * location because compaction rewrites that directory). This closes
+  * the checkpoint-replay window — the common recovery path — but NOT
+  * the narrower one between the append's commit and the marker's
+  * create: a crash exactly there duplicates that one batch on restart,
+  * because a plain-parquet append has no transaction that could carry
+  * the marker atomically with the data. Closing it needs a
+  * transactional table format whose commit log IS the ledger; with
+  * this sink, audit `commitDir` against the table after such a crash
+  * and re-stage the one suspect batch if they disagree.
   * Compaction needs no marker: re-running it is harmless (it lands via
-  * temp table + catalog rename, so a crash mid-compaction leaves the
-  * original table intact — TabularWriter.compactBuckets).
+  * rename-aside, so every crash window keeps both copies on disk —
+  * TabularWriter.compactBuckets).
   *
   * Scale notes (100 TB, 1000 executors): the per-batch append shuffles
   * only the micro-batch (minutes of arrivals, not the table); the

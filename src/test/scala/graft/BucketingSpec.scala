@@ -148,7 +148,21 @@ class BucketingSpec extends GraftSpec {
       // external: dropping the attached table must NOT delete the files
       spark.sql("DROP TABLE att_ext")
       assert(spark.read.parquet(loc).count() === li.count())
+      // bucket membership is PHYSICAL: attaching the same files under a
+      // different declared count would make every co-located plan skip
+      // its exchange over rows that are not where the spec claims —
+      // silently wrong results. Both directions must fail loudly:
+      // under-declared is caught by the files' own bucket ids,
+      // over-declared by the writer's _graft_buckets sidecar.
+      for (wrong <- Seq(2, 8)) {
+        val e = intercept[IllegalArgumentException] {
+          TabularWriter.attach(spark, "att_wrong", loc, "l_orderkey", buckets = wrong)
+        }
+        assert(e.getMessage.contains("bucket"), e.getMessage)
+        spark.sql("DROP TABLE IF EXISTS att_wrong")
+      }
     } finally {
+      spark.sql("DROP TABLE IF EXISTS att_wrong")
       spark.sql("DROP TABLE IF EXISTS att_ext")
       spark.sql("DROP TABLE IF EXISTS att_src")
     }

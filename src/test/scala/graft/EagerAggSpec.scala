@@ -101,6 +101,11 @@ class EagerAggSpec extends GraftSpec {
     // not reproduce
     assert(!aggBelowJoin(j.groupBy(col("c_custkey"))
       .agg(avg(col("o_totalprice").cast("decimal(12,2)")).as("a"))))
+    // avg of a CONSTANT evaluates on NULL-extended rows too (1.0, not
+    // NULL) — a pre-aggregate has no row for unmatched keys, so the
+    // shape must not fire
+    assert(!aggBelowJoin(j.groupBy(col("c_custkey"))
+      .agg(avg(lit(1.0)).as("a"))))
   }
 
   test("count(*) and avg decompose: NULL-extended row counts 1; avg is sum/count") {
