@@ -118,16 +118,23 @@ object ProbeAdvisorSweep {
       val cents = derived.getOrElse(spec.table, Nil).filter(spec.columns.contains)
       if (!spark.catalog.tableExists(t)) {
         val loc = java.nio.file.Paths.get(wh, t)
-        // bucket membership is PHYSICAL: if this session's advice
-        // derived a different bucket count than the files were staged
-        // with (e.g. a different parallelism floor), attaching would
-        // now fail loudly — re-stage instead of attach, preserving the
-        // session's join-class alignment
-        val sidecar = loc.resolve("_graft_buckets")
-        val staleCount = java.nio.file.Files.exists(sidecar) &&
-          new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
-            .trim.toInt != spec.buckets
-        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && !staleCount) {
+        // bucket membership is PHYSICAL, and the advisor's input is the
+        // OPTIMIZED plan — an engine rule change can shift the advised
+        // key or count between sessions (observed round 10: the
+        // unique-key constraints removed some eager pre-aggregates from
+        // the corpus plans and flipped orders' advised key from
+        // o_orderkey/34 to o_custkey/32). Attach ONLY when the sidecar
+        // proves the staged spec matches this session's advice;
+        // otherwise re-stage (legacy sidecar-less dirs re-stage too —
+        // nothing proves their key).
+        val sidecar = loc.resolve(graft.sources.TabularWriter.BucketSidecar)
+        val sidecarMatches = java.nio.file.Files.exists(sidecar) && {
+          val tokens = new String(java.nio.file.Files.readAllBytes(sidecar),
+            "UTF-8").trim.split("\\s+")
+          tokens.head.toInt == spec.buckets && tokens.length > 1 &&
+            tokens(1).equalsIgnoreCase(spec.key)
+        }
+        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && sidecarMatches) {
           val t0 = System.nanoTime()
           graft.sources.TabularWriter.attach(
             spark, t, loc.toString, spec.key, spec.buckets)

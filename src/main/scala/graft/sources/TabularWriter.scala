@@ -71,22 +71,23 @@ object TabularWriter {
     // — the scan just stops reporting order and every reader falls back
     // to hash aggregation. Fail here, at the write, instead.
     if (sorted) assertOneFilePerBucket(df.sparkSession, table)
-    // sidecar for attach(): bucket membership is physical, so the
-    // count travels WITH the files (empty trailing buckets write no
-    // file — the file list alone cannot prove the staged count)
-    writeBucketSidecar(df.sparkSession, table, buckets)
+    // sidecar for attach(): bucket membership is physical — BOTH the
+    // count and the KEY travel with the files (empty trailing buckets
+    // write no file, so the file list alone cannot prove the staged
+    // count; nothing in the files proves the hash key at all)
+    writeBucketSidecar(df.sparkSession, table, buckets, key)
   }
 
-  private val BucketSidecar = "_graft_buckets"
+  private[graft] val BucketSidecar = "_graft_buckets"
 
   private def writeBucketSidecar(spark: SparkSession, table: String,
-      buckets: Int): Unit = {
+      buckets: Int, key: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val loc = new Path(spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(loc, BucketSidecar), true)
-    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$buckets $key".getBytes("UTF-8")) finally out.close()
   }
 
   /** Append rows to an existing bucketed table created by
@@ -216,17 +217,24 @@ object TabularWriter {
       s"attach($table): declared $buckets buckets but files carry bucket id " +
         s"${ids.max} — the location was staged with a different bucket count; " +
         "attach with the ORIGINAL count (bucket membership is physical)")
-    // the writer's sidecar proves the exact staged count (file ids
-    // alone cannot: empty trailing buckets write no file, so an
-    // OVER-declared count could otherwise slip through)
+    // the writer's sidecar proves the exact staged count AND key (file
+    // ids alone cannot: empty trailing buckets write no file, so an
+    // OVER-declared count could slip through — and NOTHING in the files
+    // records which column they were hashed on, so a wrong declared key
+    // would be pure silent corruption)
     val sidecar = new Path(loc, BucketSidecar)
     if (pfs.exists(sidecar)) {
       val in = pfs.open(sidecar)
-      val staged = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
+      val tokens = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.split("\\s+") finally in.close()
+      val staged = tokens.head.toInt
       require(staged == buckets,
         s"attach($table): declared $buckets buckets but $path was staged " +
           s"with $staged (sidecar $BucketSidecar) — attach with the staged count")
+      if (tokens.length > 1) require(tokens(1).equalsIgnoreCase(key),
+        s"attach($table): declared bucket key `$key` but $path was staged " +
+          s"hashed on `${tokens(1)}` (sidecar $BucketSidecar) — bucket " +
+          "membership is physical; attach with the staged key")
     }
     val schema = spark.read.parquet(path).schema.toDDL
     val sortClause = if (sorted) s"SORTED BY (`$key` ASC) " else ""
