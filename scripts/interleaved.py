@@ -56,6 +56,11 @@ def main():
     if mode == "advisor":
         spark_cmd = ["sbt", "-batch", f"runMain graft.ProbeAdvisorSweep {big_dir} 1 layout"]
         duck_names = "rel"
+    elif mode == "routed":
+        # per-query projection routing (LayoutAdvisor.route over
+        # adviseProjections' one-projection-per-hot-key staging)
+        spark_cmd = ["sbt", "-batch", f"runMain graft.ProbeAdvisorSweep {big_dir} 1 routed"]
+        duck_names = "rel"
     else:
         spark_cmd = ["sbt", "-batch", f"runMain graft.BenchBig {big_dir} {mode} 1"]
         duck_names = mode

@@ -170,6 +170,47 @@ private[graft] object GateFixtures {
       try q.processAllAvailable() finally q.stop()
     }
 
+  /** PROJECTION ROUTING end-to-end: adviseProjections derives TWO
+    * orders projections from a two-class corpus (per-custkey
+    * aggregates; a per-orderkey join), both are staged, and
+    * LayoutAdvisor.route picks the projection for the GATE's own query
+    * — a per-custkey rollup, which must route to the custkey
+    * projection. The REQUIRE pins the routing decision itself (either
+    * projection would return correct rows — what the oracle checks is
+    * the data, what the require checks is the router); returns the
+    * routed catalog table for the gate to read. */
+  def routedProjection(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    lazy val specs = {
+      val or = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val corpus = Seq(
+        or.groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("sp")),
+        or.groupBy(col("o_custkey")).agg(count(lit(1)).as("n")),
+        li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+      val ss = graft.plans.LayoutAdvisor.adviseProjections(corpus, perTable = 2)
+        .filter(_.table == "orders")
+      require(ss.map(_.key).toSet == Set("o_custkey", "o_orderkey"),
+        s"routedProjection: expected both hot keys, got $ss")
+      ss
+    }
+    val staged = specs.map { sp =>
+      val base = if (sp.key == "o_custkey") "routp_orders_ck" else "routp_orders_ok"
+      sp -> bucketedTable(s, d, base) { name =>
+        graft.plans.LayoutAdvisor.stage(s, sp, name)
+      }
+    }
+    val gateQuery = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rp_price_cents"))
+    val routes = graft.plans.LayoutAdvisor.route(gateQuery, staged)
+    val ck = staged.find(_._1.key == "o_custkey").get._2
+    require(routes.get("orders").contains(ck),
+      s"routedProjection: the per-custkey query must route to the custkey " +
+        s"projection, got $routes")
+    ck
+  }
+
   /** Advisor-chosen SORTED layout (the predicate half of layout
     * selection): adviseSorted reads a range-filter corpus, picks
     * (orders, o_orderdate) itself, and stageSorted writes the

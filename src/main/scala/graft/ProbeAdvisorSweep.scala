@@ -63,9 +63,49 @@ object ProbeAdvisorSweep {
       spark.stop()
       return
     }
+    if (mode == "routedcheck") {
+      val staged = ensureProjections(spark, d)
+      def rows(n: String): Seq[String] =
+        SparkEntry.queries(n)(spark, d).collect().map(_.toString).sorted.toSeq
+      var bad = 0
+      names.foreach { n =>
+        Tables.clearRedirects()
+        val routes = graft.plans.LayoutAdvisor.route(
+          SparkEntry.queries(n)(spark, d), staged)
+        routes.foreach { case (t, ct) => Tables.redirect(d, t, ct) }
+        val routed = rows(n)
+        Tables.clearRedirects()
+        val flat = rows(n)
+        val ok = routed == flat
+        if (!ok) bad += 1
+        println(s"[check] $n -> ${routes.values.mkString(",")}: " +
+          s"${if (ok) "IDENTICAL" else s"MISMATCH (${routed.size} vs ${flat.size} rows)"}")
+      }
+      println(s"""{"metric":"advisor_check","bad":$bad,"n":${names.size}}""")
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
     if (mode == "layout") ensureAdvised(spark, d)
+    // routed: one projection per hot key staged; each query's redirects
+    // come from ITS OWN plan (LayoutAdvisor.route) — computed once here
+    // on the flat plans, installed per query inside the timing loop
+    val routeOf: Map[String, Map[String, String]] = if (mode == "routed") {
+      val staged = ensureProjections(spark, d)
+      Tables.clearRedirects()
+      names.map { n =>
+        val r = graft.plans.LayoutAdvisor.route(
+          SparkEntry.queries(n)(spark, d), staged)
+        println(s"[route] $n -> ${r.map { case (t, c) => s"$t=$c" }.mkString(" ") }")
+        n -> r
+      }.toMap
+    } else Map.empty
 
     def once(name: String): Double = {
+      if (mode == "routed") {
+        Tables.clearRedirects()
+        routeOf(name).foreach { case (t, ct) => Tables.redirect(d, t, ct) }
+      }
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
       df.select(sum(xxhash64(df.columns.map(col): _*).cast("double")).as("h"))
@@ -116,41 +156,70 @@ object ProbeAdvisorSweep {
     specs.map { spec =>
       val t = s"adv_sweep_${spec.table}$tag"
       val cents = derived.getOrElse(spec.table, Nil).filter(spec.columns.contains)
-      if (!spark.catalog.tableExists(t)) {
-        val loc = java.nio.file.Paths.get(wh, t)
-        // bucket membership is PHYSICAL, and the advisor's input is the
-        // OPTIMIZED plan — an engine rule change can shift the advised
-        // key or count between sessions (observed round 10: the
-        // unique-key constraints removed some eager pre-aggregates from
-        // the corpus plans and flipped orders' advised key from
-        // o_orderkey/34 to o_custkey/32). Attach ONLY when the sidecar
-        // proves the staged spec matches this session's advice;
-        // otherwise re-stage (legacy sidecar-less dirs re-stage too —
-        // nothing proves their key).
-        val sidecar = loc.resolve(graft.sources.TabularWriter.BucketSidecar)
-        val sidecarMatches = java.nio.file.Files.exists(sidecar) && {
-          val tokens = new String(java.nio.file.Files.readAllBytes(sidecar),
-            "UTF-8").trim.split("\\s+")
-          tokens.head.toInt == spec.buckets && tokens.length > 1 &&
-            tokens(1).equalsIgnoreCase(spec.key)
-        }
-        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && sidecarMatches) {
-          val t0 = System.nanoTime()
-          graft.sources.TabularWriter.attach(
-            spark, t, loc.toString, spec.key, spec.buckets)
-          // table properties live in the catalog the attach just
-          // recreated, not in the files — re-mark or the rule stays off
-          if (cents.nonEmpty) graft.plans.LayoutAdvisor.markDerived(spark, t, cents)
-          println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
-        } else {
-          GateFixtures.deleteRecursively(loc)
-          val t0 = System.nanoTime()
-          graft.plans.LayoutAdvisor.stageWithDerived(spark, spec, cents, t)
-          println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
-        }
-      }
+      stageOrAttach(spark, spec, cents, t)
       Tables.redirect(d, spec.table, t)
       spec.table -> t
+    }
+  }
+
+  /** Stage (or re-attach) `spec` as catalog table `t`, composing stored
+    * cents. Bucket membership is PHYSICAL, and the advisor's input is
+    * the OPTIMIZED plan — an engine rule change can shift the advised
+    * key or count between sessions (observed round 10: the unique-key
+    * constraints removed some eager pre-aggregates from the corpus
+    * plans and flipped orders' advised key from o_orderkey/34 to
+    * o_custkey/32). Attach ONLY when the sidecar proves the staged spec
+    * matches this session's advice; otherwise re-stage (legacy
+    * sidecar-less dirs re-stage too — nothing proves their key). */
+  private def stageOrAttach(spark: org.apache.spark.sql.SparkSession,
+      spec: graft.plans.LayoutAdvisor.LayoutSpec, cents: Seq[String],
+      t: String): Unit = {
+    if (spark.catalog.tableExists(t)) return
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, t)
+    val sidecar = loc.resolve(graft.sources.TabularWriter.BucketSidecar)
+    val sidecarMatches = java.nio.file.Files.exists(sidecar) && {
+      val tokens = new String(java.nio.file.Files.readAllBytes(sidecar),
+        "UTF-8").trim.split("\\s+")
+      tokens.head.toInt == spec.buckets && tokens.length > 1 &&
+        tokens(1).equalsIgnoreCase(spec.key)
+    }
+    if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && sidecarMatches) {
+      val t0 = System.nanoTime()
+      graft.sources.TabularWriter.attach(
+        spark, t, loc.toString, spec.key, spec.buckets)
+      // table properties live in the catalog the attach just
+      // recreated, not in the files — re-mark or the rule stays off
+      if (cents.nonEmpty) graft.plans.LayoutAdvisor.markDerived(spark, t, cents)
+      println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    } else {
+      GateFixtures.deleteRecursively(loc)
+      val t0 = System.nanoTime()
+      graft.plans.LayoutAdvisor.stageWithDerived(spark, spec, cents, t)
+      println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+  }
+
+  /** One projection per HOT KEY per table (adviseProjections,
+    * perTable=2) — the layouts [[graft.plans.LayoutAdvisor.route]]
+    * picks among per query. No redirects installed here: routing is
+    * per-query by construction. */
+  def ensureProjections(spark: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(graft.plans.LayoutAdvisor.LayoutSpec, String)] = {
+    Tables.clearRedirects()
+    val corpus = BenchBig.Rel.map(n => SparkEntry.queries(n)(spark, d))
+    val specs = graft.plans.LayoutAdvisor.adviseProjections(corpus,
+      perTable = 2, targetBucketBytes = 64L << 20, minHits = 2)
+    val derived = graft.plans.LayoutAdvisor.adviseDerivedCents(corpus)
+      .map(ds => ds.table -> ds.sourceCols).toMap
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    specs.map { spec =>
+      val t = s"adv_proj_${spec.table}_${spec.key}$tag"
+      println(s"[advise] projection ${spec.table}.${spec.key} buckets=${spec.buckets} " +
+        s"hits=${spec.hits} cols=${spec.columns.size}")
+      val cents = derived.getOrElse(spec.table, Nil).filter(spec.columns.contains)
+      stageOrAttach(spark, spec, cents, t)
+      spec -> t
     }
   }
 }

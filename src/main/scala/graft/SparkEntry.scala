@@ -2064,6 +2064,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
     },
+    "layout_routed_projection" -> { (s, d) =>
+      // PROJECTION ROUTING as product: adviseProjections stages one
+      // projection per hot key of orders (custkey aggregates vs
+      // orderkey joins — the single-layout trade PERF.md round-10
+      // measured), and LayoutAdvisor.route picks per QUERY; the fixture
+      // REQUIREs this per-custkey rollup routed to the custkey
+      // projection, and the oracle checks its rows against whole-table
+      // orders — a projection that lost/duplicated rows hash-fails.
+      s.table(GateFixtures.routedProjection(s, d))
+        .groupBy(col("o_custkey").as("rp_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rp_price_cents"))
+        .filter(col("rp_price_cents") > 2000000L * 100)
+        .select(col("rp_custkey"), col("rp_price_cents"))
+    },
     "layout_advisor_sorted" -> { (s, d) =>
       // the advisor's PREDICATE-side advice end-to-end: adviseSorted
       // derived (orders, o_orderdate, pruned columns, file count) from
@@ -3879,6 +3893,10 @@ object SparkEntry {
       """SELECT l_orderkey AS a_orderkey,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS a_price_cents
         |FROM lineitem GROUP BY 1 HAVING a_price_cents > 3000000""".stripMargin,
+    "layout_routed_projection" ->
+      """SELECT o_custkey AS rp_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rp_price_cents
+        |FROM orders GROUP BY 1 HAVING rp_price_cents > 200000000""".stripMargin,
     "layout_advisor_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,

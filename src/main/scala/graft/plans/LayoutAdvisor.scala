@@ -379,6 +379,81 @@ object LayoutAdvisor {
     }.sortBy(s => (-s.hits, s.table, s.key))
   }
 
+  /** PROJECTION ROUTING — the read-side half of
+    * [[adviseProjections]]: given ONE query and the staged projections
+    * (spec → catalog table), pick for each base table the projection
+    * THIS query's plan wants. A single layout per table is a trade
+    * (PERF.md round-10: bucketing orders on o_custkey bought q13/q22
+    * and cost q4/q18 their o_orderkey co-location); with one projection
+    * per hot key staged, routing lets every query keep its own
+    * co-location — the column-store projection model completed.
+    *
+    * Selection per table, from the query's OWN optimized plan (the
+    * same signals [[advise]] reads corpus-wide):
+    *  - a projection is eligible only when its carried columns cover
+    *    every column the query reads from that table (a narrower
+    *    projection would fail at resolution, loudly but pointlessly);
+    *  - among eligible projections, the one whose bucket key carries
+    *    the most of this query's per-key operators (grouping keys,
+    *    equi-join sides) wins; zero key hits → no redirect (the flat
+    *    table stays — a projection buys nothing without a per-key
+    *    operator, and the flat read needs no catalog);
+    *  - ties: fewer carried columns (narrower scan), then key name.
+    *
+    * Returns tableName → catalog table; install with
+    * [[graft.Tables.redirect]] before (re)building the query. */
+  def route(query: DataFrame,
+      staged: Seq[(LayoutSpec, String)]): Map[String, String] = {
+    val plan = query.queryExecution.optimizedPlan
+    val refIds = plan.collect {
+      case n if n.children.nonEmpty => n.expressions.flatMap(_.references.toSeq)
+    }.flatten.map(_.exprId.id).toSet
+    val byId = scala.collection.mutable.Map.empty[Long, (String, String)]
+    val usedByPath = scala.collection.mutable.Map.empty[String, Set[String]]
+    plan.foreach {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val path = fs.location.rootPaths.map(_.toString).mkString(",")
+        lr.output.foreach(a => byId(a.exprId.id) = (path, a.name))
+        val used = lr.output.filter(a => refIds(a.exprId.id))
+        usedByPath(path) = usedByPath.getOrElse(path, Set.empty) ++
+          (if (used.isEmpty) lr.output else used).map(_.name)
+      case _ =>
+    }
+    resolveAliases(plan, byId)
+    // per-key hits for THIS query — the same two signals advise() counts
+    val hits = scala.collection.mutable.Map.empty[(String, String), Int]
+    def hit(a: Attribute): Unit = byId.get(a.exprId.id)
+      .foreach(pc => hits(pc) = hits.getOrElse(pc, 0) + 1)
+    plan.foreach {
+      case agg: Aggregate => agg.groupingExpressions.foreach {
+        case ar: AttributeReference => hit(ar)
+        case _ =>
+      }
+      case j: Join => j.condition.toSeq.flatMap(conjuncts).foreach {
+        case EqualTo(l: AttributeReference, r: AttributeReference) =>
+          hit(l); hit(r)
+        case _ =>
+      }
+      case _ =>
+    }
+    staged.groupBy(_._1.table).flatMap { case (tbl, cands) =>
+      usedByPath.keys.find(p => tableName(p) == tbl).flatMap { p =>
+        val needed = usedByPath(p)
+        val scored = cands
+          .filter { case (spec, _) => needed.subsetOf(spec.columns.toSet) }
+          .map { case (spec, cat) => (hits.getOrElse((p, spec.key), 0), spec, cat) }
+          .filter(_._1 > 0)
+        if (scored.isEmpty) None
+        else {
+          val (_, _, cat) = scored
+            .sortBy { case (h, spec, _) => (-h, spec.columns.size, spec.key) }.head
+          Some(tbl -> cat)
+        }
+      }
+    }
+  }
+
   /** Stage one advised layout as catalog table `name` (parquet read of
     * spec.path → exactly spec.columns → bucketed+sorted on spec.key).
     * The write is the only shuffle this table's per-key query class

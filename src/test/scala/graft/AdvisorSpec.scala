@@ -261,6 +261,62 @@ class AdvisorSpec extends GraftSpec {
     }
   }
 
+  test("route: each query gets the projection ITS plan wants; coverage and zero-hit guards hold") {
+    spark.sql("DROP TABLE IF EXISTS route_ok")
+    spark.sql("DROP TABLE IF EXISTS route_ck")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val or = Tables.orders(spark, sf)
+      // a two-hot-key corpus on orders: per-custkey aggregates AND
+      // per-orderkey joins
+      val corpus = Seq(
+        or.groupBy(col("o_custkey")).agg(count(lit(1)).as("n")),
+        or.groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("s")),
+        li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+      val specs = LayoutAdvisor.adviseProjections(corpus, perTable = 2)
+      val orProj = specs.filter(_.table == "orders")
+      assert(orProj.map(_.key).toSet === Set("o_custkey", "o_orderkey"))
+      val staged = orProj.map { s =>
+        val name = if (s.key == "o_custkey") "route_ck" else "route_ok"
+        LayoutAdvisor.stage(spark, s, name)
+        s -> name
+      }
+      // a custkey-grouping query routes to the custkey projection...
+      val byCust = LayoutAdvisor.route(
+        or.groupBy(col("o_custkey")).agg(count(lit(1)).as("n")), staged)
+      assert(byCust === Map("orders" -> "route_ck"))
+      // ...an orderkey-join query to the orderkey projection
+      val byOrd = LayoutAdvisor.route(
+        li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")), staged)
+      assert(byOrd.get("orders") === Some("route_ok"))
+      // a query reading a column NO projection carries stays flat
+      // (the corpus never read o_orderdate, so neither projection has it)
+      val wide = LayoutAdvisor.route(
+        or.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("m")), staged)
+      assert(!wide.contains("orders"),
+        s"projection lacking o_orderdate must not serve the query: $wide")
+      // a query with no per-key operator on orders stays flat too
+      val noKey = LayoutAdvisor.route(
+        or.select(col("o_totalprice")).filter(col("o_totalprice") > 100.0), staged)
+      assert(!noKey.contains("orders"))
+      // routed result == flat result through the actual redirect machinery
+      val q = or.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val flat = q.collect().map(_.toString).sorted.toSeq
+      Tables.redirect(sf, "orders", byCust("orders"))
+      try {
+        val routed = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n")).collect().map(_.toString).sorted.toSeq
+        assert(routed === flat)
+      } finally Tables.clearRedirects()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS route_ok")
+      spark.sql("DROP TABLE IF EXISTS route_ck")
+    }
+  }
+
   test("adviseAll: bucketing wins per-key tables, sorted advice covers the rest") {
     val li = Tables.lineitem(spark, sf)
     val or = Tables.orders(spark, sf)
