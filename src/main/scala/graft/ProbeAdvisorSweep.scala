@@ -181,7 +181,9 @@ object ProbeAdvisorSweep {
     val sidecarMatches = java.nio.file.Files.exists(sidecar) && {
       val tokens = new String(java.nio.file.Files.readAllBytes(sidecar),
         "UTF-8").trim.split("\\s+")
-      tokens.head.toInt == spec.buckets && tokens.length > 1 &&
+      // corrupt/truncated sidecar = "does not match" → re-stage, never throw
+      tokens.length > 1 && tokens.head.nonEmpty &&
+        tokens.head.forall(_.isDigit) && tokens.head.toInt == spec.buckets &&
         tokens(1).equalsIgnoreCase(spec.key)
     }
     if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && sidecarMatches) {

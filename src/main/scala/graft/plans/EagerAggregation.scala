@@ -95,8 +95,11 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     * informational-PK surface a real catalog would provide (ANSI
     * RELY-style): declaring `orders.o_orderkey` tells the rule that
     * grouping orders by o_orderkey cannot reduce, so both arms decline.
-    * Matching is by table-name substring so advised layouts
-    * (`adv_sweep_orders_…`) inherit their base table's constraints. */
+    * A declared table matches exactly, or as the base of an advised
+    * layout name (`adv_<kind>_<table>[_suffix]`) so staged projections
+    * inherit their base table's constraints — NOT by bare substring,
+    * which would let `part` swallow any table whose name merely
+    * contains it. */
   private def declaredUnique: Set[(String, String)] =
     conf.getConfString(UNIQUE, "").split(",").iterator.map(_.trim)
       .filter(_.nonEmpty).flatMap { s =>
@@ -125,7 +128,9 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
           }
         }
         val keyNames = keys.map(_.name).toSet
-        declared.exists { case (t, c) => table.contains(t) && keyNames.contains(c) }
+        def tableMatches(t: String): Boolean = table == t ||
+          table.matches(s"adv_\\w*_${java.util.regex.Pattern.quote(t)}(_.*)?")
+        declared.exists { case (t, c) => tableMatches(t) && keyNames.contains(c) }
       case _ => false
     }
   }
@@ -218,6 +223,31 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     })
     if (aggs.isEmpty) return None
 
+    /** True iff `e` provably evaluates to NULL whenever every attribute
+      * it references is NULL — the LeftOuter admission requirement: the
+      * original plan evaluates aggregate inputs on NULL-extended rows
+      * (all right attributes NULL), while the rewritten plan has NO
+      * pre-aggregate row for unmatched keys at all. A null-INTOLERANT
+      * tree over attribute/literal leaves qualifies (any NULL input
+      * nulls every ancestor, and the references-nonEmpty aggregates
+      * guarantee at least one attribute leaf, so the whole input is
+      * NULL exactly where the pre-aggregate has no row). Null-TOLERANT
+      * nodes — Coalesce, CaseWhen, If, IsNull, nvl — are declined:
+      * sum(coalesce(o_x, 5)) legitimately contributes 5 per unmatched
+      * left row in the original plan, which no per-key pre-aggregate
+      * can reproduce (round-10 defect: returned NULL for unmatched
+      * keys with the rule on vs 5 with it off). */
+    def nullPreserving(e: Expression): Boolean = e match {
+      case _: AttributeReference => true
+      case _: Literal => true
+      // round/bround return NULL on NULL input but do not set the
+      // nullIntolerant flag — without this the engine's own exact-money
+      // idiom sum(cast(round(x*100) as long)) would decline over outer
+      // joins
+      case r: RoundBase => r.children.forall(nullPreserving)
+      case other => other.nullIntolerant && other.children.forall(nullPreserving)
+    }
+
     /** Per-key partial aggregates computed below the join for one
       * original AggregateExpression; None = the function does not
       * decompose (the whole rewrite is then declined). count(*) (no
@@ -231,6 +261,12 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     def partialsFor(ae: AggregateExpression): Option[Seq[Alias]] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
       if (!ae.references.subsetOf(j.right.outputSet)) return None
+      // LeftOuter: the input must be null-preserving on its right-side
+      // attributes, or NULL-extended rows contribute in the original
+      // plan but not in the rewrite (count(*) is exempt — its
+      // recombination coalesces the per-key count to 1 explicitly)
+      if (j.joinType == LeftOuter && ae.references.nonEmpty &&
+          !ae.aggregateFunction.children.forall(nullPreserving)) return None
       ae.aggregateFunction match {
         case _: Sum | _: Min | _: Max if ae.references.nonEmpty =>
           Some(Seq(Alias(ae, s"_eager_${ae.aggregateFunction.prettyName}")()))

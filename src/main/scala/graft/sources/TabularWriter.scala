@@ -225,8 +225,16 @@ object TabularWriter {
     val sidecar = new Path(loc, BucketSidecar)
     if (pfs.exists(sidecar)) {
       val in = pfs.open(sidecar)
-      val tokens = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.split("\\s+") finally in.close()
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      val tokens = raw.split("\\s+")
+      // a truncated/corrupt sidecar gets the same explanatory failure
+      // as every other attach diagnostic, not a bare NumberFormatException
+      // (`"".split` yields Array(""), so head exists but is not a count)
+      require(tokens.head.nonEmpty && tokens.head.forall(_.isDigit),
+        s"attach($table): sidecar $sidecar is corrupt — expected " +
+          s"`<bucketCount> <key>`, found `$raw`; re-stage the layout " +
+          "(toBucketedTable rewrites the sidecar)")
       val staged = tokens.head.toInt
       require(staged == buckets,
         s"attach($table): declared $buckets buckets but $path was staged " +

@@ -161,6 +161,28 @@ class BucketingSpec extends GraftSpec {
         assert(e.getMessage.contains("bucket"), e.getMessage)
         spark.sql("DROP TABLE IF EXISTS att_wrong")
       }
+      // a corrupt/truncated sidecar fails with the same explanatory
+      // diagnostic as the other validations, not a bare
+      // NumberFormatException; restoring the sidecar restores attach
+      val sidecarPath = java.nio.file.Paths.get(
+        loc.stripPrefix("file:"), TabularWriter.BucketSidecar)
+      // writing behind Hadoop's back leaves a stale .crc that the local
+      // FS would reject on read — drop it alongside each raw write
+      val crc = sidecarPath.resolveSibling("." + TabularWriter.BucketSidecar + ".crc")
+      val saved = java.nio.file.Files.readAllBytes(sidecarPath)
+      try {
+        for (junk <- Seq("", "not-a-number l_orderkey")) {
+          java.nio.file.Files.write(sidecarPath, junk.getBytes("UTF-8"))
+          java.nio.file.Files.deleteIfExists(crc)
+          val e = intercept[IllegalArgumentException] {
+            TabularWriter.attach(spark, "att_corrupt", loc, "l_orderkey", buckets = 4)
+          }
+          assert(e.getMessage.contains("corrupt") &&
+            e.getMessage.contains("re-stage"), e.getMessage)
+          spark.sql("DROP TABLE IF EXISTS att_corrupt")
+        }
+      } finally java.nio.file.Files.write(sidecarPath, saved)
+      TabularWriter.attach(spark, "att_ext", loc, "l_orderkey", buckets = 4)
     } finally {
       spark.sql("DROP TABLE IF EXISTS att_wrong")
       spark.sql("DROP TABLE IF EXISTS att_ext")

@@ -155,6 +155,83 @@ class EagerAggSpec extends GraftSpec {
     }
   }
 
+  test("LEFT OUTER + null-TOLERANT inputs decline; null-intolerant trees still fire") {
+    import spark.implicits._
+    // the round-10 reported defect: sum(coalesce(v, 5)) over a LEFT
+    // OUTER join evaluates to 5 on every NULL-extended row in the
+    // original plan, but a pushed pre-aggregate has no row for
+    // unmatched keys — the recombined sum silently returned NULL
+    val left = Seq(1L, 2L, 3L).toDF("k")
+    val right = Seq((1L, 10L), (1L, 11L)).toDF("rk", "v")
+    val j = left.join(right, col("k") === col("rk"), "left_outer")
+    def check(agg: org.apache.spark.sql.Column, fire: Boolean): Unit = {
+      def q = j.groupBy(col("k")).agg(agg.as("x"))
+      assert(aggBelowJoin(q) === fire,
+        s"${if (fire) "must fire" else "must decline"}:\n${optimized(q)}")
+      sameOnOff(q)
+    }
+    check(sum(coalesce(col("v"), lit(5L))), fire = false)
+    check(avg(coalesce(col("v").cast("double"), lit(5.0))), fire = false)
+    check(sum(when(col("v") > 10L, 1L).otherwise(0L)), fire = false)
+    check(min(when(col("v").isNull, 99L).otherwise(col("v"))), fire = false)
+    // count over a never-null input is normalized by Catalyst to
+    // count(1) BEFORE this rule runs — it fires via the count(*) arm,
+    // whose coalesce-to-1 recombination counts NULL-extended rows
+    // exactly like the original count of a non-null value
+    check(count(coalesce(col("v"), lit(0L))), fire = true)
+    // value checks, not just parity: unmatched keys 2 and 3 contribute 5
+    val got = j.groupBy(col("k")).agg(sum(coalesce(col("v"), lit(5L))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 21L), (2L, 5L), (3L, 5L)))
+    // null-INTOLERANT trees over attributes keep firing: arithmetic and
+    // casts propagate NULL, so unmatched rows contribute nothing either way
+    check(sum(col("v") * 2L + 1L), fire = true)
+    check(sum(col("v").cast("double")), fire = true)
+    check(avg(col("v") - 1L), fire = true)
+    // ...and the same null-tolerant shapes over an INNER join still fire
+    // (no NULL-extended rows exist to lose)
+    def inner = left.join(right, col("k") === col("rk"))
+      .groupBy(col("k")).agg(sum(coalesce(col("v"), lit(5L))).as("s"))
+    assert(aggBelowJoin(inner), s"inner must fire:\n${optimized(inner)}")
+    sameOnOff(inner)
+  }
+
+  test("unique-key table names match exactly or as advised-layout bases, never by substring") {
+    import spark.implicits._
+    val uk = "spark.graft.eagerAggregation.uniqueKeys"
+    val saved = spark.conf.get(uk)
+    val root = java.nio.file.Files.createTempDirectory("ea_uk")
+    try {
+      spark.conf.set(uk, "rampart.p_partkey")
+      // a table whose name merely CONTAINS the declared table must not
+      // inherit its constraint: `grampartly` ⊃ `rampart` but is not it
+      val dir = root.resolve("grampartly.parquet").toString
+      (1L to 50L).map(i => (i % 7, i)).toDF("p_partkey", "v")
+        .write.parquet(dir)
+      val fact = Seq((0L, 1L), (1L, 2L)).toDF("fk", "m")
+      def q = fact.join(spark.read.parquet(dir),
+          col("fk") === col("p_partkey"))
+        .groupBy(col("fk")).agg(sum(col("v")).as("s"))
+      assert(aggBelowJoin(q),
+        s"substring-only name match must NOT block:\n${optimized(q)}")
+      // the exact name DOES block
+      val exact = root.resolve("rampart.parquet").toString
+      (1L to 50L).map(i => (i % 7, i)).toDF("p_partkey", "v").write.parquet(exact)
+      def qe = fact.join(spark.read.parquet(exact), col("fk") === col("p_partkey"))
+        .groupBy(col("fk")).agg(sum(col("v")).as("s"))
+      assert(!aggBelowJoin(qe), s"exact name must block:\n${optimized(qe)}")
+      // an advised-layout name (`adv_<kind>_<table>[_suffix]`) inherits
+      val adv = root.resolve("adv_sweep_rampart_x200.parquet").toString
+      (1L to 50L).map(i => (i % 7, i)).toDF("p_partkey", "v").write.parquet(adv)
+      def qa = fact.join(spark.read.parquet(adv), col("fk") === col("p_partkey"))
+        .groupBy(col("fk")).agg(sum(col("v")).as("s"))
+      assert(!aggBelowJoin(qa), s"advised layout must inherit:\n${optimized(qa)}")
+    } finally {
+      spark.conf.set(uk, saved)
+      GateFixtures.deleteRecursively(root)
+    }
+  }
+
   test("unmatched keys count 0, not NULL — the recombination coalesce must survive optimization") {
     import spark.implicits._
     val left = Seq(1L, 2L, 3L).toDF("k")
