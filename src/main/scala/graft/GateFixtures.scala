@@ -269,6 +269,73 @@ private[graft] object GateFixtures {
       graft.plans.LayoutAdvisor.stageDerived(s, top, name)
     }
 
+  /** CROSS-KIND projection routing end-to-end (the round-10 router
+    * scored BUCKETED projections only, which left the decode-constant
+    * class q6/q14/q15 on a bucketed table while its proven ≤1.6× answer
+    * — the shipdate-clustered stored-cents projection — sat unstaged):
+    * the candidate set holds BOTH a bucketed lineitem projection (the
+    * per-orderkey join class) and the adviseDerivedCents clustered
+    * cents projection, and routeAll must send the gate's q15-shaped
+    * query (money idioms + a shipdate range filter, no shuffling
+    * per-key operator) to the CENTS projection — while the join-shaped
+    * query goes to the BUCKETED one when its join would shuffle, and
+    * goes UNROUTED when the join broadcasts (no exchange exists for a
+    * bucket to remove). All three REQUIREs pin the router; the gate's
+    * oracle pins the data. Returns the cents catalog table. */
+  def routedCentsLineitem(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val cents = (c: String) => round(col(c) * 100).cast("long")
+    val ts = (x: String) => lit(x).cast(TimestampType)
+    def q15ish = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+        .cast(DoubleType) / 10000.0).as("r"))
+    def joinish = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    lazy val picks = {
+      val corpus = Seq(q15ish, joinish)
+      val bspec = graft.plans.LayoutAdvisor.adviseProjections(corpus, perTable = 1)
+        .find(_.table == "lineitem").getOrElse(sys.error("no lineitem projection advised"))
+      require(bspec.key == "l_orderkey",
+        s"routedCents: expected the join key projection, got $bspec")
+      val dspec = graft.plans.LayoutAdvisor.adviseDerivedCents(corpus)
+        .find(_.table == "lineitem").getOrElse(sys.error("no lineitem cents spec advised"))
+      require(Set("l_extendedprice", "l_discount").subsetOf(dspec.sourceCols.toSet) &&
+        dspec.sortCol.contains("l_shipdate"),
+        s"routedCents: unexpected derived spec $dspec")
+      (bspec, dspec)
+    }
+    val bt = bucketedTable(s, d, "rc_li_ok") { name =>
+      graft.plans.LayoutAdvisor.stage(s, picks._1, name)
+    }
+    val dt = bucketedTable(s, d, "rc_li_cents") { name =>
+      graft.plans.LayoutAdvisor.stageDerived(s, picks._2, name)
+    }
+    val cands = Seq(
+      graft.plans.LayoutAdvisor.Projection.bucketed(picks._1, bt),
+      graft.plans.LayoutAdvisor.Projection.derived(picks._2, dt))
+    val routed = graft.plans.LayoutAdvisor.routeAll(q15ish, cands)
+    require(routed.get("lineitem").contains(dt),
+      s"routedCents: the money/range query must route to the cents projection, got $routed")
+    // the join class routes to the bucketed projection exactly when the
+    // join would shuffle; a broadcastable side means no redirect at all
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = s.conf.get(thr)
+    try {
+      s.conf.set(thr, "-1")
+      val shuffling = graft.plans.LayoutAdvisor.routeAll(joinish, cands)
+      require(shuffling.get("lineitem").contains(bt),
+        s"routedCents: the shuffling join must route to the bucketed projection, got $shuffling")
+    } finally s.conf.set(thr, saved)
+    val broadcasting = graft.plans.LayoutAdvisor.routeAll(joinish, cands)
+    require(!broadcasting.contains("lineitem"),
+      s"routedCents: a broadcast join has no exchange to remove — no redirect, got $broadcasting")
+    dt
+  }
+
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedTable(s, d, "bf_orders") { name =>
       import org.apache.spark.sql.functions.col

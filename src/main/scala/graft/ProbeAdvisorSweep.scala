@@ -70,7 +70,7 @@ object ProbeAdvisorSweep {
       var bad = 0
       names.foreach { n =>
         Tables.clearRedirects()
-        val routes = graft.plans.LayoutAdvisor.route(
+        val routes = graft.plans.LayoutAdvisor.routeAll(
           SparkEntry.queries(n)(spark, d), staged)
         routes.foreach { case (t, ct) => Tables.redirect(d, t, ct) }
         val routed = rows(n)
@@ -94,7 +94,7 @@ object ProbeAdvisorSweep {
       val staged = ensureProjections(spark, d)
       Tables.clearRedirects()
       names.map { n =>
-        val r = graft.plans.LayoutAdvisor.route(
+        val r = graft.plans.LayoutAdvisor.routeAll(
           SparkEntry.queries(n)(spark, d), staged)
         println(s"[route] $n -> ${r.map { case (t, c) => s"$t=$c" }.mkString(" ") }")
         n -> r
@@ -176,6 +176,15 @@ object ProbeAdvisorSweep {
       t: String): Unit = {
     if (spark.catalog.tableExists(t)) return
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // stats as product: measure (rowCount, NDV per advised column) of
+    // the base table once — EagerAggregation's unique-key declines and
+    // the advisor's equality selectivity then come from MEASUREMENT on
+    // both the flat path and (via the alias) the staged catalog table
+    val stats = graft.plans.TableStats.analyzePathIfMissing(
+      spark, spec.path, spec.key +: spec.columns)
+    graft.plans.TableStats.alias(wh, stats, t)
+    println(s"[stats] ${spec.table}: rows=${stats.rowCount} " +
+      stats.ndv.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }.mkString(" "))
     val loc = java.nio.file.Paths.get(wh, t)
     val sidecar = loc.resolve(graft.sources.TabularWriter.BucketSidecar)
     val sidecarMatches = java.nio.file.Files.exists(sidecar) && {
@@ -202,26 +211,63 @@ object ProbeAdvisorSweep {
     }
   }
 
-  /** One projection per HOT KEY per table (adviseProjections,
-    * perTable=2) — the layouts [[graft.plans.LayoutAdvisor.route]]
-    * picks among per query. No redirects installed here: routing is
-    * per-query by construction. */
+  /** One projection per ACCESS PATTERN per table: the bucketed hot-key
+    * projections (adviseProjections, perTable=2, cents composed) PLUS
+    * one derived-cents CLUSTERED projection per adviseDerivedCents
+    * table — the heterogeneous candidate set
+    * [[graft.plans.LayoutAdvisor.routeAll]] picks among per query
+    * (round-10's router scored bucketed specs only, so the
+    * decode-constant class q6/q14/q15 never reached its proven
+    * shipdate-clustered cents answer). No redirects installed here:
+    * routing is per-query by construction. */
   def ensureProjections(spark: org.apache.spark.sql.SparkSession, d: String)
-      : Seq[(graft.plans.LayoutAdvisor.LayoutSpec, String)] = {
+      : Seq[graft.plans.LayoutAdvisor.Projection] = {
     Tables.clearRedirects()
     val corpus = BenchBig.Rel.map(n => SparkEntry.queries(n)(spark, d))
     val specs = graft.plans.LayoutAdvisor.adviseProjections(corpus,
       perTable = 2, targetBucketBytes = 64L << 20, minHits = 2)
-    val derived = graft.plans.LayoutAdvisor.adviseDerivedCents(corpus)
-      .map(ds => ds.table -> ds.sourceCols).toMap
+    val derivedSpecs = graft.plans.LayoutAdvisor.adviseDerivedCents(corpus)
+    val derived = derivedSpecs.map(ds => ds.table -> ds.sourceCols).toMap
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    specs.map { spec =>
+    val bucketed = specs.map { spec =>
       val t = s"adv_proj_${spec.table}_${spec.key}$tag"
       println(s"[advise] projection ${spec.table}.${spec.key} buckets=${spec.buckets} " +
         s"hits=${spec.hits} cols=${spec.columns.size}")
       val cents = derived.getOrElse(spec.table, Nil).filter(spec.columns.contains)
       stageOrAttach(spark, spec, cents, t)
-      spec -> t
+      graft.plans.LayoutAdvisor.Projection.bucketed(spec, t, cents)
     }
+    val clustered = derivedSpecs.map { ds =>
+      val t = s"adv_cents_${ds.table}$tag"
+      println(s"[advise] cents projection ${ds.table} sort=${ds.sortCol.getOrElse("-")} " +
+        s"cols=${ds.sourceCols.mkString(",")} hits=${ds.hits}")
+      stageOrAttachDerived(spark, ds, t)
+      graft.plans.LayoutAdvisor.Projection.derived(ds, t)
+    }
+    bucketed ++ clustered
+  }
+
+  /** Stage (or fresh-JVM re-attach) one derived-cents projection; the
+    * `_graft_derived` sidecar provides the same drift detection the
+    * bucketed path gets from `_graft_buckets`. */
+  private def stageOrAttachDerived(spark: org.apache.spark.sql.SparkSession,
+      spec: graft.plans.LayoutAdvisor.DerivedSpec, t: String): Unit = {
+    if (spark.catalog.tableExists(t)) return
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, t)
+    val t0 = System.nanoTime()
+    if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+      try {
+        graft.plans.LayoutAdvisor.attachDerived(spark, spec, t, loc.toString)
+        println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        return
+      } catch {
+        case e: IllegalArgumentException =>
+          println(s"[advise] $t sidecar mismatch (${e.getMessage.take(80)}…) — re-staging")
+      }
+    }
+    GateFixtures.deleteRecursively(loc)
+    graft.plans.LayoutAdvisor.stageDerived(spark, spec, t)
+    println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
   }
 }

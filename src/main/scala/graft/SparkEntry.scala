@@ -2078,6 +2078,29 @@ object SparkEntry {
         .filter(col("rp_price_cents") > 2000000L * 100)
         .select(col("rp_custkey"), col("rp_price_cents"))
     },
+    "layout_routed_cents" -> { (s, d) =>
+      // CROSS-KIND routing as product: the candidate set holds a
+      // bucketed projection AND the shipdate-clustered stored-cents
+      // projection; routeAll sends this q15-shaped money/range query to
+      // the cents one (GateFixtures.routedCentsLineitem REQUIREs the
+      // route — round-10's bucketed-only router was why q6/q14/q15 sat
+      // at 2.5–4.1× in-sweep while their proven ≤1.6× layout existed).
+      // Arithmetic is VERBATIM engine style — the long-cents idiom AND
+      // the q6-shaped DECIMAL idiom — so the gate also pins
+      // RewriteStoredCents's MakeDecimal rewrite (stage-time-verified
+      // finite columns) against an oracle computed from raw doubles.
+      val cents = (c: String) => round(col(c) * 100).cast("long")
+      s.table(GateFixtures.routedCentsLineitem(s, d))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey").as("rc_suppkey"))
+        .agg(
+          (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+            .cast(DoubleType) / 10000.0).as("rc_revenue"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2))
+            * col("l_discount").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("rc_disc_rev"))
+    },
     "layout_advisor_sorted" -> { (s, d) =>
       // the advisor's PREDICATE-side advice end-to-end: adviseSorted
       // derived (orders, o_orderdate, pruned columns, file count) from
@@ -2323,6 +2346,19 @@ object SparkEntry {
     // computed from the RAW doubles — the stored cents column is the
     // thing under test
     "layout_derived_cents" -> oracleSqlBase("q1_pricing_summary"),
+    // cross-kind routed projection: oracle from the RAW doubles over
+    // whole-table lineitem — both the stored-cents rewrite (long idiom)
+    // and the MakeDecimal rewrite (decimal idiom) must reproduce it
+    "layout_routed_cents" ->
+      """SELECT l_suppkey AS rc_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS rc_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS rc_disc_rev
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |GROUP BY l_suppkey""".stripMargin,
     "metric_gauc_sorted" -> oracleSqlBase("metric_gauc"))
 
   /** Quality-score SQL expression over a `t(doc_id, toks)` CTE —

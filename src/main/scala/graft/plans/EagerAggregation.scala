@@ -110,27 +110,47 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       }.toSet
 
   /** True when pre-aggregating `side` by `keys` provably reduces
-    * nothing: the subtree reads ONE table and some declared unique key
-    * of it is among the grouping keys (a superset of a unique key is
-    * still unique). Multi-leaf subtrees (joins) never block — a join
-    * output has no declared uniqueness. */
+    * nothing: the subtree reads ONE table and some grouping key is
+    * ≈unique on it (a superset of a unique key is still unique).
+    * MEASURED first — when a [[TableStats]] record exists for the
+    * leaf's identity (read path or catalog table name), NDV ≥
+    * factor × rowCount blocks; the declared-PK conf is the no-stats
+    * fallback and user override. Multi-leaf subtrees (joins) never
+    * block — a join output has no uniqueness either way. */
   private def uniqueKeyBlocks(side: LogicalPlan, keys: Seq[Attribute]): Boolean = {
-    val declared = declaredUnique
-    if (declared.isEmpty) return false
     side.collectLeaves() match {
       case Seq(lr: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
-        val table = lr.catalogTable.map(_.identifier.table).getOrElse {
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              val base = fs.location.rootPaths.head.getName
-              if (base.endsWith(".parquet")) base.dropRight(".parquet".length) else base
-            case _ => return false
-          }
-        }
         val keyNames = keys.map(_.name).toSet
-        def tableMatches(t: String): Boolean = table == t ||
-          table.matches(s"adv_\\w*_${java.util.regex.Pattern.quote(t)}(_.*)?")
-        declared.exists { case (t, c) => tableMatches(t) && keyNames.contains(c) }
+        val identities = lr.catalogTable.map(_.identifier.table).toSeq ++
+          (lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              Seq(fs.location.rootPaths.map(_.toString).mkString(","))
+            case _ => Nil
+          })
+        val wh = conf.getConfString("spark.sql.warehouse.dir", "")
+        val factor = conf.getConfString(
+          "spark.graft.stats.uniqueishFactor", "0.9").toDouble
+        val measured = identities.flatMap(id => TableStats.lookup(wh, id)).headOption
+        measured match {
+          case Some(st) if keyNames.exists(c => st.ndv.contains(c)) =>
+            // measurement decides both ways: a measured NON-unique key
+            // is allowed to fire even if the conf would have blocked it
+            keyNames.exists(c => st.uniqueish(c, factor))
+          case _ =>
+            val declared = declaredUnique
+            if (declared.isEmpty) return false
+            val table = lr.catalogTable.map(_.identifier.table).getOrElse {
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  val base = fs.location.rootPaths.head.getName
+                  if (base.endsWith(".parquet")) base.dropRight(".parquet".length) else base
+                case _ => return false
+              }
+            }
+            def tableMatches(t: String): Boolean = table == t ||
+              table.matches(s"adv_\\w*_${java.util.regex.Pattern.quote(t)}(_.*)?")
+            declared.exists { case (t, c) => tableMatches(t) && keyNames.contains(c) }
+        }
       case _ => false
     }
   }

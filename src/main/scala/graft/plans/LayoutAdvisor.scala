@@ -114,27 +114,57 @@ object LayoutAdvisor {
     }
   }
 
-  /** Textbook (Selinger-constant) selectivity guess for a filter
-    * predicate — no table statistics exist on a raw parquet read, so
-    * the estimate is structural: equality ~1/10, range comparison ~1/3,
-    * IN ~1/10 per value, IS NULL ~1/20, prefix/substring ~1/4,
-    * IS NOT NULL 1 (the optimizer injects one per join/filter column —
-    * it must not discount anything), AND multiplies, OR adds. The
-    * absolute numbers are crude by design; they only need to separate
-    * "the whole table reaches the per-key operator" from "a thin slice
-    * does" for the stage/don't-stage threshold. */
-  private def selectivity(e: Expression): Double = e match {
-    case And(l, r) => selectivity(l) * selectivity(r)
-    case Or(l, r) =>
-      val (a, b) = (selectivity(l), selectivity(r)); math.min(1.0, a + b - a * b)
-    case Not(c) => math.max(0.0, 1.0 - selectivity(c))
-    case _: EqualTo | _: EqualNullSafe => 0.1
-    case in: In => math.min(0.5, 0.1 * in.list.size)
-    case _: IsNull => 0.05
-    case _: IsNotNull => 1.0
-    case _: StartsWith | _: Contains | _: EndsWith => 0.25
-    case _: BinaryComparison => 1.0 / 3.0
-    case _ => 0.5
+  /** Selectivity guess for a filter predicate. MEASURED where stats
+    * exist ([[TableStats]] — stats as product): an equality/IN against
+    * a column with a recorded NDV prices at 1/NDV (|list|/NDV), the
+    * textbook estimator with a real denominator. Structural
+    * Selinger-style constants otherwise: equality ~1/10, range
+    * comparison ~1/3, IN ~1/10 per value, IS NULL ~1/20,
+    * prefix/substring ~1/4, IS NOT NULL 1 (the optimizer injects one
+    * per join/filter column — it must not discount anything), AND
+    * multiplies, OR adds. The absolute numbers are crude by design;
+    * they only need to separate "the whole table reaches the per-key
+    * operator" from "a thin slice does" for the stage/don't-stage
+    * threshold — measurement sharpens exactly the cases (point lookups
+    * on high-NDV columns) where the constant is most wrong. */
+  private[graft] def selectivity(e: Expression,
+      ndvOf: String => Option[Long] = _ => None): Double = {
+    def eqAttr(l: Expression, r: Expression): Option[AttributeReference] =
+      (l, r) match {
+        case (a: AttributeReference, v) if v.foldable => Some(a)
+        case (v, a: AttributeReference) if v.foldable => Some(a)
+        case _ => None
+      }
+    e match {
+      case And(l, r) => selectivity(l, ndvOf) * selectivity(r, ndvOf)
+      case Or(l, r) =>
+        val (a, b) = (selectivity(l, ndvOf), selectivity(r, ndvOf))
+        math.min(1.0, a + b - a * b)
+      case Not(c) => math.max(0.0, 1.0 - selectivity(c, ndvOf))
+      case EqualTo(l, r) => eqAttr(l, r).flatMap(a => ndvOf(a.name))
+        .filter(_ > 0).map(n => math.min(1.0, 1.0 / n.toDouble)).getOrElse(0.1)
+      case EqualNullSafe(l, r) => eqAttr(l, r).flatMap(a => ndvOf(a.name))
+        .filter(_ > 0).map(n => math.min(1.0, 1.0 / n.toDouble)).getOrElse(0.1)
+      case in: In => (in.value match {
+        case a: AttributeReference if in.list.forall(_.foldable) => ndvOf(a.name)
+        case _ => None
+      }).filter(_ > 0).map(n => math.min(1.0, in.list.size.toDouble / n.toDouble))
+        .getOrElse(math.min(0.5, 0.1 * in.list.size))
+      case _: IsNull => 0.05
+      case _: IsNotNull => 1.0
+      case _: StartsWith | _: Contains | _: EndsWith => 0.25
+      case _: BinaryComparison => 1.0 / 3.0
+      case _ => 0.5
+    }
+  }
+
+  /** Measured-NDV resolver for the leaf read at `path` — None per
+    * column until someone has [[TableStats.analyze]]d that identity
+    * (the advisor sweep does at stage time). */
+  private def ndvResolver(spark: org.apache.spark.sql.SparkSession,
+      path: String): String => Option[Long] = {
+    val wh = TableStats.warehouseOf(spark)
+    name => TableStats.lookup(wh, path).flatMap(_.ndv.get(name))
   }
 
   /** Estimated fraction of the rows of the leaf at `leafPath` that
@@ -142,15 +172,17 @@ object LayoutAdvisor {
     * between that leaf and `n`. None when the leaf is not under `n`;
     * self-joins take the first occurrence (the signal feeds a
     * stage/don't-stage threshold, not an exact cost model). */
-  private def reachFraction(n: LogicalPlan, leafPath: String): Option[Double] = n match {
+  private def reachFraction(n: LogicalPlan, leafPath: String,
+      ndvOf: String => Option[Long] = _ => None): Option[Double] = n match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation
           if fs.location.rootPaths.map(_.toString).mkString(",") == leafPath =>
         Some(1.0)
       case _ => None
     }
-    case f: Filter => reachFraction(f.child, leafPath).map(_ * selectivity(f.condition))
-    case other => other.children.flatMap(c => reachFraction(c, leafPath)).headOption
+    case f: Filter => reachFraction(f.child, leafPath, ndvOf)
+      .map(_ * selectivity(f.condition, ndvOf))
+    case other => other.children.flatMap(c => reachFraction(c, leafPath, ndvOf)).headOption
   }
 
   /** Analyze a corpus and recommend one bucketed layout per table that
@@ -220,7 +252,8 @@ object LayoutAdvisor {
         byId.get(a.exprId.id).foreach { pc =>
           hits(pc) = hits.getOrElse(pc, 0) + 1
           weight(pc) = weight.getOrElse(pc, 0.0) +
-            reachFraction(at, pc._1).getOrElse(1.0)
+            reachFraction(at, pc._1, ndvResolver(df.sparkSession, pc._1))
+              .getOrElse(1.0)
         }
       plan.foreach {
         case agg: Aggregate =>
@@ -331,7 +364,7 @@ object LayoutAdvisor {
           val (c, cols) = hitAgg.getOrElse(pc, (0, Set.empty[String]))
           hitAgg(pc) = (c + 1, cols ++ usedByPath.getOrElse(p, Set.empty))
           weight(pc) = weight.getOrElse(pc, 0.0) +
-            reachFraction(at, p).getOrElse(1.0)
+            reachFraction(at, p, ndvResolver(df.sparkSession, p)).getOrElse(1.0)
         }
       plan.foreach {
         case agg: Aggregate => agg.groupingExpressions.foreach {
@@ -379,37 +412,79 @@ object LayoutAdvisor {
     }.sortBy(s => (-s.hits, s.table, s.key))
   }
 
-  /** PROJECTION ROUTING — the read-side half of
-    * [[adviseProjections]]: given ONE query and the staged projections
-    * (spec → catalog table), pick for each base table the projection
-    * THIS query's plan wants. A single layout per table is a trade
-    * (PERF.md round-10: bucketing orders on o_custkey bought q13/q22
-    * and cost q4/q18 their o_orderkey co-location); with one projection
-    * per hot key staged, routing lets every query keep its own
-    * co-location — the column-store projection model completed.
+  /** A STAGED physical projection of one base table, any layout KIND,
+    * as [[routeAll]] scores it: optionally hash-BUCKETED on a key
+    * (exchange removal), optionally range/z-CLUSTERED on sort columns
+    * (footer-stats pruning), optionally carrying stored `<col>_cents`
+    * longs for `centsCols` (decode removal via [[RewriteStoredCents]]).
+    * `columns` = the base columns it serves (None = the full base
+    * schema, e.g. a [[stageDerived]] projection). One staging can be
+    * several of these at once — [[stageWithDerived]] emits
+    * bucketed+cents, [[stageDerived]] emits clustered+cents. */
+  case class Projection(table: String, catalogTable: String,
+      bucketKey: Option[String], sortCols: Seq[String],
+      centsCols: Seq[String], columns: Option[Seq[String]])
+
+  object Projection {
+    def bucketed(spec: LayoutSpec, cat: String,
+        cents: Seq[String] = Nil): Projection =
+      Projection(spec.table, cat, Some(spec.key), Nil, cents, Some(spec.columns))
+    def derived(spec: DerivedSpec, cat: String): Projection =
+      Projection(spec.table, cat, None, spec.sortCol.toSeq, spec.sourceCols, None)
+    def sorted(spec: SortedSpec, cat: String): Projection =
+      Projection(spec.table, cat, None, spec.sortCols, Nil, Some(spec.columns))
+  }
+
+  /** PROJECTION ROUTING — the read-side half of the advisor: given ONE
+    * query and the staged projections, pick for each base table the
+    * projection THIS query's plan wants. A single layout per table is
+    * a trade (PERF.md round-10: bucketing orders on o_custkey bought
+    * q13/q22 and cost q4/q18 their o_orderkey co-location; round-10's
+    * bucketed-only router left q6/q14/q15 on a bucketed table while
+    * their proven answer was the shipdate-clustered cents projection);
+    * with one projection per ACCESS PATTERN staged, routing lets every
+    * query keep its own — the column-store projection model completed
+    * across layout kinds.
     *
-    * Selection per table, from the query's OWN optimized plan (the
-    * same signals [[advise]] reads corpus-wide):
-    *  - a projection is eligible only when its carried columns cover
-    *    every column the query reads from that table (a narrower
-    *    projection would fail at resolution, loudly but pointlessly);
-    *  - among eligible projections, the one whose bucket key carries
-    *    the most of this query's per-key operators (grouping keys,
-    *    equi-join sides) wins; zero key hits → no redirect (the flat
-    *    table stays — a projection buys nothing without a per-key
-    *    operator, and the flat read needs no catalog);
-    *  - ties: fewer carried columns (narrower scan), then key name.
+    * Eligibility: a projection must carry every base column the query
+    * reads from that table (None = full schema). Scoring is
+    * bytes-denominated, the same unit [[advise]]'s benefitBytes uses,
+    * summing what each layout property saves THIS query:
     *
+    *  - BUCKET key: for each per-key operator on the key (grouping
+    *    key, equi-join side), the exchange it avoids ≈ the table bytes
+    *    discounted by [[reachFraction]] at the operator. A join hit
+    *    counts ONLY when the join would actually shuffle — if the
+    *    other side fits the broadcast threshold, no exchange exists to
+    *    remove (q14's lineitem⋈part is broadcast; bucketing lineitem
+    *    on l_partkey buys nothing, which is exactly why the cents
+    *    projection must outrank it there).
+    *  - SORT/cluster columns: footer min/max pruning skips the
+    *    complement of the clustered predicate's selectivity —
+    *    (1 − sel(conjuncts on sortCols)) × bytes, conjuncts taken from
+    *    the Filter directly above the scan (the pushdown position).
+    *  - STORED CENTS: each `cast(round(x*100) as bigint)` idiom over a
+    *    carried cents column drops a double decode + per-row rounding;
+    *    priced at [[CentsHitWeight]] × bytes per hit — a Selinger-style
+    *    constant (measured basis: the cents projection moved the
+    *    decode-constant class 3.3–4.5× → 1.5–2.0×, PERF.md round-10).
+    *    Both candidate kinds usually carry cents, so the constant
+    *    cancels where it is least certain and decides only
+    *    cents-vs-none.
+    *
+    * Highest positive total wins; zero → no redirect (the flat table
+    * needs no catalog). Ties: fewer carried columns, then name.
     * Returns tableName → catalog table; install with
     * [[graft.Tables.redirect]] before (re)building the query. */
-  def route(query: DataFrame,
-      staged: Seq[(LayoutSpec, String)]): Map[String, String] = {
+  def routeAll(query: DataFrame, staged: Seq[Projection]): Map[String, String] = {
+    val spark = query.sparkSession
     val plan = query.queryExecution.optimizedPlan
     val refIds = plan.collect {
       case n if n.children.nonEmpty => n.expressions.flatMap(_.references.toSeq)
     }.flatten.map(_.exprId.id).toSet
     val byId = scala.collection.mutable.Map.empty[Long, (String, String)]
     val usedByPath = scala.collection.mutable.Map.empty[String, Set[String]]
+    val bytesOf = scala.collection.mutable.Map.empty[String, Long]
     plan.foreach {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val fs = lr.relation.asInstanceOf[HadoopFsRelation]
@@ -418,41 +493,106 @@ object LayoutAdvisor {
         val used = lr.output.filter(a => refIds(a.exprId.id))
         usedByPath(path) = usedByPath.getOrElse(path, Set.empty) ++
           (if (used.isEmpty) lr.output else used).map(_.name)
+        bytesOf.getOrElseUpdate(path, fs.sizeInBytes)
       case _ =>
     }
     resolveAliases(plan, byId)
-    // per-key hits for THIS query — the same two signals advise() counts
-    val hits = scala.collection.mutable.Map.empty[(String, String), Int]
-    def hit(a: Attribute): Unit = byId.get(a.exprId.id)
-      .foreach(pc => hits(pc) = hits.getOrElse(pc, 0) + 1)
+    val broadcastThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+
+    // bucket-key benefit: bytes of avoided exchange per (path, key)
+    val keyBytes = scala.collection.mutable.Map.empty[(String, String), Double]
+    def keyHit(a: Attribute, at: LogicalPlan): Unit =
+      byId.get(a.exprId.id).foreach { case pc @ (p, _) =>
+        val w = reachFraction(at, p, ndvResolver(spark, p)).getOrElse(1.0)
+        keyBytes(pc) = keyBytes.getOrElse(pc, 0.0) + w * bytesOf.getOrElse(p, 0L)
+      }
     plan.foreach {
       case agg: Aggregate => agg.groupingExpressions.foreach {
-        case ar: AttributeReference => hit(ar)
+        case ar: AttributeReference => keyHit(ar, agg)
         case _ =>
       }
       case j: Join => j.condition.toSeq.flatMap(conjuncts).foreach {
         case EqualTo(l: AttributeReference, r: AttributeReference) =>
-          hit(l); hit(r)
+          // the join only shuffles when NEITHER side fits the broadcast
+          // threshold — a broadcast join has no exchange for bucketing
+          // to remove, on either side
+          def big(side: LogicalPlan): Boolean =
+            broadcastThreshold <= 0 || side.stats.sizeInBytes > broadcastThreshold
+          if (big(j.left) && big(j.right)) { keyHit(l, j); keyHit(r, j) }
         case _ =>
       }
       case _ =>
     }
-    staged.groupBy(_._1.table).flatMap { case (tbl, cands) =>
+
+    // stored-cents benefit: money-idiom hits per (path, source column)
+    val centsHits = scala.collection.mutable.Map.empty[(String, String), Int]
+    plan.foreach(n => n.expressions.foreach(_.foreach { e =>
+      RewriteStoredCents.moneyIdiom(e).flatMap(a => byId.get(a.exprId.id))
+        .foreach(pc => centsHits(pc) = centsHits.getOrElse(pc, 0) + 1)
+    }))
+
+    // pushdown-position predicates: Filter directly above each scan
+    val predsByPath = scala.collection.mutable.Map.empty[String, Seq[Expression]]
+    def scanPath(n: LogicalPlan): Option[String] = n match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          Some(fs.location.rootPaths.map(_.toString).mkString(","))
+        case _ => None
+      }
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => scanPath(p.child)
+      case _ => None
+    }
+    plan.foreach {
+      case f: Filter => scanPath(f.child).foreach { p =>
+        predsByPath(p) = predsByPath.getOrElse(p, Nil) ++ conjuncts(f.condition)
+      }
+      case _ =>
+    }
+
+    staged.groupBy(_.table).flatMap { case (tbl, cands) =>
       usedByPath.keys.find(p => tableName(p) == tbl).flatMap { p =>
         val needed = usedByPath(p)
+        val bytes = bytesOf.getOrElse(p, 0L).toDouble
+        val ndv = ndvResolver(spark, p)
+        def pruneBytes(sortCols: Seq[String]): Double = {
+          if (sortCols.isEmpty) return 0.0
+          val clustered = predsByPath.getOrElse(p, Nil).filter { c =>
+            val names = c.references.toSeq.map(_.name)
+            names.nonEmpty && names.forall(sortCols.contains)
+          }
+          if (clustered.isEmpty) 0.0
+          else (1.0 - clustered.map(selectivity(_, ndv)).product) * bytes
+        }
         val scored = cands
-          .filter { case (spec, _) => needed.subsetOf(spec.columns.toSet) }
-          .map { case (spec, cat) => (hits.getOrElse((p, spec.key), 0), spec, cat) }
-          .filter(_._1 > 0)
+          .filter(c => c.columns.forall(cols => needed.subsetOf(cols.toSet)))
+          .map { c =>
+            val bucket = c.bucketKey.map(k =>
+              keyBytes.getOrElse((p, k), 0.0)).getOrElse(0.0)
+            val cents = CentsHitWeight * bytes * c.centsCols.map(sc =>
+              centsHits.getOrElse((p, sc), 0)).sum
+            (bucket + pruneBytes(c.sortCols) + cents, c)
+          }
+          .filter(_._1 > 0.0)
         if (scored.isEmpty) None
         else {
-          val (_, _, cat) = scored
-            .sortBy { case (h, spec, _) => (-h, spec.columns.size, spec.key) }.head
-          Some(tbl -> cat)
+          val best = scored.sortBy { case (score, c) =>
+            (-score, c.columns.map(_.size).getOrElse(Int.MaxValue), c.catalogTable)
+          }.head._2
+          Some(tbl -> best.catalogTable)
         }
       }
     }
   }
+
+  /** Per-idiom-hit value of a stored cents column, as a fraction of
+    * the table's bytes (see [[routeAll]]'s scoring note). */
+  val CentsHitWeight = 0.1
+
+  /** Bucketed-only routing (the round-10 surface, kept for callers
+    * holding `(LayoutSpec, table)` pairs): delegates to [[routeAll]]. */
+  def route(query: DataFrame,
+      staged: Seq[(LayoutSpec, String)]): Map[String, String] =
+    routeAll(query, staged.map { case (spec, cat) => Projection.bucketed(spec, cat) })
 
   /** Stage one advised layout as catalog table `name` (parquet read of
     * spec.path → exactly spec.columns → bucketed+sorted on spec.key).
@@ -632,9 +772,10 @@ object LayoutAdvisor {
       plan.foreach { node =>
         // ONE matcher, shared with the rewrite rule: the advice must
         // count exactly the expressions RewriteStoredCents will
-        // rewrite, or it stages columns the rule never reads
+        // rewrite, or it stages columns the rule never reads (both the
+        // long-cents idiom and the q6-shaped decimal idiom)
         node.expressions.foreach(_.foreach { e =>
-          RewriteStoredCents.centsIdiom(e)
+          RewriteStoredCents.moneyIdiom(e)
             .flatMap(a => byId.get(a.exprId.id))
             .foreach(pc => centsHits(pc) = centsHits.getOrElse(pc, 0) + 1)
         })
@@ -668,15 +809,46 @@ object LayoutAdvisor {
     }.sortBy(s => (-s.hits, s.table))
   }
 
+  /** Sidecar a [[stageDerived]] projection writes beside its files,
+    * recording what the projection physically IS — the cents source
+    * columns and the clustering column — so a fresh JVM re-attaches
+    * the already-written files ONLY when this session's advice still
+    * matches (the same drift discipline as the bucketed
+    * `_graft_buckets` sidecar: nothing else in the files proves which
+    * expression the stored longs were computed with). */
+  val DerivedSidecar = "_graft_derived"
+
+  private def derivedSidecarBody(spec: DerivedSpec): String =
+    s"sort ${spec.sortCol.getOrElse("-")}\ncols ${spec.sourceCols.sorted.mkString(",")}\n"
+
   /** Stage one derived-cents projection as catalog table `name`: the
     * FULL source schema plus `<col>_cents` longs computed with the
     * exact expression [[RewriteStoredCents]] rewrites, range-clustered
     * on `sortCol` when advised, and the table property set so the rule
     * (and only it) treats the stored columns as authoritative. */
   def stageDerived(spark: SparkSession, spec: DerivedSpec, name: String): Unit = {
-    import org.apache.spark.sql.functions.{col, round}
+    import org.apache.spark.sql.functions.{col, isnan, lit, max, round, when}
     val base = spark.read.parquet(spec.path.split(',').toIndexedSeq: _*)
-    val withCents = spec.sourceCols.foldLeft(base)((df, c) =>
+    // finiteness audit FIRST (one narrow scan): cents are staged ONLY
+    // for NaN/Inf-free columns. A non-finite money column cannot carry
+    // either rewrite exactly (the DECIMAL cast NULLs/errors on NaN
+    // while round(NaN*100)→long stores 0 — or throws outright under
+    // ANSI, which would also kill this write) — decline it loudly and
+    // stage the clean rest.
+    val finite = {
+      val flags = spec.sourceCols.map(c => max(when(
+        isnan(col(c)) || col(c) === lit(Double.PositiveInfinity) ||
+          col(c) === lit(Double.NegativeInfinity), 1).otherwise(0)).as(c))
+      val row = base.select(flags: _*).collect()(0)
+      spec.sourceCols.zipWithIndex.collect {
+        case (c, i) if row.isNullAt(i) || row.getInt(i) == 0 => c
+      }
+    }
+    val dropped = spec.sourceCols.filterNot(finite.contains)
+    if (dropped.nonEmpty) System.err.println(s"[advise] stageDerived($name): " +
+      s"declining non-finite money column(s) ${dropped.mkString(", ")} — " +
+      "no cents stored for them")
+    val withCents = finite.foldLeft(base)((df, c) =>
       df.withColumn(c + "_cents", round(col(c) * 100).cast("long")))
     val shaped = spec.sortCol match {
       case Some(sc) => withCents
@@ -684,7 +856,44 @@ object LayoutAdvisor {
       case None => withCents
     }
     shaped.write.mode("overwrite").saveAsTable(name)
-    markDerived(spark, name, spec.sourceCols)
+    if (finite.nonEmpty) {
+      markDerived(spark, name, finite)
+      markDerivedFinite(spark, name, finite)
+    }
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc.getPath, DerivedSidecar),
+      (derivedSidecarBody(spec) + s"finite ${finite.sorted.mkString(",")}\n")
+        .getBytes("UTF-8"))
+  }
+
+  /** Re-register already-[[stageDerived]] files as external catalog
+    * table `name` (fresh-JVM path — the local stand-in for a
+    * persistent metastore, like [[graft.sources.TabularWriter.attach]]
+    * for bucketed layouts). Requires the sidecar to match `spec`:
+    * attaching files whose stored cents or clustering drifted from
+    * this session's advice would silently serve the wrong projection. */
+  def attachDerived(spark: SparkSession, spec: DerivedSpec, name: String,
+      path: String): Unit = {
+    val sidecar = java.nio.file.Paths.get(path, DerivedSidecar)
+    val body = if (java.nio.file.Files.exists(sidecar))
+      new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8") else ""
+    require(body.startsWith(derivedSidecarBody(spec)),
+      s"attachDerived($name): sidecar $sidecar missing or advice drifted — re-stage")
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet LOCATION '$path'")
+    // what was STAGED is what the sidecar's finite line says (the
+    // stage-time audit is physical — it was measured over these files,
+    // and only verified-finite columns got cents stored at all)
+    val finite = body.split("\n").collectFirst {
+      case l if l.startsWith("finite ") => l.stripPrefix("finite ")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    if (finite.nonEmpty) {
+      markDerived(spark, name, finite)
+      markDerivedFinite(spark, name, finite)
+    }
   }
 
   /** Stage a BUCKETED advice that also CARRIES stored cents columns —
@@ -714,6 +923,13 @@ object LayoutAdvisor {
   def markDerived(spark: SparkSession, table: String, sourceCols: Seq[String]): Unit =
     spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
       s"('${RewriteStoredCents.Property}' = '${sourceCols.mkString(",")}')")
+
+  /** Record the stage-time finiteness audit (see
+    * [[RewriteStoredCents.FiniteProperty]]). */
+  def markDerivedFinite(spark: SparkSession, table: String,
+      finiteCols: Seq[String]): Unit =
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('${RewriteStoredCents.FiniteProperty}' = '${finiteCols.mkString(",")}')")
 
   /** Complete layout advice for a corpus: bucketed layouts for the
     * per-key operator classes first (they remove exchanges — the bigger

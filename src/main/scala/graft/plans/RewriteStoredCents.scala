@@ -53,6 +53,22 @@ object RewriteStoredCents extends Rule[LogicalPlan] {
     * `cast(round(<name> * 100) as bigint)` at write time. */
   val Property = "graft.derived.cents"
 
+  /** Catalog-table property naming the subset of [[Property]] columns
+    * VERIFIED all-finite (no NaN/±Inf) at stage time. The DECIMAL money
+    * idiom `cast(x as decimal(p,2))` equals `MakeDecimal(x_cents, p, 2)`
+    * for every finite double (same half-up rounding, same
+    * overflow→NULL for p ≤ 18) but differs on NaN — the decimal cast
+    * returns NULL while `cast(round(NaN*100) as bigint)` stores 0 — so
+    * that rewrite fires only on columns this property names.
+    * [[LayoutAdvisor.stageDerived]] writes it from a one-pass
+    * finiteness audit run BEFORE the write; columns that fail the
+    * audit get no stored cents at all (under ANSI the staging cast
+    * itself would throw on NaN), so in practice this property equals
+    * [[Property]] — kept separate as the explicit marker the decimal
+    * rewrite checks, and so a legacy table staged before the audit
+    * existed (sidecar without a `finite` line) can never fire it. */
+  val FiniteProperty = "graft.derived.cents.finite"
+
   private def isHundred(l: Literal): Boolean = l.value match {
     case i: Int => i == 100
     case lo: Long => lo == 100L
@@ -100,21 +116,54 @@ object RewriteStoredCents extends Rule[LogicalPlan] {
     }
   }
 
+  /** The DECIMAL money idiom — `cast(x as decimal(p, 2))` directly over
+    * a double/float column, p ≤ 18 (see [[FiniteProperty]] for why the
+    * equivalence `MakeDecimal(x_cents, p, 2)` holds exactly there and
+    * only there): Some(attr, precision). The q6-shaped exact-money
+    * arithmetic (`sum(cast(a as decimal(12,2)) * cast(b as
+    * decimal(12,2)))`) is made of these. */
+  private[plans] def decimalIdiom(e: Expression): Option[(AttributeReference, Int)] =
+    e match {
+      case c: Cast => (c.child, c.dataType) match {
+        case (a: AttributeReference, d: org.apache.spark.sql.types.DecimalType)
+            if d.scale == 2 && d.precision <= 18 &&
+              (a.dataType == org.apache.spark.sql.types.DoubleType ||
+                a.dataType == org.apache.spark.sql.types.FloatType) =>
+          Some((a, d.precision))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Every money idiom the rule rewrites (and therefore every idiom
+    * [[LayoutAdvisor.adviseDerivedCents]] counts and
+    * [[LayoutAdvisor.routeAll]] scores): the long-cents idiom plus the
+    * decimal one. */
+  private[plans] def moneyIdiom(e: Expression): Option[AttributeReference] =
+    centsIdiom(e).orElse(decimalIdiom(e).map(_._1))
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // source-attribute exprId -> stored cents attribute, over marked
-    // relations only
-    val centsFor: Map[Long, Attribute] = plan.collect {
+    // relations only; finite = the subset verified NaN-free at stage
+    // time (the decimal idiom's precondition)
+    val marks: Seq[(Long, Attribute, Boolean)] = plan.collect {
       case lr: LogicalRelation =>
-        lr.catalogTable.flatMap(_.properties.get(Property)).toSeq.flatMap { srcs =>
+        lr.catalogTable.toSeq.flatMap { ct =>
+          val srcs = ct.properties.get(Property).toSeq
+            .flatMap(_.split(",")).map(_.trim.toLowerCase).filter(_.nonEmpty)
+          val finite = ct.properties.get(FiniteProperty).toSeq
+            .flatMap(_.split(",")).map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
           val byName = lr.output.map(a => a.name.toLowerCase -> a).toMap
-          srcs.split(",").map(_.trim.toLowerCase).toSeq.flatMap { s =>
+          srcs.flatMap { s =>
             for {
               src <- byName.get(s)
               cents <- byName.get(s + "_cents") if cents.dataType == LongType
-            } yield src.exprId.id -> cents
+            } yield (src.exprId.id, cents, finite(s))
           }
         }
-    }.flatten.toMap
+    }.flatten
+    val centsFor: Map[Long, Attribute] = marks.map(m => m._1 -> m._2).toMap
+    val finiteIds: Set[Long] = marks.collect { case (id, _, true) => id }.toSet
     if (centsFor.isEmpty) return plan
     plan.transformUp {
       case n if n.children.nonEmpty =>
@@ -124,6 +173,15 @@ object RewriteStoredCents extends Rule[LogicalPlan] {
             centsIdiom(c)
               .flatMap(a => centsFor.get(a.exprId.id))
               .filter(cents => inScope(cents.exprId.id))
+              .getOrElse(c)
+          case c: Cast =>
+            decimalIdiom(c)
+              .filter { case (a, _) => finiteIds(a.exprId.id) }
+              .flatMap { case (a, p) =>
+                centsFor.get(a.exprId.id)
+                  .filter(cents => inScope(cents.exprId.id))
+                  .map(cents => MakeDecimal(cents, p, 2))
+              }
               .getOrElse(c)
         }
     }

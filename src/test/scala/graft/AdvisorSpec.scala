@@ -286,10 +286,20 @@ class AdvisorSpec extends GraftSpec {
       val byCust = LayoutAdvisor.route(
         or.groupBy(col("o_custkey")).agg(count(lit(1)).as("n")), staged)
       assert(byCust === Map("orders" -> "route_ck"))
-      // ...an orderkey-join query to the orderkey projection
-      val byOrd = LayoutAdvisor.route(
-        li.join(or, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")), staged)
+      // ...an orderkey-join query to the orderkey projection — but only
+      // when the join would SHUFFLE: a broadcast join has no exchange
+      // for the bucket to remove, so at test scale (both sides under
+      // the threshold) the router must leave the query flat
+      def ordQ = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(!LayoutAdvisor.route(ordQ, staged).contains("orders"),
+        "a broadcastable join side must not attract a bucket route")
+      val thr = "spark.sql.autoBroadcastJoinThreshold"
+      val savedThr = spark.conf.get(thr)
+      val byOrd = try {
+        spark.conf.set(thr, "-1")
+        LayoutAdvisor.route(ordQ, staged)
+      } finally spark.conf.set(thr, savedThr)
       assert(byOrd.get("orders") === Some("route_ok"))
       // a query reading a column NO projection carries stays flat
       // (the corpus never read o_orderdate, so neither projection has it)
@@ -457,5 +467,120 @@ class AdvisorSpec extends GraftSpec {
     assert(LayoutAdvisor.bucketsFor(0L, 1L << 30) === 8)
     assert(LayoutAdvisor.bucketsFor(100L << 30, 1L << 30) === 100)
     assert(LayoutAdvisor.bucketsFor(100L << 40, 1L << 30) === 4096)
+  }
+
+  test("DECIMAL money idiom: MakeDecimal on verified-finite columns only; NaN keeps the long idiom") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dec_idiom")
+    spark.sql("DROP TABLE IF EXISTS dec_t")
+    try {
+      val dir = root.resolve("money.parquet").toString
+      // a: clean 2-dp money; b: same but one NaN row
+      (1 to 400).map(i => (i.toLong, i * 0.25, if (i == 7) Double.NaN else i * 0.5))
+        .toDF("k", "amt", "bad").write.parquet(dir)
+      val spec = LayoutAdvisor.DerivedSpec(dir, "money", Seq("amt", "bad"), None, 8, 2)
+      LayoutAdvisor.stageDerived(spark, spec, "dec_t")
+      val props = spark.sql("SHOW TBLPROPERTIES dec_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // the NaN column was DECLINED at stage time: no cents stored for
+      // it, neither property names it (under ANSI the staging cast
+      // itself would have thrown on NaN otherwise)
+      assert(props(graft.plans.RewriteStoredCents.Property) === "amt")
+      assert(props(graft.plans.RewriteStoredCents.FiniteProperty) === "amt",
+        "only the NaN-free column may carry the rewrites")
+      assert(!spark.table("dec_t").columns.contains("bad_cents"))
+      def planOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.toString
+      // finite column: decimal cast rewritten to MakeDecimal over the
+      // stored longs, raw double pruned from the scan, values exact
+      val qa = spark.table("dec_t").agg(sum(col("amt").cast(DecimalType(12, 2)))
+        .cast(DoubleType).as("s"))
+      assert(planOf(qa).contains("MakeDecimal"), planOf(qa))
+      assert(!planOf(qa).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+        .contains("amt:"), planOf(qa))
+      val flatA = spark.read.parquet(dir).agg(sum(col("amt").cast(DecimalType(12, 2)))
+        .cast(DoubleType).as("s")).collect()(0).getDouble(0)
+      assert(qa.collect()(0).getDouble(0) === flatA)
+      // ...and the LONG idiom rewrites on it too
+      val qal = spark.table("dec_t").agg(sum(round(col("amt") * 100).cast("long")).as("s"))
+      assert(!planOf(qal).toLowerCase.contains("round("), planOf(qal))
+      assert(qal.collect()(0).getLong(0) === spark.read.parquet(dir)
+        .agg(sum(round(col("amt") * 100).cast("long")).as("s")).collect()(0).getLong(0))
+      // NaN-bearing column: NEITHER idiom is rewritten (no stored cents
+      // exist — plan shape only; evaluating would throw under ANSI on
+      // both the flat and the table path, identically)
+      val qb = spark.table("dec_t").agg(sum(col("bad").cast(DecimalType(12, 2)))
+        .cast(DoubleType).as("s"))
+      assert(!planOf(qb).contains("MakeDecimal"),
+        s"declined column must not get the decimal rewrite:\n${planOf(qb)}")
+      val qbl = spark.table("dec_t").agg(sum(round(col("bad") * 100).cast("long")).as("s"))
+      assert(planOf(qbl).toLowerCase.contains("round("),
+        s"declined column must keep its verbatim arithmetic:\n${planOf(qbl)}")
+      // guards: scale ≠ 2 and precision > 18 are never rewritten
+      for (dt <- Seq(DecimalType(12, 1), DecimalType(20, 2))) {
+        val q = spark.table("dec_t").agg(sum(col("amt").cast(dt)).as("s"))
+        assert(!planOf(q).contains("MakeDecimal"),
+          s"$dt must not match the decimal idiom:\n${planOf(q)}")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dec_t")
+      GateFixtures.deleteRecursively(root)
+    }
+  }
+
+  test("routeAll: heterogeneous candidates — clustered projection wins filter shapes, bucketed wins key shapes") {
+    spark.sql("DROP TABLE IF EXISTS ra_sorted")
+    spark.sql("DROP TABLE IF EXISTS ra_bucketed")
+    try {
+      val or = Tables.orders(spark, sf)
+      val corpus = Seq(
+        or.where(col("o_orderdate") >= lit("1997-01-01"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")),
+        or.groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("s")))
+      // one SORTED candidate (adviseSorted → stageSorted files attached
+      // as a plain external table) and one BUCKETED candidate
+      val sspec = LayoutAdvisor.adviseSorted(corpus,
+        exclude = Set.empty).find(_.table == "orders").get
+      assert(sspec.sortCols === Seq("o_orderdate"))
+      val sortedDir = java.nio.file.Files.createTempDirectory("ra_sorted")
+      LayoutAdvisor.stageSorted(spark, sspec, sortedDir.resolve("data").toString)
+      val ddl = spark.read.parquet(sortedDir.resolve("data").toString).schema.toDDL
+      spark.sql(s"CREATE TABLE ra_sorted ($ddl) USING parquet " +
+        s"LOCATION '${sortedDir.resolve("data")}'")
+      val bspec = LayoutAdvisor.adviseProjections(corpus, perTable = 1)
+        .find(_.table == "orders").get
+      assert(bspec.key === "o_custkey")
+      LayoutAdvisor.stage(spark, bspec, "ra_bucketed")
+      val cands = Seq(
+        LayoutAdvisor.Projection.sorted(sspec, "ra_sorted"),
+        LayoutAdvisor.Projection.bucketed(bspec, "ra_bucketed"))
+      // the range-filter query routes to the CLUSTERED candidate (its
+      // pruning is the only nonzero score)...
+      val byFilter = LayoutAdvisor.routeAll(
+        or.where(col("o_orderdate") >= lit("1997-01-01"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")), cands)
+      assert(byFilter.get("orders") === Some("ra_sorted"), byFilter.toString)
+      // ...the per-custkey aggregate to the BUCKETED one
+      val byKey = LayoutAdvisor.routeAll(
+        or.groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("s")), cands)
+      assert(byKey.get("orders") === Some("ra_bucketed"), byKey.toString)
+      // routed-through-redirect result equals flat for the sorted kind
+      val flat = or.where(col("o_orderdate") >= lit("1997-01-01"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted.toSeq
+      Tables.redirect(sf, "orders", "ra_sorted")
+      try {
+        val routed = Tables.orders(spark, sf)
+          .where(col("o_orderdate") >= lit("1997-01-01"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .collect().map(_.toString).sorted.toSeq
+        assert(routed === flat)
+      } finally Tables.clearRedirects()
+      GateFixtures.deleteRecursively(sortedDir)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ra_sorted")
+      spark.sql("DROP TABLE IF EXISTS ra_bucketed")
+    }
   }
 }
