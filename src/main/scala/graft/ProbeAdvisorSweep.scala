@@ -201,7 +201,22 @@ object ProbeAdvisorSweep {
         spark, t, loc.toString, spec.key, spec.buckets)
       // table properties live in the catalog the attach just
       // recreated, not in the files — re-mark or the rule stays off
-      if (cents.nonEmpty) graft.plans.LayoutAdvisor.markDerived(spark, t, cents)
+      if (cents.nonEmpty) {
+        graft.plans.LayoutAdvisor.markDerived(spark, t, cents)
+        // the decimal-idiom rewrite additionally needs the finiteness
+        // proof; files staged before the audit existed self-heal with
+        // one narrow scan of the base columns + a sidecar write
+        val finite = graft.plans.LayoutAdvisor.readFiniteSidecar(loc.toString)
+          .getOrElse {
+            val f = graft.plans.LayoutAdvisor.auditFinite(
+              spark.read.parquet(spec.path.split(',').toIndexedSeq: _*), cents)
+            graft.plans.LayoutAdvisor.writeFiniteSidecar(spark, t, f)
+            println(s"[advise] $t: finite audit self-healed (${f.mkString(",")})")
+            f
+          }
+        if (finite.nonEmpty)
+          graft.plans.LayoutAdvisor.markDerivedFinite(spark, t, finite)
+      }
       println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
     } else {
       GateFixtures.deleteRecursively(loc)

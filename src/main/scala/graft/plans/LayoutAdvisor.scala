@@ -472,7 +472,12 @@ object LayoutAdvisor {
     *    cancels where it is least certain and decides only
     *    cents-vs-none.
     *
-    * Highest positive total wins; zero → no redirect (the flat table
+    * Selection is TIERED: any candidate with positive exchange savings
+    * outranks every prune/cents-only candidate (an exchanged byte costs
+    * serialize + spill + network + re-sort where a scanned byte costs
+    * one decode — measured at x200, round-11: q12/q7 ran ~1.5× slower
+    * routed to the clustered cents projection than co-located); within
+    * a tier the highest total wins, zero → no redirect (the flat table
     * needs no catalog). Ties: fewer carried columns, then name.
     * Returns tableName → catalog table; install with
     * [[graft.Tables.redirect]] before (re)building the query. */
@@ -570,14 +575,23 @@ object LayoutAdvisor {
               keyBytes.getOrElse((p, k), 0.0)).getOrElse(0.0)
             val cents = CentsHitWeight * bytes * c.centsCols.map(sc =>
               centsHits.getOrElse((p, sc), 0)).sum
-            (bucket + pruneBytes(c.sortCols) + cents, c)
+            (bucket, pruneBytes(c.sortCols) + cents, c)
           }
-          .filter(_._1 > 0.0)
+          .filter(t => t._1 > 0.0 || t._2 > 0.0)
         if (scored.isEmpty) None
         else {
-          val best = scored.sortBy { case (score, c) =>
-            (-score, c.columns.map(_.size).getOrElse(Int.MaxValue), c.catalogTable)
-          }.head._2
+          // TIERED, not summed: ANY exchange removal outranks any
+          // scan-side saving. Measured both ways at x200 — q12/q7
+          // (shipdate filter + orderkey join) ran 1.5× SLOWER routed to
+          // the clustered cents projection than co-located (round-11
+          // routed sweep: q12 5.14 s via prune vs ~3.4 s co-located):
+          // an exchanged byte costs serialize+spill+network+re-sort,
+          // a scanned byte just decode — the same doctrine adviseAll
+          // encodes by excluding bucketed tables from sorted advice.
+          val best = scored.sortBy { case (bucket, scan, c) =>
+            (if (bucket > 0.0) 0 else 1, -(bucket + scan),
+              c.columns.map(_.size).getOrElse(Int.MaxValue), c.catalogTable)
+          }.head._3
           Some(tbl -> best.catalogTable)
         }
       }
@@ -907,14 +921,65 @@ object LayoutAdvisor {
   def stageWithDerived(spark: SparkSession, spec: LayoutSpec,
       derivedCols: Seq[String], name: String): Unit = {
     import org.apache.spark.sql.functions.{col, round}
-    val keep = derivedCols.filter(spec.columns.contains)
+    val keep0 = derivedCols.filter(spec.columns.contains)
     val base = spark.read.parquet(spec.path.split(',').toIndexedSeq: _*)
       .select(spec.columns.map(col): _*)
+    // same finiteness discipline as stageDerived: only NaN/Inf-free
+    // columns get cents (the decimal rewrite needs the proof, and ANSI
+    // would kill the write on a NaN anyway)
+    val keep = auditFinite(base, keep0)
+    if (keep != keep0) System.err.println(s"[advise] stageWithDerived($name): " +
+      s"declining non-finite money column(s) ${keep0.diff(keep).mkString(", ")}")
     val withCents = keep.foldLeft(base)((df, c) =>
       df.withColumn(c + "_cents", round(col(c) * 100).cast("long")))
     graft.sources.TabularWriter.toBucketedTable(
       withCents, name, spec.key, spec.buckets, sorted = true)
-    if (keep.nonEmpty) markDerived(spark, name, keep)
+    if (keep.nonEmpty) {
+      markDerived(spark, name, keep)
+      markDerivedFinite(spark, name, keep)
+      writeFiniteSidecar(spark, name, keep)
+    }
+  }
+
+  /** The NaN/±Inf audit behind [[RewriteStoredCents.FiniteProperty]]:
+    * returns the subset of `cols` with no non-finite value (one narrow
+    * aggregate pass; an empty table is vacuously finite). */
+  private[graft] def auditFinite(df: DataFrame, cols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, isnan, lit, max, when}
+    if (cols.isEmpty) return cols
+    val flags = cols.map(c => max(when(
+      isnan(col(c)) || col(c) === lit(Double.PositiveInfinity) ||
+        col(c) === lit(Double.NegativeInfinity), 1).otherwise(0)).as(c))
+    val row = df.select(flags: _*).collect()(0)
+    cols.zipWithIndex.collect {
+      case (c, i) if row.isNullAt(i) || row.getInt(i) == 0 => c
+    }
+  }
+
+  /** Persist the finite audit beside a bucketed+cents table's files so
+    * a fresh-JVM re-attach restores [[RewriteStoredCents.FiniteProperty]]
+    * without re-scanning (sort/cols lines are `-`: the bucket sidecar
+    * `_graft_buckets` owns the layout identity for these tables). */
+  private[graft] def writeFiniteSidecar(spark: SparkSession, table: String,
+      finite: Seq[String]): Unit = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc.getPath, DerivedSidecar),
+      s"sort -\ncols -\nfinite ${finite.sorted.mkString(",")}\n".getBytes("UTF-8"))
+  }
+
+  /** Read a [[DerivedSidecar]]'s finite line at `path` (None when the
+    * sidecar or line is absent — e.g. files staged before the audit
+    * existed, which then must re-audit or stay decimal-rewrite-free). */
+  private[graft] def readFiniteSidecar(path: String): Option[Seq[String]] = {
+    val sidecar = java.nio.file.Paths.get(path, DerivedSidecar)
+    if (!java.nio.file.Files.exists(sidecar)) None
+    else new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+      .split("\n").collectFirst {
+        case l if l.startsWith("finite ") => l.stripPrefix("finite ")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
   }
 
   /** Set the [[RewriteStoredCents]] authority property on `table` —

@@ -176,15 +176,28 @@ object TabularWriter {
     // rename-aside every crash window keeps BOTH copies on disk — the
     // worst outcome is a missing table name recoverable by renaming
     // `table__precompact` (or `table__compacting`) back.
+    // RECOVERY RUNBOOK (a crash between the two renames leaves no table
+    // under `table`, but BOTH copies on disk): `ALTER TABLE
+    // `<table>__precompact` RENAME TO `<table>`` restores the
+    // pre-compaction original; the compacted copy under
+    // `<table>__compacting` can then be dropped or swapped in manually.
+    // BucketingSpec drives exactly this crash (via compactCrashHook)
+    // and proves the recovery.
     val old = table + "__precompact"
     spark.sql(s"DROP TABLE IF EXISTS `$old`")
     val oldLoc = new Path(spark.sessionState.catalog
       .defaultTablePath(TableIdentifier(old)))
     if (fs.exists(oldLoc)) fs.delete(oldLoc, true)
     spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    compactCrashHook()
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     spark.sql(s"DROP TABLE `$old`")
   }
+
+  /** Test-only injection point: invoked between [[compactBuckets]]'s
+    * two renames — the widest crash window the swap has. Production
+    * no-op. */
+  private[graft] var compactCrashHook: () => Unit = () => ()
 
   /** Register ALREADY-STAGED bucketed data (written by a previous
     * session's [[toBucketedTable]]) as an EXTERNAL catalog table — no

@@ -124,6 +124,47 @@ class BucketingSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ac_spec_lineitem")
   }
 
+  test("compactBuckets crash window: both copies survive, the documented recovery restores the table") {
+    import graft.sources.TabularWriter
+    val t = "cc_lineitem"
+    for (n <- Seq(t, s"${t}__precompact", s"${t}__compacting"))
+      spark.sql(s"DROP TABLE IF EXISTS `$n`")
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      TabularWriter.toBucketedTable(li, t, "l_orderkey", buckets = 4, sorted = true)
+      val want = spark.table(t).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("q")).orderBy("l_orderkey")
+        .collect().map(_.toString).toSeq
+      // inject a crash in the WIDEST window: after the original was
+      // renamed aside, before the compacted copy took its name
+      TabularWriter.compactCrashHook = () => throw new RuntimeException("injected crash")
+      val e = intercept[RuntimeException] { TabularWriter.compactBuckets(spark, t) }
+      assert(e.getMessage === "injected crash")
+      TabularWriter.compactCrashHook = () => ()
+      // the table name is gone — but BOTH copies exist, nothing deleted
+      assert(!spark.catalog.tableExists(t))
+      assert(spark.catalog.tableExists(s"${t}__precompact"))
+      assert(spark.catalog.tableExists(s"${t}__compacting"))
+      // the documented recovery: rename the pre-compaction original back
+      spark.sql(s"ALTER TABLE `${t}__precompact` RENAME TO `$t`")
+      val recovered = spark.table(t).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("q")).orderBy("l_orderkey")
+        .collect().map(_.toString).toSeq
+      assert(recovered === want, "recovery must restore the exact pre-compaction data")
+      // and a clean re-run completes the lifecycle (the stale
+      // __compacting leftover is cleared by the next compaction)
+      TabularWriter.compactBuckets(spark, t)
+      assert(spark.table(t).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("q")).orderBy("l_orderkey")
+        .collect().map(_.toString).toSeq === want)
+      assert(!spark.catalog.tableExists(s"${t}__precompact"))
+    } finally {
+      TabularWriter.compactCrashHook = () => ()
+      for (n <- Seq(t, s"${t}__precompact", s"${t}__compacting"))
+        spark.sql(s"DROP TABLE IF EXISTS `$n`")
+    }
+  }
+
   test("attach: re-registers staged bucketed files as an external table with the full layout properties") {
     import graft.sources.TabularWriter
     spark.sql("DROP TABLE IF EXISTS att_src")
