@@ -61,6 +61,11 @@ def main():
         # adviseProjections' one-projection-per-hot-key staging)
         spark_cmd = ["sbt", "-batch", f"runMain graft.ProbeAdvisorSweep {big_dir} 1 routed"]
         duck_names = "rel"
+    elif mode == "denorm":
+        # materialized-join projections (RewriteMaterializedJoin over
+        # adviseDenormalized's staged star) composed with routing
+        spark_cmd = ["sbt", "-batch", f"runMain graft.ProbeAdvisorSweep {big_dir} 1 denorm"]
+        duck_names = "rel"
     else:
         spark_cmd = ["sbt", "-batch", f"runMain graft.BenchBig {big_dir} {mode} 1"]
         duck_names = mode

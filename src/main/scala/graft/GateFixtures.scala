@@ -336,6 +336,59 @@ private[graft] object GateFixtures {
     dt
   }
 
+  /** MATERIALIZED JOIN star, advised end-to-end: adviseDenormalized
+    * reads a three-query corpus (the q18/q10/q12 classes), derives the
+    * lineitem⋈orders⋈customer star itself — REQUIREs pin the fact, the
+    * dim chain and the bucket key — and stageDenorm writes the
+    * pre-joined projection with audited lossless dims and stored cents.
+    * Memoized per (catalog, dir) like every bucketed fixture; the
+    * returned Meta is registered per GATE QUERY via
+    * MaterializedJoins.withRegistered (a process-wide registration
+    * would silently rewrite every other gate over these base paths). */
+  def denormStar(s: org.apache.spark.sql.SparkSession, d: String)
+      : graft.plans.MaterializedJoins.Meta = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    lazy val spec = {
+      val cents = (n: String) => round(col(n) * 100).cast("long")
+      val corpus = Seq(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+            .as("rev_e4")),
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")),
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q")))
+      val specs = graft.plans.LayoutAdvisor.adviseDenormalized(
+        corpus, minHits = 1, minDimBytes = 0L)
+      require(specs.size == 1, s"denormStar: expected one advice, got $specs")
+      val top = specs.head
+      require(top.fact == "lineitem" &&
+        top.dims.map(dd => (dd.table, dd.parentKey, dd.dimKey)) ==
+          Seq(("orders", "l_orderkey", "o_orderkey"),
+            ("customer", "o_custkey", "c_custkey")) &&
+        top.bucketKey.contains("l_orderkey") &&
+        Set("l_extendedprice", "l_discount").subsetOf(top.centsCols.toSet),
+        s"denormStar: advisor picked unexpected star: $top")
+      top
+    }
+    val name = bucketedTable(s, d, "dn_star") { n =>
+      graft.plans.MaterializedJoins.stageDenorm(s, spec, n)
+      graft.plans.MaterializedJoins.deregister(n) // gates scope their own
+    }
+    // the sidecar is the Meta's durable form — works for both the
+    // fresh staging above and the memoized same-JVM re-entry
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.plans.MaterializedJoins.metaFromSidecar(
+      name, java.nio.file.Paths.get(wh, name).toString)
+  }
+
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedTable(s, d, "bf_orders") { name =>
       import org.apache.spark.sql.functions.col

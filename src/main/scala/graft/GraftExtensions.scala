@@ -17,6 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // FIRST among the engine's optimizer rules: the materialized-join
+    // match wants the join subtree as authored (pruned by the standard
+    // batch, but not yet reshaped by EagerAggregation)
+    e.injectOptimizerRule(_ => graft.plans.RewriteMaterializedJoin)
     e.injectOptimizerRule(_ => graft.plans.CollapseIdempotent)
     e.injectOptimizerRule(_ => graft.plans.EagerAggregation)
     // post-hoc resolution, NOT optimizer: must run before ColumnPruning

@@ -86,6 +86,29 @@ object ProbeAdvisorSweep {
       if (bad > 0) sys.exit(1)
       return
     }
+    if (mode == "denormcheck") {
+      val staged = ensureProjections(spark, d)
+      val metas = ensureDenorm(spark, d) // registered process-wide
+      def rows(n: String): Seq[String] =
+        SparkEntry.queries(n)(spark, d).collect().map(_.toString).sorted.toSeq
+      var bad = 0
+      names.foreach { n =>
+        Tables.clearRedirects()
+        val routes = denormAwareRoutes(spark, d, n, staged, metas)
+        routes.foreach { case (t, ct) => Tables.redirect(d, t, ct) }
+        val served = rows(n)
+        Tables.clearRedirects()
+        metas.foreach(m => graft.plans.MaterializedJoins.deregister(m.catalogTable))
+        val flat = try rows(n) finally metas.foreach(graft.plans.MaterializedJoins.register)
+        val ok = served == flat
+        if (!ok) bad += 1
+        println(s"[check] $n: ${if (ok) "IDENTICAL" else s"MISMATCH (${served.size} vs ${flat.size} rows)"}")
+      }
+      println(s"""{"metric":"advisor_check","bad":$bad,"n":${names.size}}""")
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
     if (mode == "layout") ensureAdvised(spark, d)
     // routed: one projection per hot key staged; each query's redirects
     // come from ITS OWN plan (LayoutAdvisor.route) — computed once here
@@ -99,10 +122,22 @@ object ProbeAdvisorSweep {
         println(s"[route] $n -> ${r.map { case (t, c) => s"$t=$c" }.mkString(" ") }")
         n -> r
       }.toMap
+    } else if (mode == "denorm") {
+      // denorm: the materialized-join registry is live for the whole
+      // run (RewriteMaterializedJoin serves whatever it subsumes), and
+      // projection routing covers the rest — EXCEPT the member tables
+      // of a query the rewrite fires on: redirecting those would point
+      // the fact leaf at a projection and void the match
+      val staged = ensureProjections(spark, d)
+      val metas = ensureDenorm(spark, d)
+      names.map { n =>
+        Tables.clearRedirects()
+        n -> denormAwareRoutes(spark, d, n, staged, metas)
+      }.toMap
     } else Map.empty
 
     def once(name: String): Double = {
-      if (mode == "routed") {
+      if (mode == "routed" || mode == "denorm") {
         Tables.clearRedirects()
         routeOf(name).foreach { case (t, ct) => Tables.redirect(d, t, ct) }
       }
@@ -126,6 +161,71 @@ object ProbeAdvisorSweep {
     }.mkString("{", ",", "}")
     System.err.println(s"""{"reps":$rs}""")
     spark.stop()
+  }
+
+  /** This query's redirects under the denorm+routing composition: the
+    * registry is live, so the plan ALREADY shows which tables the
+    * materialized join absorbed — route only what still reads flat.
+    * Member tables of a FIRED meta are excluded from routing entirely
+    * (their remaining flat reads, e.g. q21's self-join branches, must
+    * keep the base path the meta records). */
+  def denormAwareRoutes(spark: org.apache.spark.sql.SparkSession, d: String,
+      n: String, staged: Seq[graft.plans.LayoutAdvisor.Projection],
+      metas: Seq[graft.plans.MaterializedJoins.Meta]): Map[String, String] = {
+    val df = SparkEntry.queries(n)(spark, d)
+    val firedMetas = metas.filter(m => graft.plans.MaterializedJoins.fired(df, m.catalogTable))
+    val members = firedMetas.flatMap(m => m.fact +: m.dims.map(_.table)).toSet
+    val routes = graft.plans.LayoutAdvisor.routeAll(df, staged)
+      .filterNot { case (t, _) => members(t) }
+    println(s"[route] $n denorm=${firedMetas.map(_.catalogTable).mkString(",")} " +
+      s"routes=${routes.map { case (t, c) => s"$t=$c" }.mkString(" ")}")
+    routes
+  }
+
+  /** Advise, stage (or fresh-JVM re-attach) and REGISTER the corpus's
+    * materialized-join projections. Registration is process-wide and
+    * stays live — this is the product mode where
+    * [[graft.plans.RewriteMaterializedJoin]] serves every query whose
+    * join subtree the staged star subsumes. */
+  def ensureDenorm(spark: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[graft.plans.MaterializedJoins.Meta] = {
+    Tables.clearRedirects()
+    val corpus = BenchBig.Rel.map(n => SparkEntry.queries(n)(spark, d))
+    val specs = graft.plans.LayoutAdvisor.adviseDenormalized(corpus,
+      targetBucketBytes = 64L << 20, minHits = 2)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    specs.map { spec =>
+      val t = s"adv_denorm_${spec.fact}$tag"
+      println(s"[advise] denorm ${spec.fact} + ${spec.dims.map(_.table).mkString("+")} " +
+        s"bucket=${spec.bucketKey.getOrElse("-")}/${spec.buckets} " +
+        s"cols=${spec.columns.size} cents=${spec.centsCols.mkString(",")} hits=${spec.hits}")
+      graft.plans.MaterializedJoins.all.find(_.catalogTable == t).getOrElse {
+        val loc = java.nio.file.Paths.get(wh, t)
+        val t0 = System.nanoTime()
+        val attached =
+          if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
+              !spark.catalog.tableExists(t)) {
+            try {
+              val m = graft.plans.MaterializedJoins.attachDenorm(spark, spec, t, loc.toString)
+              println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+              Some(m)
+            } catch {
+              case e: IllegalArgumentException =>
+                println(s"[advise] $t sidecar mismatch (${e.getMessage.take(80)}…) — re-staging")
+                None
+            }
+          } else None
+        attached.getOrElse {
+          if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+          GateFixtures.deleteRecursively(loc)
+          val m = graft.plans.MaterializedJoins.stageDenorm(spark, spec, t)
+          println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s) " +
+            s"lossless=${m.dims.map(dd => s"${dd.table}:${dd.lossless}").mkString(",")}")
+          m
+        }
+      }
+    }
   }
 
   /** Advise over the 17-query corpus (flat reads), stage or re-attach

@@ -2101,6 +2101,60 @@ object SparkEntry {
             * col("l_discount").cast(DecimalType(12, 2)))
             .cast(DoubleType).as("rc_disc_rev"))
     },
+    "layout_denorm_star" -> { (s, d) =>
+      // MATERIALIZED JOIN as product (round-11): adviseDenormalized
+      // derived the lineitem⋈orders⋈customer star from a corpus,
+      // stageDenorm wrote it pre-joined (audited lossless dims, stored
+      // cents, bucketed on l_orderkey — GateFixtures.denormStar), and
+      // this query KEEPS its three-table join verbatim:
+      // RewriteMaterializedJoin swaps the whole join subtree for the
+      // staged scan (exprId-aliased, filters re-applied) and the money
+      // idiom reads the stored cents through the rewrite. The require
+      // pins the firing; the oracle — the plain three-table join over
+      // the RAW tables — pins exactness: a row dropped, duplicated or
+      // mis-joined by the substitution hash-fails. Reference analog:
+      // prep_3_merge.py:41-48 (the reference pre-joins at prep time).
+      val meta = GateFixtures.denormStar(s, d)
+      graft.plans.MaterializedJoins.withRegistered(Seq(meta)) {
+        val cents = (c: String) => round(col(c) * 100).cast("long")
+        val df = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey").as("dn_custkey"),
+            col("c_mktsegment").as("dn_segment"))
+          .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+            .cast(DoubleType) / 10000.0).as("dn_revenue"),
+            count(lit(1)).as("dn_lines"))
+        require(graft.plans.MaterializedJoins.fired(df, meta.catalogTable),
+          s"layout_denorm_star: rewrite must serve the star join:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      }
+    },
+    "layout_denorm_subset" -> { (s, d) =>
+      // the SUBSET contract: this query joins lineitem⋈orders ONLY, yet
+      // reads the three-table star — valid because the stage-time audit
+      // proved customer LOSSLESS (c_custkey unique + every o_custkey
+      // present), so the omitted join neither dropped nor duplicated
+      // rows. The require pins both the audit outcome and the firing;
+      // the oracle over the raw two-table join pins exactness.
+      val meta = GateFixtures.denormStar(s, d)
+      require(meta.dims.forall(_.lossless),
+        s"layout_denorm_subset: dims must audit lossless: ${meta.dims}")
+      graft.plans.MaterializedJoins.withRegistered(Seq(meta)) {
+        val cents = (c: String) => round(col(c) * 100).cast("long")
+        val df = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_quantity") > 25)
+          .groupBy(col("o_orderpriority").as("dn_priority"))
+          .agg(sum(cents("l_quantity")).as("dn_qty_cents"),
+            count(lit(1)).as("dn_lines"))
+        require(graft.plans.MaterializedJoins.fired(df, meta.catalogTable),
+          s"layout_denorm_subset: rewrite must serve the subset join:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      }
+    },
     "layout_advisor_sorted" -> { (s, d) =>
       // the advisor's PREDICATE-side advice end-to-end: adviseSorted
       // derived (orders, o_orderdate, pruned columns, file count) from
@@ -2349,6 +2403,28 @@ object SparkEntry {
     // cross-kind routed projection: oracle from the RAW doubles over
     // whole-table lineitem — both the stored-cents rewrite (long idiom)
     // and the MakeDecimal rewrite (decimal idiom) must reproduce it
+    // materialized-join gates: oracles are the PLAIN joins over the RAW
+    // tables — the pre-joined projection and its rewrite are the thing
+    // under test; any row the substitution drops/duplicates hash-fails
+    "layout_denorm_star" ->
+      """SELECT c_custkey AS dn_custkey, c_mktsegment AS dn_segment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS dn_revenue,
+        |  count(*) AS dn_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2""".stripMargin,
+    "layout_denorm_subset" ->
+      """SELECT o_orderpriority AS dn_priority,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS dn_qty_cents,
+        |  count(*) AS dn_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 25
+        |GROUP BY 1""".stripMargin,
     "layout_routed_cents" ->
       """SELECT l_suppkey AS rc_suppkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -996,6 +996,157 @@ object LayoutAdvisor {
     spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
       s"('${RewriteStoredCents.FiniteProperty}' = '${finiteCols.mkString(",")}')")
 
+  /** One dim of a denormalized (pre-joined) advice: joined to
+    * `parentTable` on `parentKey = dimKey`. */
+  case class DenormDim(table: String, path: String, parentTable: String,
+      parentKey: String, dimKey: String)
+
+  /** A recommended MATERIALIZED JOIN projection: pre-join `fact` with
+    * `dims` (inner equi-joins on the recorded keys, in order), carry
+    * `columns` (the pruned union over the member tables), store cents
+    * for `centsCols`, bucket+sort on `bucketKey`. Staged by
+    * [[MaterializedJoins.stageDenorm]], served exactly by
+    * [[RewriteMaterializedJoin]]. `hits` = summed corpus hits of the
+    * absorbed join edges (the ranking signal). */
+  case class DenormSpec(fact: String, factPath: String, dims: Seq[DenormDim],
+      columns: Seq[String], bucketKey: Option[String], buckets: Int,
+      centsCols: Seq[String], hits: Int)
+
+  /** Advise PRE-JOINED projections from the corpus's own join graph —
+    * the third layout kind, after bucketed (exchange removal on one
+    * key) and clustered (scan pruning): a materialized join removes the
+    * covered exchanges ENTIRELY, for every query whose join subtree the
+    * staged table subsumes.
+    *
+    * Selection: the fact is the corpus's largest-bytes leaf; dims
+    * attach greedily along the most-hit equi-join edges, each dim
+    * strictly smaller than the fact and at least `minDimBytes` (a dim
+    * below that broadcasts at query time — materializing it buys no
+    * exchange and pays permanent width; the same
+    * would-it-actually-shuffle doctrine [[routeAll]] applies
+    * read-side). Edges with fewer than `minHits` corpus hits don't pay
+    * for the write.
+    *
+    * The bucket key serves the RESIDUAL per-key work — grouping keys
+    * the corpus applies over member tables after the covered joins are
+    * gone. A candidate must be join-connected or measured high-NDV
+    * ([[TableStats]]) — a low-cardinality grouping column (q1's
+    * returnflag class) would collapse the table to a handful of
+    * buckets. Falls back to the hottest absorbed fact-side join key
+    * (co-location for the queries that keep joining it, e.g. self
+    * semi-joins the rewrite deliberately leaves alone).
+    *
+    * Reference analog: prep_3_merge.py:41-48 — the reference's own
+    * pipeline materializes the behavior⋈sample join at prep time; this
+    * derives the same table from the queries instead of by hand. */
+  def adviseDenormalized(corpus: Seq[DataFrame],
+      targetBucketBytes: Long = 1L << 30, minHits: Int = 2,
+      minDimBytes: Long = 16L << 20, maxDims: Int = 4): Seq[DenormSpec] = {
+    require(corpus.nonEmpty, "LayoutAdvisor.adviseDenormalized: empty corpus")
+    val bytesOf = scala.collection.mutable.Map.empty[String, Long]
+    val usedByPath = scala.collection.mutable.Map.empty[String, Set[String]]
+    val edgeHits = scala.collection.mutable.Map.empty[((String, String), (String, String)), Int]
+    val groupHits = scala.collection.mutable.Map.empty[(String, String), Int]
+    val centsHits = scala.collection.mutable.Map.empty[(String, String), Int]
+    corpus.foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      val refIds = plan.collect {
+        case n if n.children.nonEmpty => n.expressions.flatMap(_.references.toSeq)
+      }.flatten.map(_.exprId.id).toSet
+      val byId = scala.collection.mutable.Map.empty[Long, (String, String)]
+      plan.foreach {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+          val path = fs.location.rootPaths.map(_.toString).mkString(",")
+          lr.output.foreach(a => byId(a.exprId.id) = (path, a.name))
+          val used = lr.output.filter(a => refIds(a.exprId.id))
+          usedByPath(path) = usedByPath.getOrElse(path, Set.empty) ++
+            (if (used.isEmpty) lr.output else used).map(_.name)
+          bytesOf.getOrElseUpdate(path, fs.sizeInBytes)
+        case _ =>
+      }
+      resolveAliases(plan, byId)
+      plan.foreach {
+        case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+          j.condition.toSeq.flatMap(conjuncts).foreach {
+            case EqualTo(l: AttributeReference, r: AttributeReference) =>
+              for (lp <- byId.get(l.exprId.id); rp <- byId.get(r.exprId.id))
+                if (lp._1 != rp._1) {
+                  val e = if (lp.toString < rp.toString) (lp, rp) else (rp, lp)
+                  edgeHits(e) = edgeHits.getOrElse(e, 0) + 1
+                }
+            case _ =>
+          }
+        case agg: Aggregate => agg.groupingExpressions.foreach {
+          case ar: AttributeReference => byId.get(ar.exprId.id)
+            .foreach(pc => groupHits(pc) = groupHits.getOrElse(pc, 0) + 1)
+          case _ =>
+        }
+        case _ =>
+      }
+      plan.foreach(n => n.expressions.foreach(_.foreach { e =>
+        RewriteStoredCents.moneyIdiom(e).flatMap(a => byId.get(a.exprId.id))
+          .foreach(pc => centsHits(pc) = centsHits.getOrElse(pc, 0) + 1)
+      }))
+    }
+    if (bytesOf.isEmpty) return Nil
+    val factPath = bytesOf.toSeq.maxBy(p => (p._2, p._1))._1
+    val factBytes = bytesOf(factPath)
+    // greedy attach along the hottest eligible edges
+    val included = scala.collection.mutable.Map[String, String](
+      tableName(factPath) -> factPath) // table -> path
+    val dims = scala.collection.mutable.ArrayBuffer.empty[DenormDim]
+    var hits = 0
+    var done = false
+    while (!done && dims.size < maxDims) {
+      val cands = edgeHits.toSeq.flatMap { case (((p1, c1), (p2, c2)), n) =>
+        val in1 = included.values.toSet.contains(p1)
+        val in2 = included.values.toSet.contains(p2)
+        // (parent side, dim side) when exactly one endpoint is in
+        if (in1 != in2) {
+          val ((pp, pk), (dp, dk)) = if (in1) ((p1, c1), (p2, c2)) else ((p2, c2), (p1, c1))
+          val db = bytesOf.getOrElse(dp, 0L)
+          if (n >= minHits && db >= minDimBytes && db < factBytes &&
+              !included.contains(tableName(dp)))
+            Some((n, pp, pk, dp, dk))
+          else None
+        } else None
+      }
+      cands.sortBy(c => (-c._1, tableName(c._4))).headOption match {
+        case Some((n, pp, pk, dp, dk)) =>
+          dims += DenormDim(tableName(dp), dp, tableName(pp), pk, dk)
+          included(tableName(dp)) = dp
+          hits += n
+        case None => done = true
+      }
+    }
+    if (dims.isEmpty) return Nil
+    val memberPaths = included.values.toSet
+    val columns = memberPaths.toSeq.sorted
+      .flatMap(p => usedByPath.getOrElse(p, Set.empty).toSeq.sorted).distinct
+    val cents = centsHits.keys.toSeq
+      .filter(pc => memberPaths(pc._1) && columns.contains(pc._2))
+      .map(_._2).distinct.sorted
+    val totalBytes = memberPaths.toSeq.map(bytesOf).sum
+    val buckets = bucketsFor(totalBytes, targetBucketBytes, parallelismFloor(corpus))
+    // residual bucket key: hottest member grouping column that is
+    // join-connected or measured high-NDV; fallback = the fact-side key
+    // of the hottest absorbed edge
+    val joinCols: Set[(String, String)] =
+      edgeHits.keys.flatMap(e => Seq(e._1, e._2)).toSet
+    val spark = corpus.head.sparkSession
+    val bucketKey = groupHits.toSeq
+      .filter { case ((p, c), _) => memberPaths(p) && columns.contains(c) }
+      .filter { case (pc @ (p, c), _) =>
+        joinCols(pc) || ndvResolver(spark, p)(c).exists(_ >= buckets.toLong * 16)
+      }
+      .sortBy { case ((_, c), n) => (-n, c) }.headOption.map(_._1._2)
+      .orElse(dims.toSeq.filter(_.parentTable == tableName(factPath))
+        .map(d => d.parentKey).headOption)
+    Seq(DenormSpec(tableName(factPath), factPath, dims.toSeq, columns,
+      bucketKey, buckets, cents, hits))
+  }
+
   /** Complete layout advice for a corpus: bucketed layouts for the
     * per-key operator classes first (they remove exchanges — the bigger
     * win), then sorted/z-ordered layouts for tables whose corpus

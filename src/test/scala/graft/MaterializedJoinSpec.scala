@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.{LayoutAdvisor, MaterializedJoins, RewriteMaterializedJoin}
+import graft.plans.MaterializedJoins.{DimMeta, Meta}
+
+/** [[graft.plans.RewriteMaterializedJoin]]: the pre-joined projection
+  * must serve every covered join subtree EXACTLY — every firing test
+  * compares the rewritten rows against the registry-off plan, and every
+  * decline test pins that the rule left the plan alone. */
+class MaterializedJoinSpec extends GraftSpec {
+
+  private def liPath = MaterializedJoins.leafPath(Tables.lineitem(spark, sf))
+  private def oPath = MaterializedJoins.leafPath(Tables.orders(spark, sf))
+  private def cPath = MaterializedJoins.leafPath(Tables.customer(spark, sf))
+
+  /** One staged li⋈orders⋈customer star per JVM, bucketed on
+    * l_orderkey, carrying stored cents for the money columns. */
+  private lazy val meta: Meta = {
+    val name = "mjspec_denorm"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val spec = LayoutAdvisor.DenormSpec(
+      fact = "lineitem", factPath = liPath,
+      dims = Seq(
+        LayoutAdvisor.DenormDim("orders", oPath, "lineitem", "l_orderkey", "o_orderkey"),
+        LayoutAdvisor.DenormDim("customer", cPath, "orders", "o_custkey", "c_custkey")),
+      columns = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate",
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+        "c_custkey", "c_mktsegment"),
+      bucketKey = Some("l_orderkey"), buckets = 4,
+      centsCols = Seq("l_extendedprice", "l_discount"), hits = 1)
+    val m = MaterializedJoins.stageDenorm(spark, spec, name)
+    MaterializedJoins.deregister(name) // each test scopes its own registration
+    m
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toIndexedSeq).toIndexedSeq.sortBy(_.mkString("|"))
+
+  private def withMeta[T](m: Meta)(f: => T): T = {
+    MaterializedJoins.register(m)
+    try f finally MaterializedJoins.deregister(m.catalogTable)
+  }
+
+  private def fired(df: DataFrame): Boolean =
+    MaterializedJoins.fired(df, meta.catalogTable)
+
+  /** Build inside registration (forces a fresh plan), compare with the
+    * registry-empty build of the same query. */
+  private def sameOnOff(build: => DataFrame): Unit = {
+    val on = withMeta(meta)(rows(build))
+    val off = rows(build)
+    assert(on === off, "rewritten result must equal the registry-off result")
+  }
+
+  private def starJoin: DataFrame =
+    Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+
+  test("full star match fires and reproduces the flat join exactly") {
+    def q = starJoin
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    withMeta(meta)(assert(fired(q), "star join must be served by the denorm"))
+    assert(!fired(q), "registry off => no rewrite")
+    sameOnOff(q)
+  }
+
+  test("stage-time audit proves the TPC-H dims lossless") {
+    assert(meta.dims.forall(_.lossless),
+      s"orders/customer must audit lossless on driver data: ${meta.dims}")
+  }
+
+  test("subset join (fact + first dim) is served when the omitted dim is lossless") {
+    def q = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("q"))
+    withMeta(meta)(assert(fired(q), "lossless customer may be omitted"))
+    sameOnOff(q)
+  }
+
+  test("a lossy omitted dim declines the subset rewrite but not the full match") {
+    val lossy = meta.copy(dims = meta.dims.map(d =>
+      if (d.table == "customer") d.copy(lossless = false) else d))
+    def subset = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    def full = starJoin.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    withMeta(lossy) {
+      assert(!fired(subset), "cannot omit a lossy dim")
+      assert(fired(full), "joining the lossy dim yourself is always exact")
+    }
+  }
+
+  test("leaf filters commute: pushed predicates survive the rewrite") {
+    def q = Tables.lineitem(spark, sf).filter(col("l_quantity") > 30)
+      .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(fired(q)))
+    sameOnOff(q)
+  }
+
+  test("extra cross-member predicate is kept as a filter over the denorm") {
+    def q = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(fired(q), "extra predicate commutes above the scan"))
+    sameOnOff(q)
+  }
+
+  test("declines: join on a different key than the recorded one") {
+    def q = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_partkey") === col("o_custkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(!fired(q), "only the recorded equi-key is absorbable"))
+  }
+
+  test("declines: a referenced column the projection does not carry") {
+    def q = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus")) // not carried by the staged columns
+      .agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(!fired(q)))
+    sameOnOff(q)
+  }
+
+  test("declines: fact under a semi join is not an inner-join input") {
+    def q = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(!fired(q)))
+    sameOnOff(q)
+  }
+
+  test("a non-member table re-joins above the rewritten scan") {
+    def q = starJoin
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey")).agg(sum(col("l_quantity")).as("q"))
+    withMeta(meta)(assert(fired(q), "supplier stays a separate join"))
+    sameOnOff(q)
+  }
+
+  test("money idioms above the rewritten join read the stored cents") {
+    val cents = (c: String) => round(col(c) * 100).cast("long")
+    def q = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev_e4"))
+    withMeta(meta) {
+      assert(fired(q))
+      val plan = q.queryExecution.optimizedPlan
+      val readsCents = plan.expressions.exists(_.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name == "l_extendedprice_cents"
+        case _ => false
+      }) || plan.collect { case n => n.expressions }.flatten.exists(_.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name == "l_extendedprice_cents"
+        case _ => false
+      })
+      assert(readsCents, s"stored cents must serve the idiom:\n$plan")
+    }
+    sameOnOff(q)
+  }
+
+  test("per-bucket-key aggregate over the rewritten join plans exchange-free") {
+    def q = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    withMeta(meta) {
+      assert(fired(q))
+      val exec = q.queryExecution.executedPlan.toString
+      assert(!exec.contains("Exchange hashpartitioning(l_orderkey"),
+        s"the bucket key must keep the aggregate co-located:\n$exec")
+    }
+  }
+
+  test("adviseDenormalized derives the star from the corpus join graph") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val corpus = Seq(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q")),
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+    val specs = LayoutAdvisor.adviseDenormalized(corpus,
+      minHits = 1, minDimBytes = 0L)
+    assert(specs.size === 1)
+    val s0 = specs.head
+    assert(s0.fact === "lineitem")
+    assert(s0.dims.map(d => (d.table, d.parentTable, d.parentKey, d.dimKey)) ===
+      Seq(("orders", "lineitem", "l_orderkey", "o_orderkey"),
+        ("customer", "orders", "o_custkey", "c_custkey")))
+    assert(s0.bucketKey.contains("l_orderkey"),
+      s"join-connected grouping key must win: $s0")
+    assert(Set("l_quantity", "o_orderpriority", "c_mktsegment", "l_orderkey",
+      "o_orderkey", "o_custkey", "c_custkey").subsetOf(s0.columns.toSet), s"$s0")
+  }
+
+  test("attachDenorm restores the registration from the sidecar") {
+    val name = "mjspec_attach"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val spec = LayoutAdvisor.DenormSpec(
+      fact = "lineitem", factPath = liPath,
+      dims = Seq(LayoutAdvisor.DenormDim(
+        "orders", oPath, "lineitem", "l_orderkey", "o_orderkey")),
+      columns = Seq("l_orderkey", "l_quantity", "o_orderkey", "o_orderpriority"),
+      bucketKey = Some("l_orderkey"), buckets = 4, centsCols = Nil, hits = 1)
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val staged = MaterializedJoins.stageDenorm(spark, spec, name)
+    MaterializedJoins.deregister(name)
+    // a fresh JVM = empty catalog, files intact: copy the staged files
+    // aside (DROP TABLE on a managed table would delete them) and
+    // re-attach from the copy under a new name
+    val aside = java.nio.file.Files.createTempDirectory("mjspec_attach")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(aside))
+    val src = java.nio.file.Paths.get(wh, name)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = aside.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (spark.catalog.tableExists(name + "2")) spark.sql(s"DROP TABLE `${name}2`")
+    val attached = MaterializedJoins.attachDenorm(
+      spark, spec, name + "2", aside.toString)
+    MaterializedJoins.deregister(name + "2")
+    assert(attached === staged.copy(catalogTable = name + "2"))
+    // drifted spec must refuse
+    val drifted = spec.copy(dims = spec.dims.map(_.copy(parentKey = "l_partkey")))
+    if (spark.catalog.tableExists(name + "3")) spark.sql(s"DROP TABLE `${name}3`")
+    intercept[IllegalArgumentException] {
+      MaterializedJoins.attachDenorm(spark, drifted, name + "3", aside.toString)
+    }
+  }
+}
