@@ -1092,6 +1092,10 @@ object LayoutAdvisor {
     if (bytesOf.isEmpty) return Nil
     val factPath = bytesOf.toSeq.maxBy(p => (p._2, p._1))._1
     val factBytes = bytesOf(factPath)
+    // the floor scales down with small facts (a bench-scale corpus must
+    // exercise the same advice a 100 TB one gets) but stays absolute at
+    // scale — a dim an eighth of the fact always shuffles if anything does
+    val dimFloor = math.min(minDimBytes, factBytes / 8)
     // greedy attach along the hottest eligible edges
     val included = scala.collection.mutable.Map[String, String](
       tableName(factPath) -> factPath) // table -> path
@@ -1106,7 +1110,7 @@ object LayoutAdvisor {
         if (in1 != in2) {
           val ((pp, pk), (dp, dk)) = if (in1) ((p1, c1), (p2, c2)) else ((p2, c2), (p1, c1))
           val db = bytesOf.getOrElse(dp, 0L)
-          if (n >= minHits && db >= minDimBytes && db < factBytes &&
+          if (n >= minHits && db >= dimFloor && db < factBytes &&
               !included.contains(tableName(dp)))
             Some((n, pp, pk, dp, dk))
           else None

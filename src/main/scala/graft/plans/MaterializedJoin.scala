@@ -394,30 +394,54 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
     * region; `filters` = its local predicates (re-applied over the
     * denorm); `filterRefs` = attributes those predicates read (they may
     * include columns the input's Project already dropped). */
+  /** A semi/anti join peeled off a member input: like the leaf's
+    * Filters, it is a ROW FILTER on the member's rows (EXISTS / NOT
+    * EXISTS decided per row by the row's own columns against an
+    * independent probe subtree), so it commutes with the region's inner
+    * joins and re-applies exactly above the denorm scan — at fact grain
+    * instead of member grain, same predicate per row (q8's ASIA
+    * membership semi-chain on orders, q21's self semi/anti on the order
+    * key). The probe subtree is kept verbatim. */
+  private case class SemiWrapper(probe: LogicalPlan,
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+      cond: Option[Expression], hint: JoinHint)
+
   private case class Peeled(input: LogicalPlan, path: Option[String],
       outputs: Seq[Attribute], filters: Seq[Expression],
-      filterRefs: Seq[Attribute], leafByName: Map[String, Attribute],
+      wrappers: Seq[SemiWrapper], filterRefs: Seq[Attribute],
+      leafByName: Map[String, Attribute],
       hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo])
 
   private def peel(input: LogicalPlan,
       hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]): Peeled = {
-    def walk(p: LogicalPlan, filters: Seq[Expression])
-        : Option[(LogicalRelation, Seq[Expression])] = p match {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    def walk(p: LogicalPlan, filters: Seq[Expression], wrappers: Seq[SemiWrapper])
+        : Option[(LogicalRelation, Seq[Expression], Seq[SemiWrapper])] = p match {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        Some((lr, filters))
-      case f: Filter => walk(f.child, filters ++ splitConjunctivePredicates(f.condition))
+        Some((lr, filters, wrappers))
+      case f: Filter =>
+        walk(f.child, filters ++ splitConjunctivePredicates(f.condition), wrappers)
       case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
-        walk(pr.child, filters)
+        walk(pr.child, filters, wrappers)
+      case jn @ Join(x, probe, LeftSemi | LeftAnti, cond, h) =>
+        // outer-to-inner traversal; keep original order for re-apply
+        walk(x, filters, SemiWrapper(probe, jn.joinType, cond, h) +: wrappers)
       case _ => None
     }
-    walk(input, Nil) match {
-      case Some((lr, filters)) =>
+    walk(input, Nil, Nil) match {
+      case Some((lr, filters, wrappers)) =>
         val path = lr.relation.asInstanceOf[HadoopFsRelation]
           .location.rootPaths.map(_.toString).mkString(",")
+        val leafOut = lr.outputSet
+        // wrapper conditions read member columns too — they must be
+        // carried and aliased like the plain filters' references
+        val wrapperRefs = wrappers.flatMap(_.cond.toSeq.flatMap(_.references))
+          .filter(leafOut.contains)
         Peeled(input, Some(path), input.output,
-          filters, filters.flatMap(_.references).distinct,
+          filters, wrappers,
+          (filters.flatMap(_.references) ++ wrapperRefs).distinct,
           lr.output.map(a => a.name.toLowerCase -> a).toMap, hint)
-      case None => Peeled(input, None, input.output, Nil, Nil, Map.empty, hint)
+      case None => Peeled(input, None, input.output, Nil, Nil, Nil, Map.empty, hint)
     }
   }
 
@@ -530,6 +554,13 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
     var node: LogicalPlan = Project(aliases ++ centsThrough, scan)
     val localFilters = replaced.flatMap(_.filters) ++ regionConds
     if (localFilters.nonEmpty) node = Filter(localFilters.reduce(And), node)
+    // the members' semi/anti wrappers re-apply above the scan — same
+    // per-row predicate at fact grain (see SemiWrapper). Only the
+    // PROBE-side hint survives: the left hint described the member
+    // subtree (often small enough to broadcast), not the wide scan
+    replaced.foreach(_.wrappers.foreach { w =>
+      node = Join(node, w.probe, w.joinType, w.cond, JoinHint(None, w.hint.rightHint))
+    })
 
     // re-join the remaining inputs left-deep in original order; every
     // step must bind at least one condition (no cross joins) and every

@@ -134,6 +134,40 @@ class MaterializedJoinSpec extends GraftSpec {
     sameOnOff(q)
   }
 
+  test("a member's semi-join wrapper re-applies above the scan (q8 shape)") {
+    // orders arrives through a broadcast-semi membership chain; the
+    // wrapper is a row filter and must commute onto the denorm
+    def q = {
+      val hot = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(spark, sf)
+        .join(broadcast(hot), col("o_custkey") === col("c_custkey"), "left_semi")
+      Tables.lineitem(spark, sf)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+    }
+    withMeta(meta)(assert(fired(q), "semi wrapper must peel"))
+    sameOnOff(q)
+  }
+
+  test("self semi+anti wrappers on the fact re-apply exactly (q21 shape)") {
+    def q = {
+      val li = Tables.lineitem(spark, sf)
+      val l2 = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+      val l3 = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("l3_orderkey"), col("l_quantity").as("l3_quantity"))
+      li.join(l2, col("l_orderkey") === col("l2_orderkey") &&
+          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+          col("l3_quantity") > col("l_quantity"), "left_anti")
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }
+    withMeta(meta)(assert(fired(q), "semi+anti wrappers must peel"))
+    sameOnOff(q)
+  }
+
   test("declines: fact under a semi join is not an inner-join input") {
     def q = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"),
