@@ -344,6 +344,11 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
           case Some(n) => fired = true; n
           case None => j
         }
+      case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.LeftSemi, Some(_), _) =>
+        trySemiSubsume(spark, j, metas) match {
+          case Some(n) => fired = true; n
+          case None => j
+        }
     }
     if (!fired) return plan
     rewriteAncestorCents(substituted, centsMap.toMap)
@@ -578,6 +583,104 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (pending.nonEmpty) return None
     Some(tree)
+  }
+
+  // --------------------------------------------- semi-join subsumption
+
+  /** `dim ⋉ parent` (EXISTS) served from the denorm as one grouped
+    * scan — the q4 shape: `orders ⋉ lineitem(filtered)` is every order
+    * with at least one qualifying line, which in the pre-joined table
+    * is exactly `denorm WHERE <probe filters> GROUP BY <key>` with the
+    * dim's columns emitted (constant per group because the stage-time
+    * audit proved the dim key UNIQUE). Grouping includes the PROBE-side
+    * (fact-grain) key attribute, so a denorm bucketed on it aggregates
+    * exchange-free — q4 becomes scan+agg, zero joins, zero shuffles.
+    *
+    * Exactness requires: the semi's two leaves are adjacent members
+    * joined on exactly the recorded key pair (extra conjuncts become
+    * row filters — EXISTS with a compound predicate filters the paired
+    * rows first); the LEFT side is a DIM with a lossless audit (unique
+    * key ⇒ one output row per left row — the binding half; the left
+    * rows the materialized join drops are exactly those with no fact
+    * match, which the semi drops anyway); the PROBE side is the FACT —
+    * every fact row is represented in the denorm when the other dims
+    * are lossless (also required), whereas a non-fact probe row with
+    * zero fact matches has no denorm row and its EXISTS witness would
+    * be silently lost. LeftAnti is NOT served: an anti row with zero
+    * matches has no denorm row to represent it. */
+  private def trySemiSubsume(spark: SparkSession, j: Join,
+      metas: Seq[MaterializedJoins.Meta]): Option[LogicalPlan] = {
+    val left = peel(j.left, None)
+    val probe = peel(j.right, None)
+    if (left.path.isEmpty || probe.path.isEmpty) return None
+    if (left.wrappers.nonEmpty || probe.wrappers.nonEmpty) return None
+    val conds = j.condition.toSeq.flatMap(splitConjunctivePredicates)
+    metas.view.flatMap { m =>
+      if (!spark.catalog.tableExists(m.catalogTable)) None
+      else {
+        // the left leaf must be a LOSSLESS dim whose recorded partner
+        // (parent: the fact or an earlier dim) is the probe leaf
+        val memberPath: Map[String, String] =
+          ((m.fact -> m.factPath) +: m.dims.map(d => d.table -> d.path)).toMap
+        m.dims.filter(_.lossless)
+          // the probe must be the FACT: only fact rows are guaranteed
+          // represented in the denorm (given lossless others below) —
+          // a non-fact probe row with zero fact matches has no denorm
+          // row, and its EXISTS witness would be silently lost
+          .filter(d => d.parentTable == m.fact &&
+            left.path.contains(d.path) && probe.path.contains(m.factPath))
+          .flatMap { d =>
+            val others = m.dims.filterNot(_.table == d.table)
+            if (!others.forall(_.lossless)) None
+            else {
+              val keyEq = conds.collectFirst {
+                case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
+                    if (left.leafByName.get(d.dimKey.toLowerCase).exists(_.exprId == a.exprId) &&
+                         probe.leafByName.get(d.parentKey.toLowerCase).exists(_.exprId == b.exprId)) ||
+                       (left.leafByName.get(d.dimKey.toLowerCase).exists(_.exprId == b.exprId) &&
+                         probe.leafByName.get(d.parentKey.toLowerCase).exists(_.exprId == a.exprId)) => eq
+              }
+              keyEq.flatMap { eq =>
+                val extra = conds.filterNot(_ == eq)
+                val leafAttrs = AttributeSet(
+                  left.leafByName.values.toSeq ++ probe.leafByName.values.toSeq)
+                if (!extra.forall(_.references.subsetOf(leafAttrs))) None
+                else {
+                  val probeKeyAttr = probe.leafByName(d.parentKey.toLowerCase)
+                  val exposed = (left.outputs ++ left.filterRefs ++
+                    Seq(probeKeyAttr) ++ probe.filterRefs ++
+                    extra.flatMap(_.references))
+                    .groupBy(_.exprId).map(_._2.head).toSeq
+                  if (!exposed.forall(a => m.columns.contains(a.name.toLowerCase))) None
+                  else {
+                    val scan = EliminateSubqueryAliases(
+                      spark.table(m.catalogTable).queryExecution.analyzed)
+                    val byName = scan.output.map(a => a.name.toLowerCase -> a).toMap
+                    if (!exposed.forall(a => byName.contains(a.name.toLowerCase))) None
+                    else if (exposed.map(_.name.toLowerCase).distinct.size != exposed.size) None
+                    else {
+                      val aliases: Seq[NamedExpression] = exposed.map(a =>
+                        Alias(byName(a.name.toLowerCase), a.name)(exprId = a.exprId))
+                      var node: LogicalPlan = Project(aliases, scan)
+                      val filters = left.filters ++ probe.filters ++ extra
+                      if (filters.nonEmpty) node = Filter(filters.reduce(And), node)
+                      // group by the fact-grain key (bucket-aligned) +
+                      // everything the semi's output exposes; emit the
+                      // original output attrs, which pass through the
+                      // grouping with their exprIds intact
+                      val grouping: Seq[Expression] =
+                        (probeKeyAttr +: (left.outputs ++ left.filterRefs))
+                          .groupBy { case a: Attribute => a.exprId }.map(_._2.head).toSeq
+                      Some(org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+                        grouping, left.outputs.map(a => a: NamedExpression), node))
+                    }
+                  }
+                }
+              }
+            }
+          }.headOption
+      }
+    }.headOption
   }
 
   // ------------------------------------------- ancestors' money idioms

@@ -168,13 +168,60 @@ class MaterializedJoinSpec extends GraftSpec {
     sameOnOff(q)
   }
 
-  test("declines: fact under a semi join is not an inner-join input") {
+  test("semi subsumption: dim ⋉ fact becomes one grouped denorm scan (q4 shape)") {
     def q = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .join(Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta) {
+      assert(fired(q), s"semi must subsume:\n${q.queryExecution.optimizedPlan}")
+      // the rewritten plan has NO join at all — scan + aggregates only
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }
+      assert(joins.isEmpty, s"q4 shape must be join-free:\n${q.queryExecution.optimizedPlan}")
+    }
+    sameOnOff(q)
+  }
+
+  test("semi subsumption: extra predicate conjuncts filter the paired rows") {
+    def q = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(fired(q)))
+    sameOnOff(q)
+  }
+
+  test("semi subsumption declines a lossy left dim and anti joins") {
+    val lossy = meta.copy(dims = meta.dims.map(d =>
+      if (d.table == "orders") d.copy(lossless = false) else d))
+    def semi = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"),
         "left_semi")
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-    withMeta(meta)(assert(!fired(q)))
-    sameOnOff(q)
+    withMeta(lossy)(assert(!fired(semi), "non-unique dim key cannot subsume"))
+    // anti: an order with zero lines has no denorm row to represent it
+    def anti = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"),
+        "left_anti")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(!fired(anti), "anti joins are never subsumed"))
+    // non-fact probe: an order with zero lines is absent from the
+    // denorm, so customer ⋉ orders cannot be served by it
+    def nonFactProbe = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(!fired(nonFactProbe),
+      "only the fact's rows are all guaranteed represented"))
+    sameOnOff(semi)
+    sameOnOff(anti)
+    sameOnOff(nonFactProbe)
   }
 
   test("a non-member table re-joins above the rewritten scan") {
