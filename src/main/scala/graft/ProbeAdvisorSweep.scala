@@ -86,6 +86,19 @@ object ProbeAdvisorSweep {
       if (bad > 0) sys.exit(1)
       return
     }
+    if (mode == "denormexplain") {
+      val staged = ensureProjections(spark, d)
+      val metas = ensureDenorm(spark, d)
+      names.foreach { n =>
+        Tables.clearRedirects()
+        val routes = denormAwareRoutes(spark, d, n, staged, metas)
+        routes.foreach { case (t, ct) => Tables.redirect(d, t, ct) }
+        println(s"===== $n (denorm + routed) =====")
+        SparkEntry.queries(n)(spark, d).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "denormcheck") {
       val staged = ensureProjections(spark, d)
       val metas = ensureDenorm(spark, d) // registered process-wide

@@ -370,19 +370,30 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Flattened inputs carry the innermost join-side hint that covered
-    * them — the rebuild re-attaches it (a corpus query's explicit
-    * `broadcast(dim)` must survive the rewrite, or the re-joined dim
-    * could sort-merge and re-shuffle the very scan the projection was
-    * staged to keep exchange-free). */
+  /** Flattened inputs carry their join-side hint ONLY when the side
+    * flattens to that single input — `broadcast(dim)` must survive the
+    * rewrite (or the re-joined dim could sort-merge and re-shuffle the
+    * very scan the projection was staged to keep exchange-free), but a
+    * hint spanning a MULTI-input side described a join the rewrite
+    * absorbs and is obsolete: q5's `shuffle_hash` on its
+    * orders⋈customer⋈nation side, re-attached to the rebuilt
+    * denorm⋈customer join, forced a 120M-row exchange where an
+    * unhinted plan broadcasts the customer slice. */
   private def flatten(p: LogicalPlan,
       inherited: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo] = None)
       : (Seq[(LogicalPlan, Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo])],
          Seq[Expression]) =
     p match {
       case Join(l, r, Inner, cond, hint) =>
-        val (li, lc) = flatten(l, hint.leftHint.orElse(inherited))
-        val (ri, rc) = flatten(r, hint.rightHint.orElse(inherited))
+        def side(child: LogicalPlan,
+            h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) = {
+          val (ins, cs) = flatten(child, None)
+          val hinted = if (ins.size == 1 && h.isDefined)
+            Seq((ins.head._1, ins.head._2.orElse(h))) else ins
+          (hinted, cs)
+        }
+        val (li, lc) = side(l, hint.leftHint.orElse(inherited))
+        val (ri, rc) = side(r, hint.rightHint.orElse(inherited))
         (li ++ ri, lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
       case f: Filter if hasJoinBelow(f.child) =>
         val (i, c) = flatten(f.child, inherited)
