@@ -133,6 +133,21 @@ object MaterializedJoins {
   private[plans] def enabled(conf: org.apache.spark.sql.internal.SQLConf): Boolean =
     conf.getConfString(Flag, "true") == "true"
 
+  /** Conf for the `dim ⋉ fact` SEMI-SUBSUMPTION arm — default OFF.
+    * Measured at x200 (binding protocol, round 11): the subsumed q4
+    * plan is the ideal shape (one bucketed scan, zero joins,
+    * exchange-free dedup aggregate) yet runs 3.7 s vs ~3.3 s for the
+    * routed co-located pair and ~3.6 s flat — the dim's columns decode
+    * at FACT grain (120M o_orderpriority strings instead of 30M), and
+    * that buys back everything the removed exchange saved. The arm
+    * stays correct and tested; enable it per session on topologies
+    * where the probe-side exchange dominates decode (wide clusters,
+    * remote storage), the same measured-decline discipline as
+    * routeAll's tiering. */
+  private[plans] val SemiFlag = "spark.graft.materializedJoin.subsumeSemi"
+  private[plans] def semiEnabled(conf: org.apache.spark.sql.internal.SQLConf): Boolean =
+    conf.getConfString(SemiFlag, "false") == "true"
+
   /** Sidecar written beside a staged denorm's files: everything a fresh
     * JVM needs to re-[[attachDenorm]] and re-[[register]] without
     * re-running the join or the audits. */
@@ -344,7 +359,8 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
           case Some(n) => fired = true; n
           case None => j
         }
-      case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.LeftSemi, Some(_), _) =>
+      case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.LeftSemi, Some(_), _)
+          if MaterializedJoins.semiEnabled(conf) =>
         trySemiSubsume(spark, j, metas) match {
           case Some(n) => fired = true; n
           case None => j
@@ -676,11 +692,14 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
                       val filters = left.filters ++ probe.filters ++ extra
                       if (filters.nonEmpty) node = Filter(filters.reduce(And), node)
                       // group by the fact-grain key (bucket-aligned) +
-                      // everything the semi's output exposes; emit the
-                      // original output attrs, which pass through the
-                      // grouping with their exprIds intact
+                      // the semi's output attrs, which pass through the
+                      // grouping with their exprIds intact. Filter-only
+                      // columns stay OUT of the grouping: the key is the
+                      // unique dim key's fact-grain twin, so every other
+                      // dim column is constant per group anyway and
+                      // widening the hash keys buys nothing
                       val grouping: Seq[Expression] =
-                        (probeKeyAttr +: (left.outputs ++ left.filterRefs))
+                        (probeKeyAttr +: left.outputs)
                           .groupBy { case a: Attribute => a.exprId }.map(_._2.head).toSeq
                       Some(org.apache.spark.sql.catalyst.plans.logical.Aggregate(
                         grouping, left.outputs.map(a => a: NamedExpression), node))

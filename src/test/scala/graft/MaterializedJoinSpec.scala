@@ -168,6 +168,21 @@ class MaterializedJoinSpec extends GraftSpec {
     sameOnOff(q)
   }
 
+  /** The semi arm is measured-off by default (see SemiFlag scaladoc);
+    * its exactness tests flip it on. */
+  private def withSemiArm[T](f: => T): T = {
+    spark.conf.set("spark.graft.materializedJoin.subsumeSemi", "true")
+    try f finally spark.conf.set("spark.graft.materializedJoin.subsumeSemi", "false")
+  }
+
+  test("semi subsumption is measured-off by default") {
+    def q = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(!fired(q), "default-off per the x200 measurement"))
+  }
+
   test("semi subsumption: dim ⋉ fact becomes one grouped denorm scan (q4 shape)") {
     def q = Tables.orders(spark, sf)
       .filter(col("o_orderpriority") =!= "1-URGENT")
@@ -175,15 +190,17 @@ class MaterializedJoinSpec extends GraftSpec {
           .select(col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-    withMeta(meta) {
-      assert(fired(q), s"semi must subsume:\n${q.queryExecution.optimizedPlan}")
-      // the rewritten plan has NO join at all — scan + aggregates only
-      val joins = q.queryExecution.optimizedPlan.collect {
-        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+    withSemiArm {
+      withMeta(meta) {
+        assert(fired(q), s"semi must subsume:\n${q.queryExecution.optimizedPlan}")
+        // the rewritten plan has NO join at all — scan + aggregates only
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+        }
+        assert(joins.isEmpty, s"q4 shape must be join-free:\n${q.queryExecution.optimizedPlan}")
       }
-      assert(joins.isEmpty, s"q4 shape must be join-free:\n${q.queryExecution.optimizedPlan}")
+      sameOnOff(q)
     }
-    sameOnOff(q)
   }
 
   test("semi subsumption: extra predicate conjuncts filter the paired rows") {
@@ -193,8 +210,10 @@ class MaterializedJoinSpec extends GraftSpec {
           col("l_shipdate") > col("o_orderdate"),
         "left_semi")
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-    withMeta(meta)(assert(fired(q)))
-    sameOnOff(q)
+    withSemiArm {
+      withMeta(meta)(assert(fired(q)))
+      sameOnOff(q)
+    }
   }
 
   test("semi subsumption declines a lossy left dim and anti joins") {
@@ -204,24 +223,26 @@ class MaterializedJoinSpec extends GraftSpec {
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"),
         "left_semi")
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-    withMeta(lossy)(assert(!fired(semi), "non-unique dim key cannot subsume"))
-    // anti: an order with zero lines has no denorm row to represent it
     def anti = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"),
         "left_anti")
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-    withMeta(meta)(assert(!fired(anti), "anti joins are never subsumed"))
-    // non-fact probe: an order with zero lines is absent from the
-    // denorm, so customer ⋉ orders cannot be served by it
     def nonFactProbe = Tables.customer(spark, sf)
       .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"),
         "left_semi")
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
-    withMeta(meta)(assert(!fired(nonFactProbe),
-      "only the fact's rows are all guaranteed represented"))
-    sameOnOff(semi)
-    sameOnOff(anti)
-    sameOnOff(nonFactProbe)
+    withSemiArm {
+      withMeta(lossy)(assert(!fired(semi), "non-unique dim key cannot subsume"))
+      // anti: an order with zero lines has no denorm row to represent it
+      withMeta(meta)(assert(!fired(anti), "anti joins are never subsumed"))
+      // non-fact probe: an order with zero lines is absent from the
+      // denorm, so customer ⋉ orders cannot be served by it
+      withMeta(meta)(assert(!fired(nonFactProbe),
+        "only the fact's rows are all guaranteed represented"))
+      sameOnOff(semi)
+      sameOnOff(anti)
+      sameOnOff(nonFactProbe)
+    }
   }
 
   test("a non-member table re-joins above the rewritten scan") {
