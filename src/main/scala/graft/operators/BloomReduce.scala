@@ -52,6 +52,28 @@ object BloomReduce {
     */
   def semiReduce(fact: DataFrame, factKey: Column, keys: DataFrame, keyCol: Column,
       expectedItems: Long = 0L): DataFrame = {
+    // LAYOUT-AWARE decline (the byShuffledKey doctrine): the reduction
+    // was measured for FLAT facts, where pruning rows ahead of the
+    // downstream exchange+aggregate pays for the probe. On a fact
+    // already BUCKETED on this key the aggregate streams exchange-free
+    // and the bloom is pure cost — per-row xxhash64+bitset over the
+    // full scan plus an extra key-side pass for the build. Measured at
+    // x200 on q3's routed layouts: bloom 9.1 s vs skip 4.0 s (the flat
+    // win that motivated the bloom was round-7's 5× shuffle shrink).
+    // `spark.graft.bloomReduce.enabled=false` force-disables for A/Bs.
+    if (fact.sparkSession.conf.get(
+        "spark.graft.bloomReduce.enabled", "true") != "true") return fact
+    val keyName = fact.select(factKey).schema.head.name.toLowerCase
+    val bucketedOnKey = fact.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .bucketSpec.exists(_.bucketColumnNames
+                .map(_.toLowerCase) == Seq(keyName)) => lr
+    }.nonEmpty
+    if (bucketedOnKey) return fact
     // XxHash64 is type-sensitive (hash(42: Int) != hash(42L)), while the
     // exact join that follows coerces types implicitly — hashing the raw
     // columns would make a (int fact, long key) pairing silently drop
