@@ -389,6 +389,44 @@ private[graft] object GateFixtures {
       name, java.nio.file.Paths.get(wh, name).toString)
   }
 
+  /** MATERIALIZED AGGREGATE rollup for the layout_agg_* gates (round-12
+    * product path): adviseAggRollups reads a two-query corpus (the
+    * q18-shaped per-order multi-aggregate and the q4-shaped EXISTS
+    * probe), derives the per-orderkey rollup itself — REQUIREs pin the
+    * fact, the key and the conditional count — and stageRollup writes
+    * it bucketed+sorted with the base fingerprint. Memoized per
+    * (catalog, dir); the returned Meta is registered per GATE QUERY via
+    * MaterializedAggs.withRegistered. */
+  def aggRollup(s: org.apache.spark.sql.SparkSession, d: String)
+      : graft.plans.MaterializedAggs.Meta = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    lazy val spec = {
+      val cents = (n: String) => round(col(n) * 100).cast("long")
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val corpus = Seq(
+        li.groupBy(col("l_orderkey").as("ar_orderkey"))
+          .agg(sum(cents("l_quantity")).as("ar_qty_cents"),
+            count(lit(1)).as("ar_lines")),
+        o.join(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+      val specs = graft.plans.LayoutAdvisor.adviseAggRollups(corpus, minHits = 1)
+      val onKey = specs.filter(sp => sp.fact == "lineitem" && sp.key == "l_orderkey")
+      require(onKey.size == 1 && onKey.head.measures.size >= 3 &&
+        onKey.head.measures.exists(_.cond.isDefined),
+        s"aggRollup: advisor picked unexpected rollup: $specs")
+      onKey.head
+    }
+    val name = bucketedTable(s, d, "ar_rollup") { n =>
+      graft.plans.MaterializedAggs.stageRollup(s, spec, n)
+      graft.plans.MaterializedAggs.deregister(n) // gates scope their own
+    }
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    graft.plans.MaterializedAggs.metaFromSidecar(
+      name, java.nio.file.Paths.get(wh, name).toString)
+  }
+
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedTable(s, d, "bf_orders") { name =>
       import org.apache.spark.sql.functions.col

@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // match wants the join subtree as authored (pruned by the standard
     // batch, but not yet reshaped by EagerAggregation)
     e.injectOptimizerRule(_ => graft.plans.RewriteMaterializedJoin)
+    // after the join rewrite (aggregate shapes are matched as
+    // authored), before EagerAggregation (whose inserted semi-probe
+    // DISTINCT the rollup's key-set form also serves — the two rules
+    // compose in either firing order)
+    e.injectOptimizerRule(_ => graft.plans.RewriteMaterializedAgg)
     e.injectOptimizerRule(_ => graft.plans.CollapseIdempotent)
     e.injectOptimizerRule(_ => graft.plans.EagerAggregation)
     // post-hoc resolution, NOT optimizer: must run before ColumnPruning

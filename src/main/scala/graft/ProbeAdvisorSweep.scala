@@ -89,11 +89,12 @@ object ProbeAdvisorSweep {
     if (mode == "denormexplain") {
       val staged = ensureProjections(spark, d)
       val metas = ensureDenorm(spark, d)
+      val rollups = ensureRollups(spark, d)
       names.foreach { n =>
         Tables.clearRedirects()
-        val routes = denormAwareRoutes(spark, d, n, staged, metas)
+        val routes = denormAwareRoutes(spark, d, n, staged, metas, rollups)
         routes.foreach { case (t, ct) => Tables.redirect(d, t, ct) }
-        println(s"===== $n (denorm + routed) =====")
+        println(s"===== $n (denorm + rollup + routed) =====")
         SparkEntry.queries(n)(spark, d).explain("formatted")
       }
       spark.stop()
@@ -102,17 +103,22 @@ object ProbeAdvisorSweep {
     if (mode == "denormcheck") {
       val staged = ensureProjections(spark, d)
       val metas = ensureDenorm(spark, d) // registered process-wide
+      val rollups = ensureRollups(spark, d)
       def rows(n: String): Seq[String] =
         SparkEntry.queries(n)(spark, d).collect().map(_.toString).sorted.toSeq
       var bad = 0
       names.foreach { n =>
         Tables.clearRedirects()
-        val routes = denormAwareRoutes(spark, d, n, staged, metas)
+        val routes = denormAwareRoutes(spark, d, n, staged, metas, rollups)
         routes.foreach { case (t, ct) => Tables.redirect(d, t, ct) }
         val served = rows(n)
         Tables.clearRedirects()
         metas.foreach(m => graft.plans.MaterializedJoins.deregister(m.catalogTable))
-        val flat = try rows(n) finally metas.foreach(graft.plans.MaterializedJoins.register)
+        rollups.foreach(m => graft.plans.MaterializedAggs.deregister(m.catalogTable))
+        val flat = try rows(n) finally {
+          metas.foreach(graft.plans.MaterializedJoins.register)
+          rollups.foreach(graft.plans.MaterializedAggs.register)
+        }
         val ok = served == flat
         if (!ok) bad += 1
         println(s"[check] $n: ${if (ok) "IDENTICAL" else s"MISMATCH (${served.size} vs ${flat.size} rows)"}")
@@ -136,16 +142,18 @@ object ProbeAdvisorSweep {
         n -> r
       }.toMap
     } else if (mode == "denorm") {
-      // denorm: the materialized-join registry is live for the whole
-      // run (RewriteMaterializedJoin serves whatever it subsumes), and
-      // projection routing covers the rest — EXCEPT the member tables
-      // of a query the rewrite fires on: redirecting those would point
-      // the fact leaf at a projection and void the match
+      // denorm: BOTH materialized registries are live for the whole run
+      // (RewriteMaterializedJoin serves the join regions,
+      // RewriteMaterializedAgg the aggregate-form and key-set shapes),
+      // and projection routing covers the rest — EXCEPT the member
+      // tables of a query a rewrite fires on: redirecting those would
+      // point the fact leaf at a projection and void the match
       val staged = ensureProjections(spark, d)
       val metas = ensureDenorm(spark, d)
+      val rollups = ensureRollups(spark, d)
       names.map { n =>
         Tables.clearRedirects()
-        n -> denormAwareRoutes(spark, d, n, staged, metas)
+        n -> denormAwareRoutes(spark, d, n, staged, metas, rollups)
       }.toMap
     } else Map.empty
 
@@ -184,13 +192,20 @@ object ProbeAdvisorSweep {
     * keep the base path the meta records). */
   def denormAwareRoutes(spark: org.apache.spark.sql.SparkSession, d: String,
       n: String, staged: Seq[graft.plans.LayoutAdvisor.Projection],
-      metas: Seq[graft.plans.MaterializedJoins.Meta]): Map[String, String] = {
+      metas: Seq[graft.plans.MaterializedJoins.Meta],
+      rollups: Seq[graft.plans.MaterializedAggs.Meta] = Nil): Map[String, String] = {
     val df = SparkEntry.queries(n)(spark, d)
     val firedMetas = metas.filter(m => graft.plans.MaterializedJoins.fired(df, m.catalogTable))
-    val members = firedMetas.flatMap(m => m.fact +: m.dims.map(_.table)).toSet
+    val firedRollups = rollups.filter(m => graft.plans.MaterializedAggs.fired(df, m.catalogTable))
+    // members of a FIRED rewrite keep their flat base paths: redirecting
+    // them would point the leaf at a projection and void the match on
+    // the next (per-execution) optimization
+    val members = firedMetas.flatMap(m => m.fact +: m.dims.map(_.table)).toSet ++
+      firedRollups.map(_.fact)
     val routes = graft.plans.LayoutAdvisor.routeAll(df, staged)
       .filterNot { case (t, _) => members(t) }
     println(s"[route] $n denorm=${firedMetas.map(_.catalogTable).mkString(",")} " +
+      s"rollup=${firedRollups.map(_.catalogTable).mkString(",")} " +
       s"routes=${routes.map { case (t, c) => s"$t=$c" }.mkString(" ")}")
     routes
   }
@@ -235,6 +250,53 @@ object ProbeAdvisorSweep {
           val m = graft.plans.MaterializedJoins.stageDenorm(spark, spec, t)
           println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s) " +
             s"lossless=${m.dims.map(dd => s"${dd.table}:${dd.lossless}").mkString(",")}")
+          m
+        }
+      }
+    }
+  }
+
+  /** Advise, stage (or fresh-JVM re-attach) and REGISTER the corpus's
+    * materialized AGGREGATE rollups (round-12): per-orderkey and
+    * per-partkey reductions of the fact that serve the aggregate-form
+    * residual class (q18/q21's per-order multi-aggregate, q17's
+    * per-part average, q4's EXISTS as a key-set filter at order
+    * grain). minHits=1: a rollup write is one aggregate over the fact
+    * — the same work ONE covered query pays per run — so even a
+    * single-query key amortizes immediately. */
+  def ensureRollups(spark: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[graft.plans.MaterializedAggs.Meta] = {
+    Tables.clearRedirects()
+    val corpus = BenchBig.Rel.map(n => SparkEntry.queries(n)(spark, d))
+    val specs = graft.plans.LayoutAdvisor.adviseAggRollups(corpus,
+      targetBucketBytes = 64L << 20, minHits = 1)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    specs.map { spec =>
+      val t = s"adv_rollup_${spec.fact}_${spec.key}$tag"
+      println(s"[advise] rollup ${spec.fact}.${spec.key} buckets=${spec.buckets} " +
+        s"hits=${spec.hits} measures=${spec.measures.map(_.name).mkString(",")}")
+      graft.plans.MaterializedAggs.all.find(_.catalogTable == t).getOrElse {
+        val loc = java.nio.file.Paths.get(wh, t)
+        val t0 = System.nanoTime()
+        val attached =
+          if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) &&
+              !spark.catalog.tableExists(t)) {
+            try {
+              val m = graft.plans.MaterializedAggs.attachRollup(spark, spec, t, loc.toString)
+              println(f"[advise] attached $t (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+              Some(m)
+            } catch {
+              case e: IllegalArgumentException =>
+                println(s"[advise] $t sidecar mismatch (${e.getMessage.take(80)}…) — re-staging")
+                None
+            }
+          } else None
+        attached.getOrElse {
+          if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+          GateFixtures.deleteRecursively(loc)
+          val m = graft.plans.MaterializedAggs.stageRollup(spark, spec, t)
+          println(f"[advise] staged $t (one-time write, ${(System.nanoTime() - t0) / 1e9}%.1f s)")
           m
         }
       }
@@ -308,7 +370,13 @@ object ProbeAdvisorSweep {
         tokens.head.forall(_.isDigit) && tokens.head.toInt == spec.buckets &&
         tokens(1).equalsIgnoreCase(spec.key)
     }
-    if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && sidecarMatches) {
+    // freshness (round-12): attach only when the recorded base still
+    // fingerprints identically — a base that grew since staging means
+    // the layout is stale and must re-stage (sidecar-less legacy dirs
+    // re-stage too via sidecarMatches)
+    val baseFresh = graft.plans.Freshness.verifyBaseAt(spark, loc)
+    if (!baseFresh) println(s"[advise] $t: base data drifted since staging — re-staging")
+    if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && sidecarMatches && baseFresh) {
       val t0 = System.nanoTime()
       graft.sources.TabularWriter.attach(
         spark, t, loc.toString, spec.key, spec.buckets)

@@ -2155,6 +2155,55 @@ object SparkEntry {
         df
       }
     },
+    "layout_agg_rollup" -> { (s, d) =>
+      // MATERIALIZED AGGREGATE as product (round-12): adviseAggRollups
+      // derived the per-orderkey rollup (sum of quantity cents + line
+      // count, stored as FINAL values) from a corpus, stageRollup wrote
+      // it bucketed+sorted on the key with the base fingerprint
+      // (GateFixtures.aggRollup), and this query KEEPS its fact-grain
+      // aggregate verbatim: RewriteMaterializedAgg swaps the Aggregate
+      // for a Project over the |orders|-row rollup — 4× fewer rows at
+      // TPC-H fan-out before the query starts, zero re-aggregation.
+      // The require pins the firing; the oracle — the plain GROUP BY /
+      // HAVING over the RAW table — pins exactness. Reference analog:
+      // prep_2_bahavior.py:50-53 (the reference materializes its
+      // groupby aggregate at prep time and every stage consumes it).
+      val meta = GateFixtures.aggRollup(s, d)
+      graft.plans.MaterializedAggs.withRegistered(Seq(meta)) {
+        val cents = (c: String) => round(col(c) * 100).cast("long")
+        val df = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("ar_orderkey"))
+          .agg(sum(cents("l_quantity")).as("ar_qty_cents"),
+            count(lit(1)).as("ar_lines"))
+          .filter(col("ar_qty_cents") > 5000L)
+        require(graft.plans.MaterializedAggs.fired(df, meta.catalogTable),
+          s"layout_agg_rollup: rewrite must serve the aggregate:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      }
+    },
+    "layout_agg_exists" -> { (s, d) =>
+      // the KEY-SET contract (q4's shape at order grain): EXISTS over
+      // the filtered fact is exactly "conditional count > 0" on the
+      // rollup — the probe side reads |orders| rows instead of
+      // |lineitem|, sidestepping the fact-grain decode that measured
+      // round-11's semi arm off. The require pins the firing; the
+      // oracle EXISTS over the raw tables pins exactness (a key
+      // wrongly included or excluded from the set hash-fails).
+      val meta = GateFixtures.aggRollup(s, d)
+      graft.plans.MaterializedAggs.withRegistered(Seq(meta)) {
+        val df = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+              .select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority").as("ae_priority"))
+          .agg(count(lit(1)).as("ae_orders"))
+        require(graft.plans.MaterializedAggs.fired(df, meta.catalogTable),
+          s"layout_agg_exists: rewrite must serve the EXISTS probe:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      }
+    },
     "layout_advisor_sorted" -> { (s, d) =>
       // the advisor's PREDICATE-side advice end-to-end: adviseSorted
       // derived (orders, o_orderdate, pruned columns, file count) from
@@ -2424,6 +2473,22 @@ object SparkEntry {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_quantity > 25
+        |GROUP BY 1""".stripMargin,
+    // materialized-aggregate gates: oracles are the plain aggregates
+    // over the RAW table — the rollup and its rewrite are under test;
+    // a group dropped, duplicated or mis-valued by the serve hash-fails
+    "layout_agg_rollup" ->
+      """SELECT l_orderkey AS ar_orderkey,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ar_qty_cents,
+        |  count(*) AS ar_lines
+        |FROM lineitem
+        |GROUP BY 1
+        |HAVING CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) > 5000""".stripMargin,
+    "layout_agg_exists" ->
+      """SELECT o_orderpriority AS ae_priority, count(*) AS ae_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
     "layout_routed_cents" ->
       """SELECT l_suppkey AS rc_suppkey,

@@ -21,8 +21,35 @@ object Tables {
     redirects.put((sfDir, name), table)
   def clearRedirects(): Unit = redirects.clear()
 
+  /** Freshness guard on the serving path (round-12): a staged layout
+    * records its base path+fingerprint in a `_graft_base` sidecar
+    * (graft.plans.Freshness); the FIRST time a (dir, table, layout)
+    * triple is served this session, the recorded base is re-
+    * fingerprinted and a drifted base THROWS instead of silently
+    * serving pre-append rows — re-stage is the recovery. Verified
+    * triples are cached (one directory listing per layout per JVM);
+    * layouts without the sidecar (fixtures, pre-round-12 files) are
+    * unchecked by contract. */
+  private val verifiedRedirects =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String)]()
+
+  private def verifyRedirect(spark: SparkSession, sfDir: String, name: String,
+      table: String): Unit = {
+    if (verifiedRedirects.contains((sfDir, name, table))) return
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    if (!graft.plans.Freshness.verifyBaseAt(
+        spark, java.nio.file.Paths.get(loc.getPath)))
+      throw new IllegalStateException(
+        s"Tables.redirect($sfDir, $name -> $table): base data drifted since " +
+          "the layout was staged — re-stage the layout (serving it would " +
+          "silently return pre-append rows)")
+    verifiedRedirects.add((sfDir, name, table))
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val redirected = redirects.get((sfDir, name))
+    if (redirected != null) verifyRedirect(spark, sfDir, name, redirected)
     // redirected layouts get the SAME normalization as the flat path:
     // a layout staged from a raw parquet read (stage/stageSorted read
     // spark.read.parquet directly) carries the un-normalized schema,

@@ -63,17 +63,16 @@ object BloomReduce {
     // `spark.graft.bloomReduce.enabled=false` force-disables for A/Bs.
     if (fact.sparkSession.conf.get(
         "spark.graft.bloomReduce.enabled", "true") != "true") return fact
-    val keyName = fact.select(factKey).schema.head.name.toLowerCase
-    val bucketedOnKey = fact.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if lr.relation.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-            lr.relation.asInstanceOf[
-              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-              .bucketSpec.exists(_.bucketColumnNames
-                .map(_.toLowerCase) == Seq(keyName)) => lr
-    }.nonEmpty
-    if (bucketedOnKey) return fact
+    // the probe is Aggregates.isCoLocatedOn — a STRAIGHT-LINE walk
+    // (Project/Filter/alias chain only, renames resolved to the leaf
+    // attribute actually read) to the bucketed relation. The round-11
+    // version matched ANY HadoopFs leaf in the plan whose bucket columns
+    // equaled the key NAME: a fact composed from a join/union containing
+    // some other table bucketed on a same-named column, or a rename
+    // shadowing the bucket column, would skip the bloom even though the
+    // downstream work still shuffles (performance-only misfire, now
+    // closed; OperatorsSpec pins the join-shaped case).
+    if (Aggregates.isCoLocatedOn(fact, Seq(factKey))) return fact
     // XxHash64 is type-sensitive (hash(42: Int) != hash(42L)), while the
     // exact join that follows coerces types implicitly — hashing the raw
     // columns would make a (int fact, long key) pairing silently drop

@@ -130,7 +130,19 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
         val wh = conf.getConfString("spark.sql.warehouse.dir", "")
         val factor = conf.getConfString(
           "spark.graft.stats.uniqueishFactor", "0.9").toDouble
-        val measured = identities.flatMap(id => TableStats.lookup(wh, id)).headOption
+        // freshness (round-12): a measurement recorded over DIFFERENT
+        // base files than the live leaf is ignored — the grown table's
+        // uniqueness may have flipped either way; fall back to the
+        // declared conf (records without a fingerprint — aliased staged
+        // tables, pre-round-12 files — stay advisory-unchecked)
+        val liveFp = lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some(Freshness.ofIndex(fs.location))
+          case _ => None
+        }
+        val measured = identities.flatMap(id => TableStats.lookup(wh, id))
+          .headOption.filter(st => st.fingerprint.isEmpty ||
+            liveFp.isEmpty || st.fingerprint == liveFp)
         measured match {
           case Some(st) if keyNames.exists(c => st.ndv.contains(c)) =>
             // measurement decides both ways: a measured NON-unique key

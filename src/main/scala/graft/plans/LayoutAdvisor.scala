@@ -620,6 +620,7 @@ object LayoutAdvisor {
       spark.read.parquet(spec.path.split(',').toIndexedSeq: _*)
         .select(spec.columns.map(col): _*),
       name, spec.key, spec.buckets, sorted = true)
+    Freshness.writeBase(spark, name, spec.path)
   }
 
   /** One recommended SORT-clustered layout: rewrite `columns` of the
@@ -849,16 +850,24 @@ object LayoutAdvisor {
     // while round(NaN*100)→long stores 0 — or throws outright under
     // ANSI, which would also kill this write) — decline it loudly and
     // stage the clean rest.
+    // decline a cents column whose derived name is ALREADY a real base
+    // column — withColumn would silently overwrite it (same loud-decline
+    // discipline as the denorm stager's cross-table disjointness check)
+    val (collided, srcCols) = spec.sourceCols
+      .partition(c => base.columns.map(_.toLowerCase).contains(c.toLowerCase + "_cents"))
+    if (collided.nonEmpty) System.err.println(s"[advise] stageDerived($name): " +
+      s"declining cents for ${collided.mkString(", ")} — the base table " +
+      "already has a column with the derived name")
     val finite = {
-      val flags = spec.sourceCols.map(c => max(when(
+      val flags = srcCols.map(c => max(when(
         isnan(col(c)) || col(c) === lit(Double.PositiveInfinity) ||
           col(c) === lit(Double.NegativeInfinity), 1).otherwise(0)).as(c))
       val row = base.select(flags: _*).collect()(0)
-      spec.sourceCols.zipWithIndex.collect {
+      srcCols.zipWithIndex.collect {
         case (c, i) if row.isNullAt(i) || row.getInt(i) == 0 => c
       }
     }
-    val dropped = spec.sourceCols.filterNot(finite.contains)
+    val dropped = srcCols.filterNot(finite.contains)
     if (dropped.nonEmpty) System.err.println(s"[advise] stageDerived($name): " +
       s"declining non-finite money column(s) ${dropped.mkString(", ")} — " +
       "no cents stored for them")
@@ -880,6 +889,7 @@ object LayoutAdvisor {
       java.nio.file.Paths.get(loc.getPath, DerivedSidecar),
       (derivedSidecarBody(spec) + s"finite ${finite.sorted.mkString(",")}\n")
         .getBytes("UTF-8"))
+    Freshness.writeBase(spark, name, spec.path)
   }
 
   /** Re-register already-[[stageDerived]] files as external catalog
@@ -895,6 +905,8 @@ object LayoutAdvisor {
       new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8") else ""
     require(body.startsWith(derivedSidecarBody(spec)),
       s"attachDerived($name): sidecar $sidecar missing or advice drifted — re-stage")
+    require(Freshness.verifyBaseAt(spark, java.nio.file.Paths.get(path)),
+      s"attachDerived($name): base data drifted since staging — re-stage")
     val schema = spark.read.parquet(path).schema.toDDL
     spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet LOCATION '$path'")
     // what was STAGED is what the sidecar's finite line says (the
@@ -921,7 +933,12 @@ object LayoutAdvisor {
   def stageWithDerived(spark: SparkSession, spec: LayoutSpec,
       derivedCols: Seq[String], name: String): Unit = {
     import org.apache.spark.sql.functions.{col, round}
-    val keep0 = derivedCols.filter(spec.columns.contains)
+    // same derived-name collision decline as stageDerived/stageDenorm
+    val (collided, keep0) = derivedCols.filter(spec.columns.contains)
+      .partition(c => spec.columns.map(_.toLowerCase).contains(c.toLowerCase + "_cents"))
+    if (collided.nonEmpty) System.err.println(s"[advise] stageWithDerived($name): " +
+      s"declining cents for ${collided.mkString(", ")} — a carried column " +
+      "already uses the derived name")
     val base = spark.read.parquet(spec.path.split(',').toIndexedSeq: _*)
       .select(spec.columns.map(col): _*)
     // same finiteness discipline as stageDerived: only NaN/Inf-free
@@ -939,6 +956,7 @@ object LayoutAdvisor {
       markDerivedFinite(spark, name, keep)
       writeFiniteSidecar(spark, name, keep)
     }
+    Freshness.writeBase(spark, name, spec.path)
   }
 
   /** The NaN/±Inf audit behind [[RewriteStoredCents.FiniteProperty]]:
@@ -1149,6 +1167,179 @@ object LayoutAdvisor {
         .map(d => d.parentKey).headOption)
     Seq(DenormSpec(tableName(factPath), factPath, dims.toSeq, columns,
       bucketKey, buckets, cents, hits))
+  }
+
+  /** A recommended MATERIALIZED AGGREGATE rollup (round-12 — the
+    * fourth layout kind): `fact GROUP BY key` carrying `measures`
+    * (the corpus's own aggregate expressions, stored as final values;
+    * conditional counts recorded from semi/anti probes), bucketed on
+    * the key. Staged by [[MaterializedAggs.stageRollup]], served
+    * exactly by [[RewriteMaterializedAgg]]. */
+  case class RollupSpec(fact: String, factPath: String, key: String,
+      measures: Seq[MaterializedAggs.Measure], buckets: Int, hits: Int)
+
+  /** Advise AGGREGATE ROLLUPS from the corpus's own aggregate-form
+    * plans — the class [[adviseDenormalized]] cannot reach (the join
+    * rewrite stops at aggregates; q18/q21's per-order multi-aggregate,
+    * q17's per-part average, q4's EXISTS probe all re-reduce the fact
+    * at every run).
+    *
+    * A site is recordable iff [[RewriteMaterializedAgg]] would serve
+    * it — the advisor and the rule share the peel/inline machinery, so
+    * advice never stages a measure the rewrite cannot match:
+    *  - an Aggregate whose child peels to a fact leaf, whose grouping
+    *    inlines to ONE leaf column, whose non-key filters are absent
+    *    (key-only filters re-apply) and whose every aggregate
+    *    expression inlines to leaf columns → one measure per aggregate
+    *    expression (canonical SQL, deterministic name);
+    *  - a semi/anti probe (or a filtered DISTINCT — the shape
+    *    [[EagerAggregation]] leaves in optimized corpus plans) of the
+    *    fact keyed on one column → one conditional count measure.
+    *
+    * Keys measured ≈unique ([[TableStats]]) are skipped — a rollup on
+    * a unique key reduces nothing and pays a whole-fact write (the
+    * same measured decline [[EagerAggregation]] applies query-side).
+    * Tables whose (path, key) collect fewer than `minHits` sites are
+    * dropped. Bucket counts use the fact's own size so the rollup
+    * aligns with the fact's bucketed-projection join class. */
+  def adviseAggRollups(corpus: Seq[DataFrame], targetBucketBytes: Long = 1L << 30,
+      minHits: Int = 1): Seq[RollupSpec] = {
+    require(corpus.nonEmpty, "LayoutAdvisor.adviseAggRollups: empty corpus")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val bytesOf = scala.collection.mutable.Map.empty[String, Long]
+    // (path, key) -> (measures by agg-sql, hits)
+    val sites = scala.collection.mutable.Map.empty[(String, String),
+      (scala.collection.mutable.LinkedHashMap[String, MaterializedAggs.Measure], Int)]
+    def record(path: String, key: String, ms: Seq[MaterializedAggs.Measure]): Unit = {
+      val (map, n) = sites.getOrElseUpdate((path, key),
+        (scala.collection.mutable.LinkedHashMap.empty, 0))
+      ms.foreach(m => map.getOrElseUpdate(m.agg, m))
+      sites((path, key)) = (map, n + 1)
+    }
+    def stripAlias(e: Expression): Expression = e match {
+      case al: Alias => al.child
+      case other => other
+    }
+    def measureName(sql: String): String = "m_" +
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(sql.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+
+    corpus.foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      def siteOf(child: LogicalPlan): Option[(MaterializedAggs.PeeledFact, String)] =
+        MaterializedAggs.peelFact(child).flatMap { peeled =>
+          bytesOf.getOrElseUpdate(peeled.path, peeled.leaf.relation match {
+            case fs: HadoopFsRelation => fs.sizeInBytes
+            case _ => 0L
+          })
+          Some((peeled, peeled.path))
+        }
+      def keyName(peeled: MaterializedAggs.PeeledFact, e: Expression): Option[String] =
+        MaterializedAggs.inline(stripAlias(e), peeled.subst) match {
+          case a: AttributeReference => peeled.nameOf.get(a.exprId.id)
+          case _ => None
+        }
+      def splitByKey(peeled: MaterializedAggs.PeeledFact, key: String)
+          : (Seq[Expression], Seq[Expression]) =
+        peeled.filters.map(f => MaterializedAggs.inline(f, peeled.subst))
+          .partition { c =>
+            val refs = c.references.toSeq
+            refs.nonEmpty && refs.forall(a =>
+              peeled.nameOf.get(a.exprId.id).contains(key))
+          }
+      def noSubquery(e: Expression): Boolean = !e.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+      def condMeasure(peeled: MaterializedAggs.PeeledFact,
+          rest: Seq[Expression]): Option[MaterializedAggs.Measure] = {
+        if (rest.isEmpty) return None
+        // a conjunct carrying a subquery (q3's runtime-bloom
+        // might_contain) has no round-trippable SQL and is not a
+        // stageable condition — skip the site
+        if (!rest.forall(noSubquery)) return None
+        if (!rest.forall(_.references.forall(a =>
+          peeled.nameOf.contains(a.exprId.id)))) return None
+        val condSql = rest.map(MaterializedAggs.bareSql).sorted.mkString(" AND ")
+        val agg = s"count_if($condSql)"
+        Some(MaterializedAggs.Measure(measureName(agg), agg, Some(condSql)))
+      }
+      plan.foreach {
+        case agg: Aggregate => siteOf(agg.child).foreach { case (peeled0, path) =>
+          // grouping aliases bind exprIds the output references — same
+          // substitution merge the rewrite applies
+          val peeled = peeled0.copy(subst = peeled0.subst ++
+            agg.groupingExpressions.collect {
+              case al: Alias => al.exprId.id -> al.child
+            })
+          val keys = agg.groupingExpressions.map(e => keyName(peeled, e))
+          if (keys.nonEmpty && keys.forall(_.isDefined) &&
+              keys.flatten.distinct.size == 1) {
+            val key = keys.flatten.head
+            val (_, rest) = splitByKey(peeled, key)
+            val inlinedOut = agg.aggregateExpressions
+              .map(ne => MaterializedAggs.inline(ne, peeled.subst))
+            val aes = inlinedOut.flatMap(_.collect {
+              case ae: AggregateExpression => ae
+            })
+            val underAgg = org.apache.spark.sql.catalyst.expressions
+              .AttributeSet(aes.flatMap(_.references))
+            val topOk = inlinedOut.flatMap(_.collect {
+              case a: AttributeReference => a
+            }).filterNot(underAgg.contains).forall(a =>
+              peeled.nameOf.get(a.exprId.id).contains(key))
+            if (rest.isEmpty && topOk && aes.nonEmpty &&
+                aes.forall(noSubquery) &&
+                aes.forall(_.references.forall(a =>
+                  peeled.nameOf.contains(a.exprId.id)))) {
+              record(path, key, aes.map { ae =>
+                val sql = MaterializedAggs.bareSql(ae)
+                MaterializedAggs.Measure(measureName(sql), sql)
+              })
+            } else if (rest.nonEmpty && aes.isEmpty && topOk &&
+                inlinedOut.forall {
+                  case a: AttributeReference =>
+                    peeled.nameOf.get(a.exprId.id).contains(key)
+                  case al: Alias => al.child match {
+                    case a: AttributeReference =>
+                      peeled.nameOf.get(a.exprId.id).contains(key)
+                    case _ => false
+                  }
+                  case _ => false
+                }) {
+              // the filtered-DISTINCT shape (EagerAggregation's insert)
+              condMeasure(peeled, rest).foreach(m => record(path, key, Seq(m)))
+            }
+          }
+        }
+        case j @ Join(_, right, org.apache.spark.sql.catalyst.plans.LeftSemi |
+            org.apache.spark.sql.catalyst.plans.LeftAnti, Some(cond), _)
+            if cond.deterministic =>
+          siteOf(right).foreach { case (peeled, path) =>
+            val rightRefs = cond.references.toSeq.filter(right.outputSet.contains)
+            val keyNames = rightRefs.map(a => keyName(peeled, a))
+            if (rightRefs.nonEmpty && keyNames.forall(_.isDefined) &&
+                keyNames.flatten.distinct.size == 1) {
+              val key = keyNames.flatten.head
+              val (_, rest) = splitByKey(peeled, key)
+              condMeasure(peeled, rest).foreach(m => record(path, key, Seq(m)))
+            }
+          }
+        case _ =>
+      }
+    }
+    val spark = corpus.head.sparkSession
+    val floor = parallelismFloor(corpus)
+    sites.toSeq.flatMap { case ((path, key), (measures, hits)) =>
+      if (hits < minHits) None
+      // a measured ≈unique key reduces nothing — skip (unmeasured keys
+      // pass: the rollup stays correct either way, only cost varies)
+      else if (ndvResolver(spark, path)(key).exists { ndv =>
+        val rows = TableStats.lookup(TableStats.warehouseOf(spark), path)
+          .map(_.rowCount).getOrElse(0L)
+        rows > 0 && ndv.toDouble >= 0.9 * rows
+      }) None
+      else Some(RollupSpec(tableName(path), path, key, measures.values.toSeq,
+        bucketsFor(bytesOf.getOrElse(path, 0L), targetBucketBytes, floor), hits))
+    }.sortBy(s => (-s.hits, s.fact, s.key))
   }
 
   /** Complete layout advice for a corpus: bucketed layouts for the

@@ -83,9 +83,15 @@ object MaterializedJoins {
     * with a stored `<col>_cents` sibling; `finite` = the subset of
     * `cents` whose stage-time finiteness audit passed (the DECIMAL
     * idiom's precondition — [[RewriteStoredCents.FiniteProperty]]). */
+  /** `fingerprints` = member path → [[Freshness]] fingerprint of that
+    * base table AT STAGE TIME. The rewrite re-checks the members present
+    * in each query against the live FileIndex and declines on drift;
+    * [[attachDenorm]] checks ALL members (including dims the queries
+    * omit — their lossless audits rot with the data). Empty map =
+    * unrecorded (hand-built test metas) — unchecked by contract. */
   case class Meta(catalogTable: String, fact: String, factPath: String,
       dims: Seq[DimMeta], columns: Set[String], cents: Set[String],
-      finite: Set[String])
+      finite: Set[String], fingerprints: Map[String, String] = Map.empty)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Meta]()
@@ -154,17 +160,28 @@ object MaterializedJoins {
   val DenormSidecar = "_graft_denorm"
 
   private def sidecarBody(spec: LayoutAdvisor.DenormSpec, dims: Seq[DimMeta],
-      columns: Seq[String], cents: Seq[String], finite: Seq[String]): String = {
+      columns: Seq[String], cents: Seq[String], finite: Seq[String],
+      fingerprints: Map[String, String]): String = {
     val dimLines = dims.map(d =>
       s"dim ${d.table} ${d.path} ${d.parentTable} ${d.parentKey} ${d.dimKey} ${d.lossless}")
+    val fpLines = fingerprints.toSeq.sortBy(_._1).map { case (p, h) => s"fp $p $h" }
     (Seq(
       s"fact ${spec.fact} ${spec.factPath}",
       s"bucket ${spec.bucketKey.getOrElse("-")} ${spec.buckets}",
       s"columns ${columns.sorted.mkString(",")}",
       s"cents ${cents.sorted.mkString(",")}",
-      s"finite ${finite.sorted.mkString(",")}") ++ dimLines)
+      s"finite ${finite.sorted.mkString(",")}") ++ dimLines ++ fpLines)
       .mkString("", "\n", "\n")
   }
+
+  private def parseFingerprints(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("fp ")).map { l =>
+      l.stripPrefix("fp ").split("\\s+") match {
+        case Array(p, h) => p -> h
+        case other => throw new IllegalArgumentException(
+          s"malformed fp line '${other.mkString(" ")}'")
+      }
+    }.toMap
 
   /** Stage `spec` as bucketed catalog table `name`: run the inner
     * equi-join chain over the base paths, carry exactly the advised
@@ -224,7 +241,16 @@ object MaterializedJoins {
       }
       val carried = spec.columns.map(_.toLowerCase)
       val projected = joined.select(carried.map(col): _*)
-      val cents0 = spec.centsCols.map(_.toLowerCase).filter(carried.contains)
+      // a member table that ALREADY has a literal `<col>_cents` column
+      // would be silently overwritten by the derived withColumn below —
+      // decline that cents column loudly instead (the stored values
+      // must never shadow real data)
+      val (collided, cents1) = spec.centsCols.map(_.toLowerCase)
+        .filter(carried.contains).partition(c => carried.contains(c + "_cents"))
+      if (collided.nonEmpty) System.err.println(s"[advise] stageDenorm($name): " +
+        s"declining cents for ${collided.mkString(", ")} — a carried column " +
+        "already uses the derived name")
+      val cents0 = cents1
       val finite = LayoutAdvisor.auditFinite(projected, cents0)
       if (finite != cents0) System.err.println(s"[advise] stageDenorm($name): " +
         s"declining non-finite money column(s) ${cents0.diff(finite).mkString(", ")}")
@@ -240,13 +266,17 @@ object MaterializedJoins {
         LayoutAdvisor.markDerived(spark, name, finite)
         LayoutAdvisor.markDerivedFinite(spark, name, finite)
       }
+      // freshness: fingerprint every member's base files AS STAGED —
+      // the audits and the join itself are only valid for these bytes
+      val fps = (Seq(spec.factPath) ++ spec.dims.map(_.path)).distinct
+        .map(p => p -> Freshness.ofPath(spark, p)).toMap
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(name)).location
       java.nio.file.Files.write(
         java.nio.file.Paths.get(loc.getPath, DenormSidecar),
-        sidecarBody(spec, audited, carried, finite, finite).getBytes("UTF-8"))
+        sidecarBody(spec, audited, carried, finite, finite, fps).getBytes("UTF-8"))
       val meta = Meta(name, spec.fact, spec.factPath, audited,
-        carried.toSet, finite.toSet, finite.toSet)
+        carried.toSet, finite.toSet, finite.toSet, fps)
       register(meta)
       meta
     } finally {
@@ -282,7 +312,7 @@ object MaterializedJoins {
     }
     Meta(catalogTable, factLine(0), factLine(1), dims,
       csv(line("columns")).toSet, csv(line("cents")).toSet,
-      csv(line("finite")).toSet)
+      csv(line("finite")).toSet, parseFingerprints(lines))
   }
 
   /** Fresh-JVM re-attach of already-staged denorm files at `path` as
@@ -319,6 +349,20 @@ object MaterializedJoins {
       dims.map(d => (d.table, d.path, d.parentTable, d.parentKey, d.dimKey)) ==
         spec.dims.map(d => (d.table, d.path, d.parentTable, d.parentKey, d.dimKey)),
       s"attachDenorm($name): sidecar does not match this session's advice — re-stage")
+    // FRESHNESS: every member's base files must still be the bytes the
+    // layout (and its lossless audits) were staged from — a base table
+    // that grew since staging would be silently served pre-append rows.
+    // ALL members are checked here (the rewrite can only re-check the
+    // ones present in a query; an omitted dim's audit rots invisibly).
+    val fps = parseFingerprints(lines)
+    (Seq(spec.factPath) ++ spec.dims.map(_.path)).distinct.foreach { p =>
+      fps.get(p).foreach { staged =>
+        val live = Freshness.ofPath(spark, p)
+        require(live == staged,
+          s"attachDenorm($name): base data at $p drifted since staging " +
+            s"(staged=$staged live=$live) — re-stage")
+      }
+    }
     spec.bucketKey match {
       case Some(k) =>
         graft.sources.TabularWriter.attach(spark, name, path, k, spec.buckets)
@@ -332,7 +376,7 @@ object MaterializedJoins {
       LayoutAdvisor.markDerivedFinite(spark, name, finite)
     }
     val meta = Meta(name, spec.fact, spec.factPath, dims,
-      csv(line("columns")).toSet, csv(line("cents")).toSet, finite.toSet)
+      csv(line("columns")).toSet, csv(line("cents")).toSet, finite.toSet, fps)
     register(meta)
     meta
   }
@@ -411,7 +455,13 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
         val (li, lc) = side(l, hint.leftHint.orElse(inherited))
         val (ri, rc) = side(r, hint.rightHint.orElse(inherited))
         (li ++ ri, lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
-      case f: Filter if hasJoinBelow(f.child) =>
+      case f: Filter if hasJoinBelow(f.child) && f.condition.deterministic =>
+        // non-deterministic conjuncts (rand(), input_file_name(), …) are
+        // NOT absorbed: re-applying them above the denorm scan would
+        // re-evaluate them at a different grain / over different files —
+        // the same guard Catalyst's own PushPredicateThroughJoin applies.
+        // A non-det Filter becomes a region BOUNDARY instead (the
+        // subtree below it is simply not servable).
         val (i, c) = flatten(f.child, inherited)
         (i, c ++ splitConjunctivePredicates(f.condition))
       case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) &&
@@ -442,7 +492,8 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
       outputs: Seq[Attribute], filters: Seq[Expression],
       wrappers: Seq[SemiWrapper], filterRefs: Seq[Attribute],
       leafByName: Map[String, Attribute],
-      hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo])
+      hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo],
+      leafIndex: Option[org.apache.spark.sql.execution.datasources.FileIndex] = None)
 
   private def peel(input: LogicalPlan,
       hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]): Peeled = {
@@ -451,11 +502,17 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
         : Option[(LogicalRelation, Seq[Expression], Seq[SemiWrapper])] = p match {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         Some((lr, filters, wrappers))
-      case f: Filter =>
+      case f: Filter if f.condition.deterministic =>
+        // non-det leaf filters (rand() sampling, input_file_name())
+        // must evaluate once per MEMBER row over the member's files;
+        // re-applying them at fact grain over denorm files silently
+        // changes results — decline the peel (the mirror of
+        // PushPredicateThroughJoin's deterministic guard)
         walk(f.child, filters ++ splitConjunctivePredicates(f.condition), wrappers)
       case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
         walk(pr.child, filters, wrappers)
-      case jn @ Join(x, probe, LeftSemi | LeftAnti, cond, h) =>
+      case jn @ Join(x, probe, LeftSemi | LeftAnti, cond, h)
+          if cond.forall(_.deterministic) =>
         // outer-to-inner traversal; keep original order for re-apply
         walk(x, filters, SemiWrapper(probe, jn.joinType, cond, h) +: wrappers)
       case _ => None
@@ -472,7 +529,8 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
         Peeled(input, Some(path), input.output,
           filters, wrappers,
           (filters.flatMap(_.references) ++ wrapperRefs).distinct,
-          lr.output.map(a => a.name.toLowerCase -> a).toMap, hint)
+          lr.output.map(a => a.name.toLowerCase -> a).toMap, hint,
+          Some(lr.relation.asInstanceOf[HadoopFsRelation].location))
       case None => Peeled(input, None, input.output, Nil, Nil, Nil, Map.empty, hint)
     }
   }
@@ -485,6 +543,10 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
       : Option[LogicalPlan] = {
     val (inputs, conds) = flatten(j)
     if (inputs.size < 2) return None
+    // join conditions are re-applied at fact grain / re-bound onto the
+    // rebuilt joins — a non-deterministic conjunct would re-evaluate
+    // differently (same doctrine as the Filter guards in flatten/peel)
+    if (conds.exists(!_.deterministic)) return None
     val peeled = inputs.map { case (in, h) => peel(in, h) }
     // candidate metas whose fact path appears EXACTLY once (a self-join
     // of the fact is ambiguous — decline)
@@ -551,6 +613,14 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
     if (!spark.catalog.tableExists(m.catalogTable)) return None
     val replacedIdx = (factIdx +: inc.map(_._2)).toSet
     val replaced = replacedIdx.toSeq.sorted.map(peeled)
+    // FRESHNESS: the members this query reads must still be the bytes
+    // the layout was staged from (the leaf's own FileIndex is in hand —
+    // no extra filesystem call); drift declines loudly, once per table
+    if (!replaced.forall(p => (p.path, p.leafIndex) match {
+      case (Some(path), Some(idx)) => Freshness.check(
+        s"${m.catalogTable}:$path", m.fingerprints.getOrElse(path, ""), idx)
+      case _ => true
+    })) return None
     // attributes the replaced leaves expose: join-visible outputs plus
     // local-filter references (a Filter below a pruning Project can
     // read columns the Project drops)
@@ -642,6 +712,7 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
     if (left.path.isEmpty || probe.path.isEmpty) return None
     if (left.wrappers.nonEmpty || probe.wrappers.nonEmpty) return None
     val conds = j.condition.toSeq.flatMap(splitConjunctivePredicates)
+    if (conds.exists(!_.deterministic)) return None
     metas.view.flatMap { m =>
       if (!spark.catalog.tableExists(m.catalogTable)) None
       else {
@@ -659,6 +730,11 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
           .flatMap { d =>
             val others = m.dims.filterNot(_.table == d.table)
             if (!others.forall(_.lossless)) None
+            else if (!Seq(left, probe).forall(p => (p.path, p.leafIndex) match {
+              case (Some(path), Some(idx)) => Freshness.check(
+                s"${m.catalogTable}:$path", m.fingerprints.getOrElse(path, ""), idx)
+              case _ => true
+            })) None
             else {
               val keyEq = conds.collectFirst {
                 case eq @ EqualTo(a: AttributeReference, b: AttributeReference)

@@ -45,8 +45,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableStats {
 
-  /** Measured statistics for one table identity. */
-  case class Stats(key: String, rowCount: Long, ndv: Map[String, Long]) {
+  /** Measured statistics for one table identity. `fingerprint` = the
+    * [[Freshness]] fingerprint of the files the measurement ran over
+    * (None for pre-round-12 records and multi-leaf frames). Consumers
+    * holding the live relation ([[EagerAggregation.uniqueKeyBlocks]])
+    * compare and IGNORE a measurement whose base drifted — a stale NDV
+    * can only cost performance, but a stale ≈unique verdict would
+    * silently disable an optimization the grown table now wants (and
+    * vice versa). Re-[[analyze]] restores measurement. */
+  case class Stats(key: String, rowCount: Long, ndv: Map[String, Long],
+      fingerprint: Option[String] = None) {
     /** True when `col` was measured ≈unique: NDV ≥ factor × rowCount.
       * HLL++ at rsd 0.05 estimates a true PK within ±5%, so the 0.9
       * default clears real keys and never triggers below 0.86× true
@@ -94,7 +102,8 @@ object TableStats {
       present.map(c => approx_count_distinct(col(c)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val stats = Stats(key, row.getLong(0),
-      present.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap)
+      present.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap,
+      fingerprint = Freshness.ofLeaf(df))
     persist(warehouseOf(spark), stats)
     stats
   }
@@ -114,9 +123,13 @@ object TableStats {
   }
 
   /** Record `stats` under a second identity (e.g. the catalog table a
-    * layout was staged as — same rows, same NDV). */
+    * layout was staged as — same rows, same NDV). The fingerprint is
+    * DROPPED: it proves the measurement of the SOURCE files, and the
+    * aliased identity's own files are different bytes (the staged
+    * copy) — an aliased record stays advisory-unchecked, exactly the
+    * pre-round-12 contract. */
   def alias(warehouse: String, stats: Stats, asKey: String): Unit =
-    persist(warehouse, stats.copy(key = asKey))
+    persist(warehouse, stats.copy(key = asKey, fingerprint = None))
 
   /** Lookup by identity: in-process cache, then the registry file.
     * Negative results are cached too — [[analyze]]/[[alias]] update the
@@ -144,7 +157,7 @@ object TableStats {
           }.collect {
             case Array(c, n) if n.forall(_.isDigit) => c -> n.toLong
           }.toMap
-          Stats(key, r, ndv)
+          Stats(key, r, ndv, kv.collectFirst { case ("fp", v) => v })
         }
       }
     })
@@ -155,7 +168,8 @@ object TableStats {
   private def persist(warehouse: String, stats: Stats): Unit = {
     val f = fileFor(warehouse, stats.key)
     Files.createDirectories(f.getParent)
-    val body = (s"key ${stats.key}" +: s"rows ${stats.rowCount}" +:
+    val body = (Seq(s"key ${stats.key}", s"rows ${stats.rowCount}") ++
+      stats.fingerprint.map(f => s"fp $f").toSeq ++
       stats.ndv.toSeq.sortBy(_._1).map { case (c, n) => s"ndv $c $n" })
       .mkString("", "\n", "\n")
     Files.write(f, body.getBytes(UTF_8))

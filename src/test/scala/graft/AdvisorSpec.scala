@@ -583,4 +583,41 @@ class AdvisorSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS ra_bucketed")
     }
   }
+
+  test("redirect serving path refuses a layout whose base drifted (round-12)") {
+    import spark.implicits._
+    import graft.plans.LayoutAdvisor
+    val dir = java.nio.file.Files.createTempDirectory("adv_fresh")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(dir))
+    (1L to 300L).map(i => (i, i % 9, i * 2.0)).toDF("k", "c", "v")
+      .write.parquet(dir.resolve("t.parquet").toString)
+    val path = graft.plans.MaterializedJoins.leafPath(
+      spark.read.parquet(dir.resolve("t.parquet").toString))
+    val spec = LayoutAdvisor.LayoutSpec(path, "t", "k", 4, Seq("k", "c", "v"), 1)
+    spark.sql("DROP TABLE IF EXISTS adv_fresh_a")
+    spark.sql("DROP TABLE IF EXISTS adv_fresh_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, "adv_fresh_a"))
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, "adv_fresh_b"))
+    LayoutAdvisor.stage(spark, spec, "adv_fresh_a")
+    LayoutAdvisor.stage(spark, spec, "adv_fresh_b")
+    try {
+      // fresh base: redirect serves (one-time verification per triple)
+      Tables.redirect(dir.toString, "t", "adv_fresh_a")
+      assert(Tables(spark, dir.toString, "t").count() === 300L)
+      Tables.clearRedirects()
+      // grow the base; an UNVERIFIED triple must now refuse loudly
+      (301L to 350L).map(i => (i, i % 9, i * 2.0)).toDF("k", "c", "v")
+        .write.mode("append").parquet(dir.resolve("t.parquet").toString)
+      Tables.redirect(dir.toString, "t", "adv_fresh_b")
+      val e = intercept[IllegalStateException] {
+        Tables(spark, dir.toString, "t").count()
+      }
+      assert(e.getMessage.contains("drifted"), e.getMessage)
+    } finally {
+      Tables.clearRedirects()
+      spark.sql("DROP TABLE IF EXISTS adv_fresh_a")
+      spark.sql("DROP TABLE IF EXISTS adv_fresh_b")
+    }
+  }
 }

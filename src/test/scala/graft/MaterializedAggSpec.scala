@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.plans.{LayoutAdvisor, MaterializedAggs}
+
+/** [[graft.plans.RewriteMaterializedAgg]]: a staged per-key rollup must
+  * serve every covered aggregate/key-set shape EXACTLY — firing tests
+  * compare against the registry-off plan, decline tests pin that the
+  * rule left the plan alone. */
+class MaterializedAggSpec extends GraftSpec {
+
+  private def liPath = graft.plans.MaterializedJoins.leafPath(Tables.lineitem(spark, sf))
+  private val cents = (c: String) => round(col(c) * 100).cast("long")
+
+  /** One staged per-orderkey rollup per JVM, advised from a q18/q21/q4
+    * shaped corpus — the product path: the advisor derives the key, the
+    * measures and the conditional count from the queries themselves. */
+  private lazy val meta: MaterializedAggs.Meta = {
+    val name = "maspec_rollup"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val spec = advisedSpec
+    val m = MaterializedAggs.stageRollup(spark, spec, name)
+    MaterializedAggs.deregister(name) // each test scopes its own registration
+    m
+  }
+
+  private lazy val advisedSpec: LayoutAdvisor.RollupSpec = {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val corpus = Seq(
+      // q18 shape: per-order sum, HAVING, joined back to orders
+      li.groupBy(col("l_orderkey").as("b_ok"))
+        .agg(sum(cents("l_quantity")).as("b_qty"))
+        .filter(col("b_qty") > 100L)
+        .join(o, col("b_ok") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("b_qty")),
+      // q21 shape: per-order min/max + conditional aggregates over a
+      // computed boolean carried by a Project below the Aggregate
+      li.select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_returnflag") === "R").as("r"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_suppkey")).as("minS"), max(col("l_suppkey")).as("maxS"),
+          min(when(col("r"), col("l_suppkey"))).as("minRS"),
+          sum(when(col("r"), 1L).otherwise(0L)).as("nR")),
+      // q4 shape: EXISTS → semi join on the filtered fact
+      o.join(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+    val specs = LayoutAdvisor.adviseAggRollups(corpus, minHits = 1)
+    val onKey = specs.filter(s => s.fact == "lineitem" && s.key == "l_orderkey")
+    assert(onKey.size === 1, s"expected one l_orderkey rollup advice, got $specs")
+    val s0 = onKey.head
+    assert(s0.measures.size >= 6,
+      s"sum/min/max/minRS/nR/cond measures expected: ${s0.measures}")
+    assert(s0.measures.exists(_.cond.isDefined),
+      s"the EXISTS probe must record a conditional count: ${s0.measures}")
+    s0
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toIndexedSeq).toIndexedSeq.sortBy(_.mkString("|"))
+
+  private def withMeta[T](m: MaterializedAggs.Meta)(f: => T): T = {
+    MaterializedAggs.register(m)
+    try f finally MaterializedAggs.deregister(m.catalogTable)
+  }
+
+  private def fired(df: DataFrame): Boolean =
+    MaterializedAggs.fired(df, meta.catalogTable)
+
+  private def sameOnOff(build: => DataFrame): Unit = {
+    val on = withMeta(meta)(rows(build))
+    val off = rows(build)
+    assert(on === off, "rollup-served result must equal the registry-off result")
+  }
+
+  test("q18 shape: per-key sum + downstream join served from the rollup") {
+    def q = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("b_ok"))
+      .agg(sum(cents("l_quantity")).as("b_qty"))
+      .filter(col("b_qty") > 100L)
+      .join(Tables.orders(spark, sf), col("b_ok") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("b_qty"))
+    withMeta(meta) {
+      assert(fired(q), s"rollup must serve:\n${q.queryExecution.optimizedPlan}")
+      // the replaced subtree reads NO fact-grain lineitem at all
+      val readsFact = q.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              lr.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.map(_.toString).mkString(",") == liPath => lr
+      }
+      assert(readsFact.isEmpty, "fact-grain read must be gone")
+    }
+    assert(!fired(q), "registry off => no rewrite")
+    sameOnOff(q)
+  }
+
+  test("q21 shape: multi-aggregate with computed CASE inputs served") {
+    def q = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").as("r"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_suppkey")).as("minS"), max(col("l_suppkey")).as("maxS"),
+        min(when(col("r"), col("l_suppkey"))).as("minRS"),
+        sum(when(col("r"), 1L).otherwise(0L)).as("nR"))
+      .filter(col("minS") =!= col("maxS"))
+    withMeta(meta)(assert(fired(q),
+      s"computed-input aggregates must match:\n${q.queryExecution.optimizedPlan}"))
+    sameOnOff(q)
+  }
+
+  test("byShuffledKey's repartition peels (the engine's own q18/q21 authoring)") {
+    def q = graft.operators.Aggregates
+      .byShuffledKey(Tables.lineitem(spark, sf), col("l_orderkey"),
+        col("l_orderkey").as("g_ok"))
+      .agg(sum(cents("l_quantity")).as("qty"))
+    withMeta(meta)(assert(fired(q),
+      s"repartition below the aggregate must peel:\n${q.queryExecution.optimizedPlan}"))
+    sameOnOff(q)
+  }
+
+  test("q4 shape: EXISTS semi probe becomes a rollup key-set filter") {
+    def q = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .join(Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta) {
+      assert(fired(q), s"semi probe must be served:\n${q.queryExecution.optimizedPlan}")
+    }
+    sameOnOff(q)
+  }
+
+  test("NOT EXISTS anti probe is served by the same key set") {
+    def q = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    withMeta(meta)(assert(fired(q),
+      s"anti probe must be served:\n${q.queryExecution.optimizedPlan}"))
+    sameOnOff(q)
+  }
+
+  test("key-only filters re-apply on the rollup key (inferred isnotnull included)") {
+    def q = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") > 100L)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents("l_quantity")).as("qty"))
+    withMeta(meta)(assert(fired(q),
+      s"key-bound filter must re-apply:\n${q.queryExecution.optimizedPlan}"))
+    sameOnOff(q)
+  }
+
+  test("q17 shape: avg decomposed as sum/count arithmetic over two measures") {
+    // a separate per-partkey rollup, advised from the q17 subquery
+    val li = Tables.lineitem(spark, sf)
+    def perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((sum(cents("l_quantity")).cast(DoubleType) / 100.0 / count(lit(1)))
+        .as("avg_qty"))
+    val specs = LayoutAdvisor.adviseAggRollups(Seq(perPart), minHits = 1)
+    assert(specs.size === 1 && specs.head.key == "l_partkey", s"$specs")
+    val name = "maspec_perpart"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val m = MaterializedAggs.stageRollup(spark, specs.head, name)
+    MaterializedAggs.deregister(name)
+    def q = li.join(broadcast(Tables.part(spark, sf)
+        .filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(cents("l_extendedprice")).cast(DoubleType) / 100.0 / 7.0)
+        .as("avg_yearly"))
+    val on = { MaterializedAggs.register(m)
+      try {
+        val df = q
+        assert(MaterializedAggs.fired(df, name),
+          s"per-part rollup must serve the decorrelated subquery:\n" +
+            df.queryExecution.optimizedPlan)
+        rows(df)
+      } finally MaterializedAggs.deregister(name) }
+    assert(on === rows(q))
+  }
+
+  test("declines: non-key filter that matches no recorded condition") {
+    def q = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A") // recorded cond is 'R'
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents("l_quantity")).as("qty"))
+    withMeta(meta)(assert(!fired(q)))
+    sameOnOff(q)
+  }
+
+  test("declines: unmatched aggregate expression / wrong grouping / extra column") {
+    def wrongAgg = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice")).as("x")) // never staged
+    def wrongKey = Tables.lineitem(spark, sf).groupBy(col("l_suppkey"))
+      .agg(sum(cents("l_quantity")).as("qty"))
+    def extraCol = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"), col("l_linestatus"))
+      .agg(sum(cents("l_quantity")).as("qty"))
+    withMeta(meta) {
+      assert(!fired(wrongAgg), "unstaged measure must decline")
+      assert(!fired(wrongKey), "different key must decline")
+      assert(!fired(extraCol), "wider grouping must decline")
+    }
+    sameOnOff(wrongAgg); sameOnOff(wrongKey); sameOnOff(extraCol)
+  }
+
+  test("declines: grouping passthrough of a NON-key column") {
+    // aggregate expressions referencing non-key columns outside the
+    // aggregate functions cannot come from the rollup
+    def q = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), (col("l_orderkey") % 7).as("d"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("l_orderkey"), col("n"))
+    // this one is servable IF count(1) was staged — pin only that the
+    // engine never crashes and results stay equal either way
+    sameOnOff(q)
+  }
+
+  test("freshness: a base append after staging declines the rewrite") {
+    // private copy of the fact so the append cannot disturb other tests
+    val dir = java.nio.file.Files.createTempDirectory("maspec_fresh")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(dir))
+    val base = dir.resolve("fact").toString
+    Tables.lineitem(spark, sf).limit(500).write.mode("overwrite").parquet(base)
+    val factPath = graft.plans.MaterializedJoins.leafPath(spark.read.parquet(base))
+    def corpusQ = spark.read.parquet(base).groupBy(col("l_orderkey"))
+      .agg(sum(cents("l_quantity")).as("qty"))
+    val spec = LayoutAdvisor.adviseAggRollups(Seq(corpusQ), minHits = 1).head
+    val name = "maspec_fresh"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val m = MaterializedAggs.stageRollup(spark, spec, name)
+    MaterializedAggs.register(m)
+    try {
+      assert(MaterializedAggs.fired(corpusQ, name), "fresh base must serve")
+      // APPEND to the base — the staged per-key sums are now stale
+      Tables.lineitem(spark, sf).limit(100).write.mode("append").parquet(base)
+      spark.catalog.refreshByPath(base)
+      val drifted = corpusQ
+      assert(!MaterializedAggs.fired(drifted, name),
+        s"drifted base must decline:\n${drifted.queryExecution.optimizedPlan}")
+      // and the correct (recomputed) result flows — 600 rows' worth
+      val served = rows(drifted)
+      MaterializedAggs.deregister(name)
+      assert(served === rows(corpusQ), "declined rewrite must equal flat result")
+      // attach over the drifted base must refuse loudly
+      intercept[IllegalArgumentException] {
+        MaterializedAggs.attachRollup(spark, spec, name + "2",
+          java.nio.file.Paths.get(wh, name).toString)
+      }
+    } finally MaterializedAggs.deregister(name)
+  }
+
+  test("attachRollup restores the registration from the sidecar") {
+    val staged = meta // ensure staged
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val src = java.nio.file.Paths.get(wh, staged.catalogTable)
+    val aside = java.nio.file.Files.createTempDirectory("maspec_attach")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(aside))
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = aside.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val name2 = staged.catalogTable + "2"
+    if (spark.catalog.tableExists(name2)) spark.sql(s"DROP TABLE `$name2`")
+    val attached = MaterializedAggs.attachRollup(
+      spark, advisedSpec, name2, aside.toString)
+    MaterializedAggs.deregister(name2)
+    assert(attached === staged.copy(catalogTable = name2))
+    // drifted spec (different key) must refuse
+    val drifted = advisedSpec.copy(key = "l_suppkey")
+    intercept[IllegalArgumentException] {
+      MaterializedAggs.attachRollup(spark, drifted, name2 + "x", aside.toString)
+    }
+  }
+
+  test("stats: the rollup's key is recorded ≈unique, blocking useless pre-aggs") {
+    val wh = graft.plans.TableStats.warehouseOf(spark)
+    val st = graft.plans.TableStats.lookup(wh, meta.catalogTable)
+    assert(st.exists(_.uniqueish(meta.key)),
+      s"stageRollup must record key uniqueness: $st")
+  }
+
+  test("rollup key-set serve composes with EagerAggregation's inserted distinct") {
+    // force the Eager shape by hand: Aggregate(key, key, Filter(f, fact))
+    def q = {
+      val dd = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      Tables.orders(spark, sf)
+        .join(dd, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }
+    withMeta(meta)(assert(fired(q),
+      s"filtered DISTINCT on the key must be served:\n${q.queryExecution.optimizedPlan}"))
+    sameOnOff(q)
+  }
+}

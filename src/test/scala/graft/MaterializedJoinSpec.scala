@@ -245,6 +245,77 @@ class MaterializedJoinSpec extends GraftSpec {
     }
   }
 
+  test("declines: non-deterministic predicates are never absorbed (round-12)") {
+    // a dim-local rand() filter evaluates once per ORDER row in the flat
+    // plan; re-applied above the denorm it would evaluate once per LINE
+    // row — silently different sampling. Mirror of Catalyst's
+    // PushPredicateThroughJoin deterministic guard.
+    def dimLocal = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(rand(7) < 0.5),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    // (a non-det predicate ON the join condition is impossible — the
+    // analyzer rejects INVALID_NON_DETERMINISTIC_EXPRESSIONS there; and
+    // a non-det filter ABOVE/BETWEEN inner joins is hoisted above the
+    // whole region by Catalyst's own ReorderJoin before this rule runs,
+    // so serving the region below it matches Spark's own semantics —
+    // flatten's guard is defense-in-depth for direct plan shapes. The
+    // case Spark leaves IN PLACE, and the one ADVICE flagged, is the
+    // member-LOCAL non-det filter below the join: it must decline.)
+    // a non-det filter interleaved between the star and a further join
+    // is hoisted by ReorderJoin; pin that it survives exactly once and
+    // is never absorbed into the replacement's filter stack
+    def interleaved = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(rand(7) < 0.9)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    withMeta(meta) {
+      assert(!fired(dimLocal), "non-det dim-local filter must decline")
+      val plan = interleaved.queryExecution.optimizedPlan
+      val rands = plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if !f.condition.deterministic => f
+      }
+      assert(rands.size === 1, s"the non-det filter must survive in place:\n$plan")
+      // deterministic control: the same shapes without rand() fire
+      def det = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderpriority") =!= "X"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(fired(det), "deterministic filters still absorb")
+    }
+  }
+
+  test("stageDenorm declines a stored-cents column whose derived name collides (round-12)") {
+    val name = "mjspec_collide"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    // fabricate a base table that carries BOTH x and a real x_cents
+    val basePath = java.nio.file.Files.createTempDirectory("mjspec_collide").toString
+    sys.addShutdownHook(GateFixtures.deleteRecursively(java.nio.file.Paths.get(basePath)))
+    import spark.implicits._
+    (1L to 100L).map(i => (i, i % 10 + 0.25, i * 1000L))
+      .toDF("k", "x", "x_cents").write.mode("overwrite").parquet(basePath + "/f")
+    (0L to 10L).map(i => (i, s"d$i")).toDF("dk", "dv")
+      .write.mode("overwrite").parquet(basePath + "/d")
+    val fPath = MaterializedJoins.leafPath(spark.read.parquet(basePath + "/f"))
+    val dPath = MaterializedJoins.leafPath(spark.read.parquet(basePath + "/d"))
+    val spec = LayoutAdvisor.DenormSpec(
+      fact = "f", factPath = fPath,
+      dims = Seq(LayoutAdvisor.DenormDim("d", dPath, "f", "k", "dk")),
+      columns = Seq("k", "x", "x_cents", "dk", "dv"),
+      bucketKey = None, buckets = 4, centsCols = Seq("x"), hits = 1)
+    val m = MaterializedJoins.stageDenorm(spark, spec, name)
+    MaterializedJoins.deregister(name)
+    assert(m.cents.isEmpty, "x must be declined — x_cents is a real column")
+    // the REAL x_cents values survive untouched
+    val served = spark.table(name).select(col("k"), col("x_cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served(5L) === 5000L, s"real x_cents must not be overwritten: $served")
+  }
+
   test("a non-member table re-joins above the rewritten scan") {
     def q = starJoin
       .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
@@ -311,6 +382,56 @@ class MaterializedJoinSpec extends GraftSpec {
       s"join-connected grouping key must win: $s0")
     assert(Set("l_quantity", "o_orderpriority", "c_mktsegment", "l_orderkey",
       "o_orderkey", "o_custkey", "c_custkey").subsetOf(s0.columns.toSet), s"$s0")
+  }
+
+  test("freshness: base drift after staging declines the rewrite and refuses attach (round-12)") {
+    import spark.implicits._
+    // private base copies so the append cannot disturb other suites
+    val dir = java.nio.file.Files.createTempDirectory("mjspec_fresh")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(dir))
+    val fDir = dir.resolve("fact").toString
+    val dDir = dir.resolve("dim").toString
+    (1L to 400L).map(i => (i, i % 40 + 1, i * 3)).toDF("fk", "dk_ref", "v")
+      .write.parquet(fDir)
+    (1L to 40L).map(i => (i, s"d$i")).toDF("dk", "dv").write.parquet(dDir)
+    val fPath = MaterializedJoins.leafPath(spark.read.parquet(fDir))
+    val dPath = MaterializedJoins.leafPath(spark.read.parquet(dDir))
+    val spec = LayoutAdvisor.DenormSpec(
+      fact = "fact", factPath = fPath,
+      dims = Seq(LayoutAdvisor.DenormDim("dim", dPath, "fact", "dk_ref", "dk")),
+      columns = Seq("fk", "dk_ref", "v", "dk", "dv"),
+      bucketKey = Some("fk"), buckets = 4, centsCols = Nil, hits = 1)
+    val name = "mjspec_fresh"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val m = MaterializedJoins.stageDenorm(spark, spec, name)
+    assert(m.fingerprints.keySet === Set(fPath, dPath),
+      s"stage must fingerprint every member: ${m.fingerprints}")
+    def q = spark.read.parquet(fDir)
+      .join(spark.read.parquet(dDir), col("dk_ref") === col("dk"))
+      .groupBy(col("dv")).agg(sum(col("v")).as("s"))
+    MaterializedJoins.register(m)
+    try {
+      assert(MaterializedJoins.fired(q, name), "fresh bases must serve")
+      // grow the FACT — staged rows are now a strict subset
+      (401L to 500L).map(i => (i, i % 40 + 1, i * 3)).toDF("fk", "dk_ref", "v")
+        .write.mode("append").parquet(fDir)
+      spark.catalog.refreshByPath(fDir)
+      val drifted = q
+      assert(!MaterializedJoins.fired(drifted, name),
+        s"drifted fact must decline:\n${drifted.queryExecution.optimizedPlan}")
+      // the flat (correct, 500-row-based) result flows either way
+      val served = drifted.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      MaterializedJoins.deregister(name)
+      assert(served === q.collect().map(_.toSeq).sortBy(_.mkString("|")))
+      // attach over the drifted base must refuse loudly (the audits
+      // recorded in the sidecar no longer describe these files)
+      intercept[IllegalArgumentException] {
+        MaterializedJoins.attachDenorm(spark, spec, name + "2",
+          java.nio.file.Paths.get(wh, name).toString)
+      }
+    } finally MaterializedJoins.deregister(name)
   }
 
   test("attachDenorm restores the registration from the sidecar") {

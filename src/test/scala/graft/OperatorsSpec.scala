@@ -452,6 +452,21 @@ class OperatorsSpec extends GraftSpec {
     try assert(!BloomReduce.semiReduce(flat, col("k"), keys, col("kk"))
       .queryExecution.executedPlan.toString.contains("might_contain"))
     finally spark.conf.set("spark.graft.bloomReduce.enabled", "true")
+    // round-12: the probe is a STRAIGHT-LINE walk, not any-leaf — a fact
+    // that is a JOIN merely CONTAINING the bucketed table (same column
+    // name, but the join output is not co-located: the exchange the
+    // bloom prunes ahead of still exists) must keep the reduction
+    val joined = flat.toDF("row_id2", "k2")
+      .join(fact, col("k2") === col("k"), "inner")
+    assert(BloomReduce.semiReduce(joined, col("k"), keys, col("kk"))
+      .queryExecution.executedPlan.toString.contains("might_contain"),
+      "a join containing the bucketed leaf must not decline")
+    // and an alias SHADOWING the bucket column with a different source
+    // column must not claim co-location either
+    val shadowed = fact.select(col("row_id").as("k"))
+    assert(BloomReduce.semiReduce(shadowed, col("k"), keys, col("kk"))
+      .queryExecution.executedPlan.toString.contains("might_contain"),
+      "a rename shadowing the bucket column must not decline")
   }
 
   test("byShuffledKey: same result as plain groupBy, one exchange, no pre-shuffle aggregate") {

@@ -97,10 +97,43 @@ class TableStatsSpec extends GraftSpec {
       spark.conf.set(uk, "facts.cat")
       assert(aggBelowJoin(byCat),
         "measurement outranks a (wrong) declared constraint")
+      // FRESHNESS (round-12): append rows that make uid NON-unique —
+      // the recorded ≈unique verdict now describes different files, so
+      // the measured decline must be IGNORED (rule fires again) instead
+      // of serving the stale verdict; re-analyze restores the decline
+      spark.conf.set(uk, "")
+      (1L to 400L).map(i => (i % 7, i % 5, i)).toDF("uid", "cat", "v")
+        .write.mode("append").parquet(dir)
+      spark.catalog.refreshByPath(dir)
+      assert(aggBelowJoin(byUid),
+        "a drifted base must void the stale measured-unique decline")
+      TableStats.analyze(spark, spark.read.parquet(dir), dir, Seq("uid", "cat"))
+      // uid is now ~51% distinct — measured non-unique, fires by measurement
+      assert(aggBelowJoin(byUid), "re-measured non-unique key fires")
     } finally {
       spark.conf.set(uk, saved)
       GateFixtures.deleteRecursively(root)
     }
+  }
+
+  test("analyze records the base fingerprint; alias drops it (round-12)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ts_fp")
+    try {
+      val dir = root.resolve("t.parquet").toString
+      (1L to 50L).map(i => (i, i % 3)).toDF("id", "c").write.parquet(dir)
+      val wh = TableStats.warehouseOf(spark)
+      val st = TableStats.analyze(spark, spark.read.parquet(dir), dir, Seq("id"))
+      assert(st.fingerprint.nonEmpty, "path analyze must fingerprint")
+      TableStats.invalidateCache()
+      assert(TableStats.lookup(wh, dir).flatMap(_.fingerprint) === st.fingerprint,
+        "fingerprint must persist through the registry file")
+      assert(st.fingerprint ===
+        Some(graft.plans.Freshness.ofPath(spark, dir)), "fp = live inventory")
+      TableStats.alias(wh, st, "ts_fp_alias")
+      assert(TableStats.lookup(wh, "ts_fp_alias").exists(_.fingerprint.isEmpty),
+        "an aliased (staged-copy) identity must stay unchecked")
+    } finally GateFixtures.deleteRecursively(root)
   }
 
   test("advisor selectivity uses 1/NDV for measured equality and |list|/NDV for IN") {
