@@ -128,6 +128,43 @@ object ProbeAdvisorSweep {
       if (bad > 0) sys.exit(1)
       return
     }
+    if (mode == "rollupab") {
+      // SAME-STATE A/B: the full denorm+routing composition WITH the
+      // aggregate rollups registered vs WITHOUT (everything else
+      // identical, same session, same page cache) — the honest
+      // decomposition of what the rollups alone buy
+      val staged = ensureProjections(spark, d)
+      val metas = ensureDenorm(spark, d)
+      val rollups = ensureRollups(spark, d)
+      def side(tag: String): Map[String, Double] = {
+        val routeOf = names.map { n =>
+          Tables.clearRedirects()
+          n -> denormAwareRoutes(spark, d, n, staged, metas, rollups)
+        }.toMap
+        def once(n: String): Double = {
+          Tables.clearRedirects()
+          routeOf(n).foreach { case (t, ct) => Tables.redirect(d, t, ct) }
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(n)(spark, d)
+          df.select(sum(xxhash64(df.columns.map(col): _*).cast("double")).as("h"))
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          GraftSession.clearSessionState(spark)
+          dt
+        }
+        names.foreach(once) // warm-up
+        names.map(n => n -> (1 to math.max(reps, 2)).map(_ => once(n)).min).toMap
+      }
+      val on = side("on")
+      rollups.foreach(m => graft.plans.MaterializedAggs.deregister(m.catalogTable))
+      val off = side("off")
+      rollups.foreach(graft.plans.MaterializedAggs.register)
+      val qs = names.map(n => JsonOut.q(n) +
+        s""":{"on":${on(n)},"off":${off(n)}}""").mkString("{", ",", "}")
+      println(s"""{"metric":"rollup_ab","queries":$qs,"sf":${JsonOut.q(d)}}""")
+      spark.stop()
+      return
+    }
     if (mode == "layout") ensureAdvised(spark, d)
     // routed: one projection per hot key staged; each query's redirects
     // come from ITS OWN plan (LayoutAdvisor.route) — computed once here

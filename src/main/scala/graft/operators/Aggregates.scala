@@ -82,13 +82,27 @@ object Aggregates {
     * would silently degrade to the partial-agg-then-exchange plan this
     * operator exists to avoid. A derived key (`expr(key)+1`) resolves
     * to no leaf attribute and correctly fails the match. */
-  private[graft] def isCoLocatedOn(df: DataFrame, keys: Seq[Column]): Boolean = {
+  private[graft] def isCoLocatedOn(df: DataFrame, keys: Seq[Column]): Boolean =
+    leafColumnsOf(df, keys).exists { case (lr, leafName) =>
+      lr.catalogTable.exists(_.bucketSpec.exists { bs =>
+        bs.bucketColumnNames.size == 1 &&
+          bs.bucketColumnNames.head.toLowerCase == leafName
+      })
+    }
+
+  /** The `(leaf relation, leaf column name)` each of `keys` resolves to
+    * through a STRAIGHT-LINE Project/Filter/alias chain (the
+    * [[isCoLocatedOn]] walk, factored out so other layout-aware
+    * declines — [[BloomReduce.semiReduce]]'s rollup check — share the
+    * exact same resolution rules). */
+  private[graft] def leafColumnsOf(df: DataFrame, keys: Seq[Column])
+      : Seq[(org.apache.spark.sql.execution.datasources.LogicalRelation, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val names = keys.flatMap(k =>
       org.apache.spark.sql.graftbridge.Bridge.attrName(k).map(_.toLowerCase)).toSet
-    if (names.isEmpty) return false
+    if (names.isEmpty) return Nil
     // resolve an output name to the LEAF column it reads: follow pure
     // renames only; anything derived breaks the chain
     def leafColumn(p: LogicalPlan, name: String): Option[(LogicalRelation, String)] =
@@ -108,13 +122,6 @@ object Aggregates {
           if (lr.output.exists(_.name.toLowerCase == name)) Some((lr, name)) else None
         case _ => None
       }
-    names.exists { n =>
-      leafColumn(df.queryExecution.analyzed, n).exists { case (lr, leafName) =>
-        lr.catalogTable.exists(_.bucketSpec.exists { bs =>
-          bs.bucketColumnNames.size == 1 &&
-            bs.bucketColumnNames.head.toLowerCase == leafName
-        })
-      }
-    }
+    names.toSeq.flatMap(n => leafColumn(df.queryExecution.analyzed, n))
   }
 }

@@ -73,6 +73,25 @@ object BloomReduce {
     // downstream work still shuffles (performance-only misfire, now
     // closed; OperatorsSpec pins the join-shaped case).
     if (Aggregates.isCoLocatedOn(fact, Seq(factKey))) return fact
+    // ROLLUP-AWARE decline (round-12, the same doctrine's third leg):
+    // when a registered MATERIALIZED AGGREGATE rollup exists on exactly
+    // this fact's files and this key, the downstream per-key aggregate
+    // is about to be served PRECOMPUTED — there are no fact rows left
+    // for the bloom to prune, so the probe cost AND the build's extra
+    // key-side pass are pure tax. Measured at x200 on q3 (round-12
+    // sweep): rollup+bloom 6.0 s vs rollup alone ~2.4 s — the bloom's
+    // 30M-row build side dominated a query whose aggregate had become
+    // a 30M-row scan. Still fires on flat facts with no rollup.
+    val rollupServed = Aggregates.leafColumnsOf(fact, Seq(factKey)).exists {
+      case (lr, leafName) => lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val path = fs.location.rootPaths.map(_.toString).mkString(",")
+          graft.plans.MaterializedAggs.all.exists(m =>
+            m.factPath == path && m.key == leafName)
+        case _ => false
+      }
+    }
+    if (rollupServed) return fact
     // XxHash64 is type-sensitive (hash(42: Int) != hash(42L)), while the
     // exact join that follows coerces types implicitly — hashing the raw
     // columns would make a (int fact, long key) pairing silently drop
