@@ -31,23 +31,59 @@ object ProbePageRank {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // pre-materialized edge frame for the sweeps-only leg (untimed)
-    val edgesCk = edges.localCheckpoint(true)
-
-    val legs: Seq[(String, () => Unit)] = Seq(
-      "edges" -> (() => noop(edges.localCheckpoint(true)
-        .select(count(lit(1))))),
-      "standing" -> (() => noop(Graph.pageRankNano(edges, iters)
-        .select(col("id").as("part_id"), col("rank").as("rank_nano")))),
-      "ckpt1" -> (() => noop(Graph.pageRankNano(edges, iters, checkpointEvery = 1)
-        .select(col("id").as("part_id"), col("rank").as("rank_nano")))),
-      "sweeps" -> (() => noop(Graph.pageRankNano(edgesCk, iters)
-        .select(col("id").as("part_id"), col("rank").as("rank_nano")))))
-
-    def once(f: () => Unit): Double = {
+    // each leg times ITSELF (the sweeps leg re-materializes its edge
+    // frame untimed per run — clearSessionState between measurements
+    // drops checkpoint blocks, so a shared frame cannot survive)
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      f()
-      val dt = (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    // edge-build variants (the probe's round-1 finding: the build is
+    // 24 of the 32 s — the sweeps cost 1.7 s)
+    def pairsRaw = graft.operators.Aggregates
+      .byShuffledKey(Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it")), col("bk"))
+      .agg(collect_set(col("it")).as("its"))
+      .select(explode(col("its")).as("src"), col("its"))
+      .select(col("src"), explode(col("its")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // canonical half: dedup (min,max) ordered pairs, mirror after —
+    // halves the rows through the distinct's exchange
+    def edgesHalf = {
+      val half = pairsRaw.filter(col("src") < col("dst"))
+        .repartition(col("src"), col("dst")).distinct()
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    // partial-dedup: plain distinct (map-side combine shrinks popular
+    // pairs before the exchange)
+    def edgesPartial = pairsRaw.distinct()
+    def edgesHalfPartial = {
+      val half = pairsRaw.filter(col("src") < col("dst")).distinct()
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
+    val legs: Seq[(String, () => Double)] = Seq(
+      "edges" -> (() => timed(noop(edges.localCheckpoint(true)
+        .select(count(lit(1)))))),
+      "edges_half" -> (() => timed(noop(edgesHalf.localCheckpoint(true)
+        .select(count(lit(1)))))),
+      "edges_partial" -> (() => timed(noop(edgesPartial.localCheckpoint(true)
+        .select(count(lit(1)))))),
+      "edges_half_partial" -> (() => timed(noop(edgesHalfPartial.localCheckpoint(true)
+        .select(count(lit(1)))))),
+      "standing" -> (() => timed(noop(Graph.pageRankNano(edges, iters)
+        .select(col("id").as("part_id"), col("rank").as("rank_nano"))))),
+      "ckpt1" -> (() => timed(noop(Graph.pageRankNano(edges, iters, checkpointEvery = 1)
+        .select(col("id").as("part_id"), col("rank").as("rank_nano"))))),
+      "sweeps" -> (() => {
+        val edgesCk = edges.localCheckpoint(true) // untimed rebuild
+        timed(noop(Graph.pageRankNano(edgesCk, iters)
+          .select(col("id").as("part_id"), col("rank").as("rank_nano"))))
+      }))
+
+    def once(f: () => Double): Double = {
+      val dt = f()
       GraftSession.clearSessionState(spark)
       dt
     }

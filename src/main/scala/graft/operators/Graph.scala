@@ -40,14 +40,23 @@ object Graph {
     // The equivalent self-join formulation costs two extra full
     // shuffles of the (basket, item) relation (distinct + join),
     // measured 1.3× slower end-to-end at x200.
+    // CANONICAL-HALF dedup (round-12, ProbePageRank): pairs are
+    // symmetric by construction, so distinct runs on the (src < dst)
+    // half ONLY — half the rows through the dominant exchange — and the
+    // mirror is re-emitted map-side after. Measured at x200: 21.2 s
+    // standing → 17.1 s halved; the partial-dedup alternative (plain
+    // .distinct(), map-side combine) measured 35.4 s — popular pairs
+    // repeat mostly ACROSS partitions, so the partial pass pays a full
+    // 360M-row hash for ~nothing, the shuffle-first doctrine again.
     {
       val pairs = Aggregates
         .byShuffledKey(df.select(basket.as("bk"), item.as("it")), col("bk"))
         .agg(collect_set(col("it")).as("its"))
         .select(explode(col("its")).as("src"), col("its"))
         .select(col("src"), explode(col("its")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      pairs.repartition(col("src"), col("dst")).distinct()
+        .filter(col("src") < col("dst"))
+      val half = pairs.repartition(col("src"), col("dst")).distinct()
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     }
 
   /** Fixed-iteration PageRank over a directed edge list, in integer

@@ -481,7 +481,13 @@ object LayoutAdvisor {
     * needs no catalog). Ties: fewer carried columns, then name.
     * Returns tableName → catalog table; install with
     * [[graft.Tables.redirect]] before (re)building the query. */
-  def routeAll(query: DataFrame, staged: Seq[Projection]): Map[String, String] = {
+  def routeAll(query: DataFrame, staged: Seq[Projection]): Map[String, String] =
+    scoreAll(query, staged).filter(_.chosen)
+      .map(s => s.table -> s.catalogTable).toMap
+
+  /** The scoring behind [[routeAll]], returned whole: one [[RouteScore]]
+    * per (table, staged candidate). */
+  private def scoreAll(query: DataFrame, staged: Seq[Projection]): Seq[RouteScore] = {
     val spark = query.sparkSession
     val plan = query.queryExecution.optimizedPlan
     val refIds = plan.collect {
@@ -568,17 +574,25 @@ object LayoutAdvisor {
           if (clustered.isEmpty) 0.0
           else (1.0 - clustered.map(selectivity(_, ndv)).product) * bytes
         }
-        val scored = cands
-          .filter(c => c.columns.forall(cols => needed.subsetOf(cols.toSet)))
-          .map { c =>
-            val bucket = c.bucketKey.map(k =>
-              keyBytes.getOrElse((p, k), 0.0)).getOrElse(0.0)
-            val cents = CentsHitWeight * bytes * c.centsCols.map(sc =>
-              centsHits.getOrElse((p, sc), 0)).sum
-            (bucket, pruneBytes(c.sortCols) + cents, c)
-          }
-          .filter(t => t._1 > 0.0 || t._2 > 0.0)
-        if (scored.isEmpty) None
+        val scored = cands.map { c =>
+          val covers = c.columns.forall(cols => needed.subsetOf(cols.toSet))
+          val bucket = c.bucketKey.map(k =>
+            keyBytes.getOrElse((p, k), 0.0)).getOrElse(0.0)
+          val cents = CentsHitWeight * bytes * c.centsCols.map(sc =>
+            centsHits.getOrElse((p, sc), 0)).sum
+          val scan = pruneBytes(c.sortCols) + cents
+          val reason =
+            if (!covers) "missing-columns: projection does not carry " +
+              (needed -- c.columns.map(_.toSet).getOrElse(needed)).toSeq.sorted.mkString(",")
+            else if (bucket <= 0.0 && scan <= 0.0)
+              "no-benefit: no per-key operator on the bucket key, no clustered predicate, no cents idiom"
+            else ""
+          RouteScore(tbl, c.catalogTable, bucket, scan,
+            eligible = covers && (bucket > 0.0 || scan > 0.0),
+            reason = reason, chosen = false)
+        }
+        val eligible = scored.filter(_.eligible)
+        if (eligible.isEmpty) Some(scored)
         else {
           // TIERED, not summed: ANY exchange removal outranks any
           // scan-side saving. Measured both ways at x200 — q12/q7
@@ -588,14 +602,43 @@ object LayoutAdvisor {
           // an exchanged byte costs serialize+spill+network+re-sort,
           // a scanned byte just decode — the same doctrine adviseAll
           // encodes by excluding bucketed tables from sorted advice.
-          val best = scored.sortBy { case (bucket, scan, c) =>
-            (if (bucket > 0.0) 0 else 1, -(bucket + scan),
-              c.columns.map(_.size).getOrElse(Int.MaxValue), c.catalogTable)
-          }.head._3
-          Some(tbl -> best.catalogTable)
+          val bestTable = eligible.sortBy { s =>
+            (if (s.exchangeBytes > 0.0) 0 else 1,
+              -(s.exchangeBytes + s.scanBytes),
+              cands.find(_.catalogTable == s.catalogTable)
+                .flatMap(_.columns).map(_.size).getOrElse(Int.MaxValue),
+              s.catalogTable)
+          }.head.catalogTable
+          Some(scored.map(s => s.copy(chosen = s.catalogTable == bestTable,
+            reason = if (s.eligible && s.catalogTable != bestTable)
+              "outranked: lower tier or smaller benefit than the chosen candidate"
+            else s.reason)))
         }
       }
-    }
+    }.toSeq.flatten
+  }
+
+  /** One candidate's scoring in a [[routeAll]] decision: the
+    * bytes-denominated benefits, eligibility, the decline/outranked
+    * reason, and whether it won — the queryable audit trail (probes and
+    * users read the decision instead of log-scraping). */
+  case class RouteScore(table: String, catalogTable: String,
+      exchangeBytes: Double, scanBytes: Double, eligible: Boolean,
+      reason: String, chosen: Boolean)
+
+  /** The full routing decision for `query` as a DataFrame — one row per
+    * (table, staged candidate) with scores, eligibility, decline
+    * reasons and the winner flagged. EXACTLY the scoring [[routeAll]]
+    * applies (both consume [[scoreAll]]). */
+  def explainRoutes(query: DataFrame, staged: Seq[Projection]): DataFrame = {
+    val spark = query.sparkSession
+    import spark.implicits._
+    scoreAll(query, staged).toDF()
+      .select("table", "catalogTable", "exchangeBytes", "scanBytes",
+        "eligible", "chosen", "reason")
+      .orderBy(org.apache.spark.sql.functions.col("table"),
+        org.apache.spark.sql.functions.col("chosen").desc,
+        org.apache.spark.sql.functions.col("catalogTable"))
   }
 
   /** Per-idiom-hit value of a stored cents column, as a fraction of

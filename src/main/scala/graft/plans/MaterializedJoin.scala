@@ -823,7 +823,14 @@ object RewriteMaterializedJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (used.isEmpty) return plan
     val widened = rewritten.transformUp {
-      case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+      // ANY Project may be widened — appending an attribute its child
+      // already outputs is always safe (parents bind by exprId and the
+      // later pruning pass re-narrows). Round-12 fix: the pure-attr
+      // restriction made every computed-grouping query (q9/q7's
+      // year(o_orderdate) — PullOutGroupingExpressions inserts a
+      // computed Project below the Aggregate) silently revert the whole
+      // cents pass and decode raw doubles at fact grain.
+      case p: Project =>
         val add = used.toSeq.sortBy(_.exprId.id)
           .filter(a => !p.outputSet.contains(a) && p.child.outputSet.contains(a))
         if (add.isEmpty) p else p.copy(projectList = p.projectList ++ add)

@@ -584,6 +584,52 @@ class AdvisorSpec extends GraftSpec {
     }
   }
 
+  test("explainRoutes: the routing decision is a queryable DataFrame (round-12)") {
+    import spark.implicits._
+    import graft.plans.LayoutAdvisor
+    val dir = java.nio.file.Files.createTempDirectory("adv_explain")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(dir))
+    (1L to 2000L).map(i => (i % 50, i % 9, i * 2.0)).toDF("k", "c", "v")
+      .write.parquet(dir.resolve("t.parquet").toString)
+    val path = graft.plans.MaterializedJoins.leafPath(
+      spark.read.parquet(dir.resolve("t.parquet").toString))
+    spark.sql("DROP TABLE IF EXISTS adv_explain_k")
+    spark.sql("DROP TABLE IF EXISTS adv_explain_c")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, "adv_explain_k"))
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, "adv_explain_c"))
+    LayoutAdvisor.stage(spark,
+      LayoutAdvisor.LayoutSpec(path, "t", "k", 4, Seq("k", "v"), 1), "adv_explain_k")
+    LayoutAdvisor.stage(spark,
+      LayoutAdvisor.LayoutSpec(path, "t", "c", 4, Seq("c", "v"), 1), "adv_explain_c")
+    try {
+      val staged = Seq(
+        LayoutAdvisor.Projection("t", "adv_explain_k", Some("k"), Nil, Nil,
+          Some(Seq("k", "v"))),
+        LayoutAdvisor.Projection("t", "adv_explain_c", Some("c"), Nil, Nil,
+          Some(Seq("c", "v"))))
+      val q = spark.read.parquet(dir.resolve("t.parquet").toString)
+        .groupBy(col("k")).agg(sum(col("v")).as("s"))
+      val rows = LayoutAdvisor.explainRoutes(q, staged).collect()
+      assert(rows.length === 2, rows.mkString("\n"))
+      val byCat = rows.map(r => r.getAs[String]("catalogTable") -> r).toMap
+      // the k-bucketed projection wins (per-key agg on k); chosen flagged
+      assert(byCat("adv_explain_k").getAs[Boolean]("chosen"))
+      assert(byCat("adv_explain_k").getAs[Double]("exchangeBytes") > 0.0)
+      // the c-bucketed one is ineligible — it does not carry k, and the
+      // reason says so
+      val cRow = byCat("adv_explain_c")
+      assert(!cRow.getAs[Boolean]("chosen"))
+      assert(!cRow.getAs[Boolean]("eligible"))
+      assert(cRow.getAs[String]("reason").contains("missing-columns"), cRow.toString)
+      // explainRoutes IS routeAll's decision
+      assert(LayoutAdvisor.routeAll(q, staged) === Map("t" -> "adv_explain_k"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS adv_explain_k")
+      spark.sql("DROP TABLE IF EXISTS adv_explain_c")
+    }
+  }
+
   test("redirect serving path refuses a layout whose base drifted (round-12)") {
     import spark.implicits._
     import graft.plans.LayoutAdvisor
