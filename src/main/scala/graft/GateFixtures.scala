@@ -412,7 +412,7 @@ private[graft] object GateFixtures {
           col("o_orderkey") === col("l_orderkey"), "left_semi")
           .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
       val specs = graft.plans.LayoutAdvisor.adviseAggRollups(corpus, minHits = 1)
-      val onKey = specs.filter(sp => sp.fact == "lineitem" && sp.key == "l_orderkey")
+      val onKey = specs.filter(sp => sp.fact == "lineitem" && sp.keys == Seq("l_orderkey"))
       require(onKey.size == 1 && onKey.head.measures.size >= 3 &&
         onKey.head.measures.exists(_.cond.isDefined),
         s"aggRollup: advisor picked unexpected rollup: $specs")
@@ -425,6 +425,51 @@ private[graft] object GateFixtures {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     graft.plans.MaterializedAggs.metaFromSidecar(
       name, java.nio.file.Paths.get(wh, name).toString)
+  }
+
+  /** COMPOSITE-KEY rollups for the layout_agg_reagg/filtergrain gates
+    * (round-12b product path): adviseAggRollups reads a q1-shaped and a
+    * q6-shaped query and folds each query's FILTER columns into the
+    * rollup key (grouping columns first, predicate columns appended) —
+    * so at rewrite time every predicate is key-only and the query
+    * re-aggregates the stored decomposable partials at its own coarser
+    * grain. REQUIREs pin the advised key sets. */
+  def aggReagg(s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[graft.plans.MaterializedAggs.Meta] = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    lazy val specs = {
+      val cents = (n: String) => round(col(n) * 100).cast("long")
+      val li = Tables.lineitem(s, d)
+      val corpus = Seq(
+        // the folded filter column is l_discount (11 distinct at every
+        // SF): the NDV-product guard proves reduction at ANY scale; a
+        // shipdate bound is the same mechanism but its NDV ~= rows at
+        // toy SF, where the guard rightly declines
+        li.filter(col("l_discount") <= 0.04)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(cents("l_extendedprice")).as("b"), count(lit(1)).as("n")),
+        li.filter(col("l_discount").between(0.02, 0.04) && col("l_quantity") < 20)
+          .agg(sum(cents("l_extendedprice") * cents("l_discount")).as("r"),
+            count(lit(1)).as("n")))
+      val out = graft.plans.LayoutAdvisor.adviseAggRollups(corpus, minHits = 1)
+      require(out.exists(_.keys == Seq("l_returnflag", "l_linestatus", "l_discount")) &&
+        out.exists(_.keys == Seq("l_discount", "l_quantity")),
+        s"aggReagg: advisor picked unexpected composite keys: $out")
+      out
+    }
+    val wanted = Seq(
+      "ar_reagg1" -> Seq("l_returnflag", "l_linestatus", "l_discount"),
+      "ar_reagg6" -> Seq("l_discount", "l_quantity"))
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    wanted.map { case (base, keys) =>
+      val name = bucketedTable(s, d, base) { n =>
+        graft.plans.MaterializedAggs.stageRollup(s,
+          specs.find(_.keys == keys).get, n)
+        graft.plans.MaterializedAggs.deregister(n) // gates scope their own
+      }
+      graft.plans.MaterializedAggs.metaFromSidecar(
+        name, java.nio.file.Paths.get(wh, name).toString)
+    }
   }
 
   def bucketedOrders(s: org.apache.spark.sql.SparkSession, d: String): String =

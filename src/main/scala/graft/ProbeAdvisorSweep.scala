@@ -310,8 +310,8 @@ object ProbeAdvisorSweep {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     specs.map { spec =>
-      val t = s"adv_rollup_${spec.fact}_${spec.key}$tag"
-      println(s"[advise] rollup ${spec.fact}.${spec.key} buckets=${spec.buckets} " +
+      val t = s"adv_rollup_${spec.fact}_${spec.keys.mkString("_")}$tag"
+      println(s"[advise] rollup ${spec.fact}.(${spec.keys.mkString(",")}) buckets=${spec.buckets} " +
         s"hits=${spec.hits} measures=${spec.measures.map(_.name).mkString(",")}")
       graft.plans.MaterializedAggs.all.find(_.catalogTable == t).getOrElse {
         val loc = java.nio.file.Paths.get(wh, t)

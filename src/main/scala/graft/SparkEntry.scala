@@ -2204,6 +2204,54 @@ object SparkEntry {
         df
       }
     },
+    "layout_agg_reagg" -> { (s, d) =>
+      // COARSER-GRAIN rollup serve (round-12b — the classic
+      // materialized-view rewrite): the staged rollup is keyed
+      // (l_returnflag, l_linestatus, l_discount) — the advisor folded
+      // the query's FILTER column into the key — and this q1-shaped
+      // query groups a strict SUBSET of those keys. The rewrite
+      // re-applies the discount bound on the rollup's key column and
+      // RE-AGGREGATES the stored partials (sum→sum, count→sum), so the
+      // aggregate runs over ~|distinct (flag,status,discount)| rows
+      // instead of the fact. The require pins the firing; the oracle
+      // over the RAW table pins exactness (a partial double-counted or
+      // a group dropped by the predicate re-application hash-fails).
+      val metas = GateFixtures.aggReagg(s, d)
+      graft.plans.MaterializedAggs.withRegistered(metas) {
+        val cents = (c: String) => round(col(c) * 100).cast("long")
+        val df = Tables.lineitem(s, d)
+          .filter(col("l_discount") <= 0.04)
+          .groupBy(col("l_returnflag").as("rg_flag"),
+            col("l_linestatus").as("rg_status"))
+          .agg((sum(cents("l_extendedprice")).cast(DoubleType) / 100.0).as("rg_base"),
+            count(lit(1)).as("rg_lines"))
+        require(graft.plans.MaterializedAggs.fired(df, metas.head.catalogTable),
+          s"layout_agg_reagg: coarser-grain serve must fire:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      }
+    },
+    "layout_agg_filtergrain" -> { (s, d) =>
+      // the GLOBAL variant (q6's shape): no grouping at all — every
+      // predicate references rollup key columns, so the whole query
+      // becomes one sum over the filtered ≤|key-combo| rollup rows.
+      // Note the predicates at the rewrite differ in FORM from the
+      // advice-time corpus (any key-column predicate re-applies, seen
+      // or not). Oracle over the raw table pins exactness.
+      val metas = GateFixtures.aggReagg(s, d)
+      graft.plans.MaterializedAggs.withRegistered(metas) {
+        val cents = (c: String) => round(col(c) * 100).cast("long")
+        val df = Tables.lineitem(s, d)
+          .filter(col("l_discount").between(0.02, 0.04) && col("l_quantity") < 20)
+          .agg((sum(cents("l_extendedprice") * cents("l_discount"))
+            .cast(DoubleType) / 1e8).as("fg_rev"),
+            count(lit(1)).as("fg_lines"))
+        require(graft.plans.MaterializedAggs.fired(df, metas(1).catalogTable),
+          s"layout_agg_filtergrain: global coarser serve must fire:\n" +
+            df.queryExecution.optimizedPlan)
+        df
+      }
+    },
     "layout_advisor_sorted" -> { (s, d) =>
       // the advisor's PREDICATE-side advice end-to-end: adviseSorted
       // derived (orders, o_orderdate, pruned columns, file count) from
@@ -2490,6 +2538,21 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
+    "layout_agg_reagg" ->
+      """SELECT l_returnflag AS rg_flag, l_linestatus AS rg_status,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS rg_base,
+        |  count(*) AS rg_lines
+        |FROM lineitem
+        |WHERE l_discount <= 0.04
+        |GROUP BY 1, 2""".stripMargin,
+    "layout_agg_filtergrain" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100000000.0
+        |    AS fg_rev,
+        |  count(*) AS fg_lines
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 20""".stripMargin,
     "layout_routed_cents" ->
       """SELECT l_suppkey AS rc_suppkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

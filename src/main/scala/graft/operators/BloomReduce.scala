@@ -87,7 +87,7 @@ object BloomReduce {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
           val path = fs.location.rootPaths.map(_.toString).mkString(",")
           graft.plans.MaterializedAggs.all.exists(m =>
-            m.factPath == path && m.key == leafName)
+            m.factPath == path && m.keys == Seq(leafName))
         case _ => false
       }
     }

@@ -1218,7 +1218,7 @@ object LayoutAdvisor {
     * conditional counts recorded from semi/anti probes), bucketed on
     * the key. Staged by [[MaterializedAggs.stageRollup]], served
     * exactly by [[RewriteMaterializedAgg]]. */
-  case class RollupSpec(fact: String, factPath: String, key: String,
+  case class RollupSpec(fact: String, factPath: String, keys: Seq[String],
       measures: Seq[MaterializedAggs.Measure], buckets: Int, hits: Int)
 
   /** Advise AGGREGATE ROLLUPS from the corpus's own aggregate-form
@@ -1250,14 +1250,15 @@ object LayoutAdvisor {
     require(corpus.nonEmpty, "LayoutAdvisor.adviseAggRollups: empty corpus")
     import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
     val bytesOf = scala.collection.mutable.Map.empty[String, Long]
-    // (path, key) -> (measures by agg-sql, hits)
-    val sites = scala.collection.mutable.Map.empty[(String, String),
+    // (path, keys) -> (measures by agg-sql, hits)
+    val sites = scala.collection.mutable.Map.empty[(String, Seq[String]),
       (scala.collection.mutable.LinkedHashMap[String, MaterializedAggs.Measure], Int)]
-    def record(path: String, key: String, ms: Seq[MaterializedAggs.Measure]): Unit = {
-      val (map, n) = sites.getOrElseUpdate((path, key),
+    def record(path: String, keys: Seq[String],
+        ms: Seq[MaterializedAggs.Measure]): Unit = {
+      val (map, n) = sites.getOrElseUpdate((path, keys),
         (scala.collection.mutable.LinkedHashMap.empty, 0))
       ms.foreach(m => map.getOrElseUpdate(m.agg, m))
-      sites((path, key)) = (map, n + 1)
+      sites((path, keys)) = (map, n + 1)
     }
     def stripAlias(e: Expression): Expression = e match {
       case al: Alias => al.child
@@ -1282,13 +1283,13 @@ object LayoutAdvisor {
           case a: AttributeReference => peeled.nameOf.get(a.exprId.id)
           case _ => None
         }
-      def splitByKey(peeled: MaterializedAggs.PeeledFact, key: String)
+      def splitByKey(peeled: MaterializedAggs.PeeledFact, keys: Set[String])
           : (Seq[Expression], Seq[Expression]) =
         peeled.filters.map(f => MaterializedAggs.inline(f, peeled.subst))
           .partition { c =>
             val refs = c.references.toSeq
             refs.nonEmpty && refs.forall(a =>
-              peeled.nameOf.get(a.exprId.id).contains(key))
+              peeled.nameOf.get(a.exprId.id).exists(keys.contains))
           }
       def noSubquery(e: Expression): Boolean = !e.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
@@ -1313,11 +1314,11 @@ object LayoutAdvisor {
             agg.groupingExpressions.collect {
               case al: Alias => al.exprId.id -> al.child
             })
-          val keys = agg.groupingExpressions.map(e => keyName(peeled, e))
-          if (keys.nonEmpty && keys.forall(_.isDefined) &&
-              keys.flatten.distinct.size == 1) {
-            val key = keys.flatten.head
-            val (_, rest) = splitByKey(peeled, key)
+          val keyOpts = agg.groupingExpressions.map(e => keyName(peeled, e))
+          if (keyOpts.forall(_.isDefined)) {
+            val groupCols = keyOpts.flatten.distinct
+            val keySet = groupCols.toSet
+            val (_, rest) = splitByKey(peeled, keySet)
             val inlinedOut = agg.aggregateExpressions
               .map(ne => MaterializedAggs.inline(ne, peeled.subst))
             val aes = inlinedOut.flatMap(_.collect {
@@ -1328,28 +1329,59 @@ object LayoutAdvisor {
             val topOk = inlinedOut.flatMap(_.collect {
               case a: AttributeReference => a
             }).filterNot(underAgg.contains).forall(a =>
-              peeled.nameOf.get(a.exprId.id).contains(key))
-            if (rest.isEmpty && topOk && aes.nonEmpty &&
-                aes.forall(noSubquery) &&
-                aes.forall(_.references.forall(a =>
-                  peeled.nameOf.contains(a.exprId.id)))) {
-              record(path, key, aes.map { ae =>
-                val sql = MaterializedAggs.bareSql(ae)
-                MaterializedAggs.Measure(measureName(sql), sql)
-              })
+              peeled.nameOf.get(a.exprId.id).exists(keySet.contains))
+            val aesOk = aes.nonEmpty && aes.forall(noSubquery) &&
+              aes.forall(_.references.forall(a =>
+                peeled.nameOf.contains(a.exprId.id)))
+            def measures = aes.map { ae =>
+              val sql = MaterializedAggs.bareSql(ae)
+              MaterializedAggs.Measure(measureName(sql), sql)
+            }
+            if (aesOk && topOk && rest.isEmpty && groupCols.nonEmpty) {
+              // exact-grain site: keys = the grouping columns; stored
+              // FINAL values serve any aggregate function
+              record(path, groupCols, measures)
+            } else if (aesOk && topOk) {
+              // coarser-grain site (round-12b): fold the non-key filter
+              // columns into the key — the rewrite re-applies the
+              // predicates on the rollup's key columns and
+              // RE-AGGREGATES, so every measure must be decomposable
+              // (the rewrite's shape-1b terms; the advisor shares them
+              // so advice never stages what the rule cannot serve)
+              val restOk = rest.forall(c => noSubquery(c) &&
+                c.references.toSeq.nonEmpty &&
+                c.references.forall(a => peeled.nameOf.contains(a.exprId.id)))
+              val decomposable = aes.forall { ae =>
+                !ae.isDistinct && ae.filter.isEmpty &&
+                (ae.aggregateFunction match {
+                  case _: org.apache.spark.sql.catalyst.expressions.aggregate.Sum |
+                       _: org.apache.spark.sql.catalyst.expressions.aggregate.Count |
+                       _: org.apache.spark.sql.catalyst.expressions.aggregate.Min |
+                       _: org.apache.spark.sql.catalyst.expressions.aggregate.Max => true
+                  case _ => false
+                })
+              }
+              val restCols = rest.flatMap(_.references.toSeq)
+                .flatMap(a => peeled.nameOf.get(a.exprId.id))
+                .distinct.filterNot(keySet.contains).sorted
+              val allKeys = groupCols ++ restCols
+              if (restOk && decomposable && allKeys.nonEmpty)
+                record(path, allKeys, measures)
             } else if (rest.nonEmpty && aes.isEmpty && topOk &&
+                groupCols.nonEmpty &&
                 inlinedOut.forall {
                   case a: AttributeReference =>
-                    peeled.nameOf.get(a.exprId.id).contains(key)
+                    peeled.nameOf.get(a.exprId.id).exists(keySet.contains)
                   case al: Alias => al.child match {
                     case a: AttributeReference =>
-                      peeled.nameOf.get(a.exprId.id).contains(key)
+                      peeled.nameOf.get(a.exprId.id).exists(keySet.contains)
                     case _ => false
                   }
                   case _ => false
                 }) {
               // the filtered-DISTINCT shape (EagerAggregation's insert)
-              condMeasure(peeled, rest).foreach(m => record(path, key, Seq(m)))
+              condMeasure(peeled, rest).foreach(m =>
+                record(path, groupCols, Seq(m)))
             }
           }
         }
@@ -1359,11 +1391,11 @@ object LayoutAdvisor {
           siteOf(right).foreach { case (peeled, path) =>
             val rightRefs = cond.references.toSeq.filter(right.outputSet.contains)
             val keyNames = rightRefs.map(a => keyName(peeled, a))
-            if (rightRefs.nonEmpty && keyNames.forall(_.isDefined) &&
-                keyNames.flatten.distinct.size == 1) {
-              val key = keyNames.flatten.head
-              val (_, rest) = splitByKey(peeled, key)
-              condMeasure(peeled, rest).foreach(m => record(path, key, Seq(m)))
+            if (rightRefs.nonEmpty && keyNames.forall(_.isDefined)) {
+              val probeKeys = keyNames.flatten.distinct
+              val (_, rest) = splitByKey(peeled, probeKeys.toSet)
+              condMeasure(peeled, rest).foreach(m =>
+                record(path, probeKeys, Seq(m)))
             }
           }
         case _ =>
@@ -1371,18 +1403,35 @@ object LayoutAdvisor {
     }
     val spark = corpus.head.sparkSession
     val floor = parallelismFloor(corpus)
-    sites.toSeq.flatMap { case ((path, key), (measures, hits)) =>
+    sites.toSeq.flatMap { case ((path, keys), (measures, hits)) =>
+      def spec = RollupSpec(tableName(path), path, keys, measures.values.toSeq,
+        bucketsFor(bytesOf.getOrElse(path, 0L), targetBucketBytes, floor), hits)
       if (hits < minHits) None
-      // a measured ≈unique key reduces nothing — skip (unmeasured keys
-      // pass: the rollup stays correct either way, only cost varies)
-      else if (ndvResolver(spark, path)(key).exists { ndv =>
-        val rows = TableStats.lookup(TableStats.warehouseOf(spark), path)
-          .map(_.rowCount).getOrElse(0L)
-        rows > 0 && ndv.toDouble >= 0.9 * rows
-      }) None
-      else Some(RollupSpec(tableName(path), path, key, measures.values.toSeq,
-        bucketsFor(bytesOf.getOrElse(path, 0L), targetBucketBytes, floor), hits))
-    }.sortBy(s => (-s.hits, s.fact, s.key))
+      else if (keys.size == 1) {
+        // a measured ≈unique key reduces nothing — skip (unmeasured
+        // keys pass: the rollup stays correct either way, only cost
+        // varies)
+        if (ndvResolver(spark, path)(keys.head).exists { ndv =>
+          val rows = TableStats.lookup(TableStats.warehouseOf(spark), path)
+            .map(_.rowCount).getOrElse(0L)
+          rows > 0 && ndv.toDouble >= 0.9 * rows
+        }) None else Some(spec)
+      } else {
+        // COMPOSITE key (predicate columns folded in): stage only when
+        // reduction is GUARANTEED — the per-column NDV product bounds
+        // the combined key cardinality from above, so product < rows
+        // proves the rollup is smaller than the fact, while a
+        // (suppkey, shipdate)-style near-fact-grain combination must
+        // never stage (the write would cost a fact-sized shuffle for
+        // ~no row reduction). NDVs are measured once here if missing —
+        // stats as product, persisted for every later advice pass.
+        val st = TableStats.analyzePathIfMissing(spark, path, keys)
+        val ndvs = keys.map(k => st.ndv.get(k).map(_.toDouble))
+        if (st.rowCount > 0 && ndvs.forall(_.isDefined) &&
+          ndvs.flatten.product < 0.9 * st.rowCount) Some(spec)
+        else None
+      }
+    }.sortBy(s => (-s.hits, s.fact, s.keys.mkString(",")))
   }
 
   /** Complete layout advice for a corpus: bucketed layouts for the

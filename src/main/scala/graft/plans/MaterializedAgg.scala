@@ -35,21 +35,44 @@ import org.apache.spark.sql.types.LongType
   * fingerprinted ([[MaterializedAggs.stageRollup]]), and served by an
   * exact rewrite ([[RewriteMaterializedAgg]]).
   *
-  * EXACTNESS CONTRACT. A staged rollup `R = fact GROUP BY k AGG m1…mn`
-  * serves two plan shapes, both by EXPRESSION-LEVEL equality (never
-  * name heuristics):
+  * EXACTNESS CONTRACT. A staged rollup `R = fact GROUP BY k1…kj AGG
+  * m1…mn` serves three plan shapes, all by EXPRESSION-LEVEL equality
+  * (never name heuristics):
   *
-  *  1. AGGREGATE form: `Aggregate(G, aggs, fact-leaf)` — the child
-  *     peels through pure/computed Projects (aliases inlined),
-  *     repartitions and sorts down to the EXACT staged fact files (path
-  *     + [[Freshness]] fingerprint), with NO interleaved Filter; every
-  *     grouping expression inlines to the staged key attribute; every
-  *     AggregateExpression inlines to an expression CANONICALLY EQUAL
-  *     to a staged measure. Because the query's grouping equals the
-  *     staged key exactly, each output group IS one rollup row, so the
+  *  1. AGGREGATE form, EXACT grain: `Aggregate(G, aggs, fact-leaf)` —
+  *     the child peels through pure/computed Projects (aliases
+  *     inlined), repartitions and sorts down to the EXACT staged fact
+  *     files (path + [[Freshness]] fingerprint); every grouping
+  *     expression inlines to a staged key attribute and TOGETHER they
+  *     cover the key set; every AggregateExpression inlines to an
+  *     expression CANONICALLY EQUAL to a staged measure; every filter
+  *     conjunct references key columns only (constant per group, so it
+  *     re-applies verbatim on the rollup — this is also where q1-style
+  *     date predicates land once the advisor folds the filter column
+  *     into the key). Because the query's grouping equals the staged
+  *     key set exactly, each output group IS one rollup row, so the
   *     Aggregate is replaced by a Project over the rollup scan — the
   *     measures are stored FINAL values, which is what makes arbitrary
   *     (even non-decomposable) aggregate functions servable.
+  *
+  *  1b. AGGREGATE form, COARSER grain (round-12b — the classic
+  *     materialized-view rewrite): the grouping inlines to a PROPER
+  *     SUBSET of the key set (possibly empty — a global aggregate) and
+  *     every matched measure is DECOMPOSABLE: `sum(x)` re-aggregates
+  *     as `sum(stored)`, `count(x)`/`count(*)` as `sum(stored)`,
+  *     `min`/`max` as themselves (cast back to the query's result type
+  *     where the re-sum widened a decimal — bit-exact: the direct plan
+  *     computes the identical value in the narrower type). The
+  *     Aggregate survives but runs over |rollup| rows instead of
+  *     |fact| — q6's three-predicate global sum becomes a sum over the
+  *     ≤|distinct key combos| filtered rollup rows, q1's two-column
+  *     grouping re-aggregates ~10k (flag, status, shipdate) partials.
+  *     `avg` needs no special case under the engine's DECIMAL-sum /
+  *     count idiom (the division sits ABOVE the two matched
+  *     aggregates and is preserved); a bare `Average`, `first`, or any
+  *     distinct/filtered aggregate declines. A global `count` over a
+  *     filtered-empty rollup coalesces to 0 (matching count's
+  *     empty-input semantics where re-sum would yield null).
   *  2. KEY-SET form: a LeftSemi/LeftAnti probe (or an Aggregate-shaped
   *     DISTINCT) whose probe side peels to `Filter(f)` over the fact
   *     leaf projecting only the key, where `f`'s conjunct set equals a
@@ -83,11 +106,12 @@ object MaterializedAggs {
     * the PROBE's filter conjuncts against `cond`. */
   case class Measure(name: String, agg: String, cond: Option[String] = None)
 
-  /** A registered rollup the rewrite may serve. `fingerprint` = the
-    * fact's base-file fingerprint at stage time (empty = unchecked,
-    * hand-built test metas only). */
+  /** A registered rollup the rewrite may serve. `keys` = the staged
+    * grouping columns (lowercase; bucketed on the head). `fingerprint`
+    * = the fact's base-file fingerprint at stage time (empty =
+    * unchecked, hand-built test metas only). */
   case class Meta(catalogTable: String, fact: String, factPath: String,
-      key: String, measures: Seq[Measure], fingerprint: String = "")
+      keys: Seq[String], measures: Seq[Measure], fingerprint: String = "")
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Meta]()
@@ -136,7 +160,7 @@ object MaterializedAggs {
         .getOrElse(Nil)).mkString("\t"))
     (Seq(
       s"fact ${meta.fact} ${meta.factPath}",
-      s"key ${meta.key}",
+      s"key ${meta.keys.mkString(",")}",
       s"fp ${meta.fingerprint}") ++ measureLines).mkString("", "\n", "\n")
   }
 
@@ -159,7 +183,8 @@ object MaterializedAggs {
           s"malformed measure line '${other.mkString("\t")}' — re-stage")
       }
     }
-    Meta(catalogTable, factLine(0), factLine(1), line("key"), measures, line("fp"))
+    Meta(catalogTable, factLine(0), factLine(1),
+      line("key").split(",").toSeq.filter(_.nonEmpty), measures, line("fp"))
   }
 
   /** Parse a staged rollup's sidecar at `path` into the [[Meta]] it
@@ -188,14 +213,17 @@ object MaterializedAggs {
       val fp = Freshness.ofPath(spark, spec.factPath)
       val aggs = spec.measures.map(m => expr(m.agg).as(m.name))
       require(aggs.nonEmpty, s"stageRollup($name): no measures advised")
-      val rolled = fact.groupBy(col(spec.key)).agg(aggs.head, aggs.tail: _*)
+      require(spec.keys.nonEmpty, s"stageRollup($name): no keys advised")
+      val rolled = fact.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       graft.sources.TabularWriter.toBucketedTable(
-        rolled, name, spec.key, spec.buckets, sorted = true)
-      // stats as product: rowCount + NDV(key) of the rollup (key unique
-      // by construction — the measurement proves it to EagerAggregation)
-      TableStats.analyze(spark, spark.table(name), name, Seq(spec.key))
-      val meta = Meta(name, spec.fact, spec.factPath, spec.key.toLowerCase,
-        spec.measures, fp)
+        rolled, name, spec.keys.head, spec.buckets, sorted = true)
+      // stats as product: rowCount + per-column NDV of the rollup keys
+      // (a single key is unique by construction — the measurement
+      // proves it to EagerAggregation; composite key columns measure
+      // low individually and claim nothing)
+      TableStats.analyze(spark, spark.table(name), name, spec.keys)
+      val meta = Meta(name, spec.fact, spec.factPath,
+        spec.keys.map(_.toLowerCase), spec.measures, fp)
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(name)).location
       java.nio.file.Files.write(
@@ -221,16 +249,16 @@ object MaterializedAggs {
       name: String, path: String): Meta = {
     val recorded = parseSidecar(name, path)
     require(recorded.fact == spec.fact && recorded.factPath == spec.factPath &&
-      recorded.key == spec.key.toLowerCase &&
+      recorded.keys == spec.keys.map(_.toLowerCase) &&
       recorded.measures.toSet == spec.measures.toSet,
       s"attachRollup($name): sidecar does not match this session's advice — re-stage")
     val live = Freshness.ofPath(spark, spec.factPath)
     require(live == recorded.fingerprint,
       s"attachRollup($name): base data at ${spec.factPath} drifted since " +
         s"staging (staged=${recorded.fingerprint} live=$live) — re-stage")
-    graft.sources.TabularWriter.attach(spark, name, path, spec.key, spec.buckets)
+    graft.sources.TabularWriter.attach(spark, name, path, spec.keys.head, spec.buckets)
     if (TableStats.lookup(TableStats.warehouseOf(spark), name).isEmpty)
-      TableStats.analyze(spark, spark.table(name), name, Seq(spec.key))
+      TableStats.analyze(spark, spark.table(name), name, spec.keys)
     val meta = recorded.copy(catalogTable = name)
     register(meta)
     meta
@@ -359,8 +387,22 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
     cache.remove(catalogTable)
   private[plans] def invalidateAll(): Unit = cache.clear()
 
+  /** True while a measure parse is in flight on this thread. The parse
+    * itself runs optimizer passes (a GLOBAL aggregate per measure, a
+    * filter per condition) and the coarser-grain serve (shape 1b)
+    * matches global aggregates — without this guard the rule would
+    * re-enter its own parse (stack overflow), and WORSE, a sibling
+    * registered rollup could SERVE the parse's aggregate, leaving the
+    * measure normalized over rollup column names that can never match
+    * a query. The whole rule no-ops during a parse. */
+  private val inParse = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   private def parsed(spark: SparkSession, m: Meta): Option[Parsed] = {
     Option(cache.get(m.catalogTable)).orElse {
+      if (inParse.get()) return None
+      inParse.set(java.lang.Boolean.TRUE)
       try {
         val df = spark.read.parquet(m.factPath.split(',').toIndexedSeq: _*)
         val leafName: Map[Long, String] = df.queryExecution.analyzed.collect {
@@ -410,13 +452,14 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
             s"(${e.getMessage.take(120)}) — rollup unusable this session")
           cache.put(m.catalogTable, Parsed(Map.empty, Nil))
           Some(Parsed(Map.empty, Nil))
-      }
+      } finally inParse.set(java.lang.Boolean.FALSE)
     }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val metas = MaterializedAggs.all
-    if (metas.isEmpty || !MaterializedAggs.enabled(conf)) return plan
+    if (metas.isEmpty || !MaterializedAggs.enabled(conf) || inParse.get())
+      return plan
     val spark = SparkSession.getActiveSession.getOrElse(return plan)
     plan.transformDown {
       case agg: Aggregate =>
@@ -438,22 +481,49 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Split the peeled filters into KEY-ONLY conjuncts (references ⊆
-    * {key} — functionally determined by the group, so they re-apply
-    * VERBATIM on the rollup with the key attribute mapped; this is also
-    * where Catalyst's inferred `isnotnull(key)` from join constraints
-    * lands) and the REST (must match a recorded condition, or — for
-    * shape 1 — be absent). Conjuncts are inlined through the Project
-    * substitutions first. */
-  private def splitKeyFilters(peeled: PeeledFact, key: String)
+    * key set — functionally determined by the group, so they re-apply
+    * VERBATIM on the rollup with the key attributes mapped; this is
+    * also where Catalyst's inferred `isnotnull(key)` from join
+    * constraints and q1/q6's folded predicate columns land) and the
+    * REST (must match a recorded condition, or — for shape 1 — be
+    * absent). Conjuncts are inlined through the Project substitutions
+    * first. */
+  private def splitKeyFilters(peeled: PeeledFact, keys: Set[String])
       : (Seq[Expression], Seq[Expression]) =
     peeled.filters.map(f => inline(f, peeled.subst)).partition { c =>
       val refs = c.references.toSeq
       refs.nonEmpty && refs.forall(a =>
-        peeled.nameOf.get(a.exprId.id).contains(key))
+        peeled.nameOf.get(a.exprId.id).exists(keys.contains))
     }
 
-  /** Serve `agg` from rollup `m` (shape 1 of the contract, plus the
-    * DISTINCT-over-filtered-fact variant of shape 2). */
+  /** Re-aggregate one matched AggregateExpression over its stored
+    * partial for the COARSER-grain serve (shape 1b): sum → sum,
+    * count → sum, min/max → themselves; a widened re-sum casts back to
+    * the query's result type (bit-exact — the direct plan computes the
+    * identical value in the narrower type). None = not decomposable
+    * (distinct, filtered, or any other function) → the serve declines.
+    * `global` marks an empty query grouping, where a re-summed count
+    * over a filtered-empty rollup must coalesce to count's 0. */
+  private def reaggregate(ae: AggregateExpression, stored: Attribute,
+      global: Boolean): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max, Min, Sum}
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    def fit(e: Expression): Expression =
+      if (e.dataType == ae.dataType) e
+      else Cast(e, ae.dataType, Some(conf.sessionLocalTimeZone))
+    ae.aggregateFunction match {
+      case _: Sum => Some(fit(Sum(stored).toAggregateExpression()))
+      case _: Count =>
+        val re = fit(Sum(stored).toAggregateExpression())
+        Some(if (global) Coalesce(Seq(re, Literal(0L, LongType))) else re)
+      case _: Min => Some(fit(Min(stored).toAggregateExpression()))
+      case _: Max => Some(fit(Max(stored).toAggregateExpression()))
+      case _ => None
+    }
+  }
+
+  /** Serve `agg` from rollup `m` (shapes 1/1b of the contract, plus
+    * the DISTINCT-over-filtered-fact variant of shape 2). */
   private def tryServe(spark: SparkSession, agg: Aggregate, m: Meta)
       : Option[LogicalPlan] = {
     val peeled = peelFact(agg.child).getOrElse(return None)
@@ -461,10 +531,13 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
     if (!Freshness.check(s"${m.catalogTable}:${m.factPath}", m.fingerprint,
       peeled.index)) return None
     val nameOf = peeled.nameOf
-    def isKeyAttr(e: Expression): Boolean = e match {
-      case a: AttributeReference => nameOf.get(a.exprId.id).contains(m.key)
-      case _ => false
+    val keySet = m.keys.toSet
+    def keyNameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference =>
+        nameOf.get(a.exprId.id).filter(keySet.contains)
+      case _ => None
     }
+    def isKeyAttr(e: Expression): Boolean = keyNameOf(e).isDefined
     // grouping ALIASES (groupBy(col("k").as("x"))) bind new exprIds the
     // output references — they join the substitution map like Project
     // aliases do
@@ -472,35 +545,39 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
       case al: Alias => al.exprId.id -> al.child
     }
     val peeledG = peeled.copy(subst = subst)
-    // every grouping expression must inline to the staged key
+    // every grouping expression must inline to A staged key column
     val groupings = agg.groupingExpressions.map(e => inline(stripAlias(e), subst))
-    if (groupings.isEmpty || !groupings.forall(isKeyAttr)) return None
+    if (!groupings.forall(isKeyAttr)) return None
+    val groupNames = groupings.flatMap(keyNameOf)
 
     val p = parsed(spark, m).getOrElse(return None)
-    val (keyOnly, rest) = splitKeyFilters(peeledG, m.key)
+    val (keyOnly, rest) = splitKeyFilters(peeledG, keySet)
 
-    def applyKeyFilters(scan: LogicalPlan, rollupKey: Attribute): LogicalPlan =
+    def mapKeyAttrs(e: Expression, byName: Map[String, Attribute]): Expression =
+      e.transform {
+        case a: AttributeReference if isKeyAttr(a) =>
+          byName(nameOf(a.exprId.id))
+      }
+    def applyKeyFilters(scan: LogicalPlan,
+        byName: Map[String, Attribute]): LogicalPlan =
       if (keyOnly.isEmpty) scan
-      else Filter(keyOnly.map(_.transform {
-        case a: AttributeReference if isKeyAttr(a) => rollupKey
-      }).reduce(And), scan)
+      else Filter(keyOnly.map(mapKeyAttrs(_, byName)).reduce(And), scan)
 
     if (rest.isEmpty) {
-      // shape 1: match every AggregateExpression against a staged
-      // measure. Key-only filters drop whole GROUPS (the key is
+      // shapes 1/1b: match every AggregateExpression against a staged
+      // measure. Key-only filters drop whole GROUPS (key columns are
       // constant per group), so re-applying them on the rollup's key
-      // column is exact.
+      // columns is exact.
       val (scan, byName) = scanOf(spark, m).getOrElse(return None)
-      val rollupKey = byName.getOrElse(m.key, return None)
+      if (!m.keys.forall(byName.contains)) return None
       val inlinedOut = agg.aggregateExpressions.map(ne => ne -> inline(ne, subst))
       val aes = inlinedOut.flatMap(_._2.collect { case ae: AggregateExpression => ae })
       val matchedCol: Map[AggregateExpression, Attribute] = aes.map { ae =>
         val col = normalize(ae, nameOf.get).flatMap(p.plain.get)
-          .flatMap(byName.get).getOrElse(return None)
-        if (col.dataType != ae.dataType) return None
+          .flatMap(n => byName.get(n.toLowerCase)).getOrElse(return None)
         ae -> col
       }.toMap
-      // attributes OUTSIDE the aggregates must all be the key (they
+      // attributes OUTSIDE the aggregates must all be key columns (they
       // pass through the grouping)
       val underAgg = AttributeSet(aes.flatMap(_.references))
       val topAttrs = inlinedOut.flatMap(_._2.collect {
@@ -508,36 +585,66 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
       }).filterNot(underAgg.contains)
       if (!topAttrs.forall(isKeyAttr)) return None
 
-      val projList: Seq[NamedExpression] = inlinedOut.map { case (ne, e) =>
-        // transformDOWN: each matched AggregateExpression is swapped
-        // wholesale BEFORE its children could be rewritten from under
-        // it (a bottom-up pass would rewrite key attrs inside the agg
-        // first and break the equality match)
-        val replaced = e.transformDown {
-          case ae: AggregateExpression if matchedCol.contains(ae) => matchedCol(ae)
-          case a: AttributeReference if isKeyAttr(a) => rollupKey
+      if (groupings.nonEmpty && groupNames.toSet == keySet) {
+        // shape 1 — EXACT grain: each output group IS one rollup row;
+        // stored FINAL values replace the aggregates wholesale.
+        for ((ae, col) <- matchedCol) if (col.dataType != ae.dataType) return None
+        val projList: Seq[NamedExpression] = inlinedOut.map { case (ne, e) =>
+          // transformDOWN: each matched AggregateExpression is swapped
+          // wholesale BEFORE its children could be rewritten from under
+          // it (a bottom-up pass would rewrite key attrs inside the agg
+          // first and break the equality match)
+          val replaced = e.transformDown {
+            case ae: AggregateExpression if matchedCol.contains(ae) => matchedCol(ae)
+            case a: AttributeReference if isKeyAttr(a) => byName(nameOf(a.exprId.id))
+          }
+          replaced match {
+            case al: Alias if al.exprId == ne.exprId => al
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
         }
-        replaced match {
-          case al: Alias if al.exprId == ne.exprId => al
-          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        Some(Project(projList, applyKeyFilters(scan, byName)))
+      } else if (aes.nonEmpty) {
+        // shape 1b — COARSER grain: the grouping is a proper subset of
+        // the keys (possibly empty). Re-aggregate decomposable stored
+        // partials; the Aggregate survives at |rollup| rows.
+        val reagged: Map[AggregateExpression, Expression] = matchedCol.map {
+          case (ae, col) =>
+            ae -> reaggregate(ae, col, global = groupings.isEmpty)
+              .getOrElse(return None)
         }
-      }
-      Some(Project(projList, applyKeyFilters(scan, rollupKey)))
+        val aggExprs: Seq[NamedExpression] = inlinedOut.map { case (ne, e) =>
+          val replaced = e.transformDown {
+            case ae: AggregateExpression if reagged.contains(ae) => reagged(ae)
+            case a: AttributeReference if isKeyAttr(a) => byName(nameOf(a.exprId.id))
+          }
+          replaced match {
+            case al: Alias if al.exprId == ne.exprId => al
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
+        }
+        val rollupGroupings: Seq[Expression] =
+          groupNames.distinct.map(byName)
+        Some(Aggregate(rollupGroupings, aggExprs, applyKeyFilters(scan, byName)))
+      } else None
     } else {
       // DISTINCT-over-filtered-fact (EagerAggregation's inserted
-      // pre-aggregate, or a hand-written one): outputs are the key only
-      // and the REST filter set equals a staged condition → key-set
-      // serve. This is how the rollup and EagerAggregation compose in
-      // either firing order.
+      // pre-aggregate, or a hand-written one): outputs cover the key
+      // set exactly (else the projection would not be distinct) and
+      // the REST filter set equals a staged condition → key-set serve.
+      // This is how the rollup and EagerAggregation compose in either
+      // firing order.
       val hasAgg = agg.aggregateExpressions.exists(_.exists(
         _.isInstanceOf[AggregateExpression]))
       if (hasAgg) return None
       val outs = agg.aggregateExpressions.map(ne => inline(stripAlias(ne), subst))
       if (!outs.forall(isKeyAttr)) return None
-      keySetScan(spark, m, p, peeledG, rest).map { case (scan, rollupKey) =>
-        Project(agg.aggregateExpressions.map(ne =>
-          Alias(rollupKey, ne.name)(exprId = ne.exprId)),
-          applyKeyFilters(scan, rollupKey))
+      if (outs.flatMap(keyNameOf).toSet != keySet) return None
+      keySetScan(spark, m, p, peeledG, rest).map { case (scan, byName) =>
+        Project(agg.aggregateExpressions.map { ne =>
+          val n = keyNameOf(inline(stripAlias(ne), subst)).get
+          Alias(byName(n), ne.name)(exprId = ne.exprId)
+        }, applyKeyFilters(scan, byName))
       }
     }
   }
@@ -551,7 +658,8 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
     * stripped) conjunct set `rest` matches a staged condition — the
     * qualifying KEY SET. */
   private def keySetScan(spark: SparkSession, m: Meta, p: Parsed,
-      peeled: PeeledFact, rest: Seq[Expression]): Option[(LogicalPlan, Attribute)] = {
+      peeled: PeeledFact, rest: Seq[Expression])
+      : Option[(LogicalPlan, Map[String, Attribute])] = {
     if (rest.isEmpty) return None
     val norm = rest.map(cj => normalize(cj, peeled.nameOf.get))
     if (!norm.forall(_.isDefined)) return None
@@ -560,12 +668,15 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
       case (set, name) if set == normSet => name
     }.getOrElse(return None)
     val (scan, byName) = scanOf(spark, m).getOrElse(return None)
-    for (rollupKey <- byName.get(m.key); cnt <- byName.get(condCol.toLowerCase))
-      yield (Filter(GreaterThan(cnt, Literal(0L, LongType)), scan), rollupKey)
+    if (!m.keys.forall(byName.contains)) return None
+    byName.get(condCol.toLowerCase).map(cnt =>
+      (Filter(GreaterThan(cnt, Literal(0L, LongType)), scan), byName))
   }
 
   /** Shape 2: a semi/anti probe of the fact reduced to the rollup's
-    * qualifying key set. */
+    * qualifying key set. Probe columns may be any SUBSET of a composite
+    * key: the projected key set then carries duplicates, which
+    * semi/anti join semantics tolerate (they only test existence). */
   private def trySemiServe(spark: SparkSession, j: Join, m: Meta)
       : Option[LogicalPlan] = {
     val cond = j.condition.getOrElse(return None)
@@ -574,31 +685,37 @@ object RewriteMaterializedAgg extends Rule[LogicalPlan] with PredicateHelper {
     if (peeled.path != m.factPath) return None
     if (!Freshness.check(s"${m.catalogTable}:${m.factPath}", m.fingerprint,
       peeled.index)) return None
-    // every probe-side attribute the condition reads must BE the key
-    // (at probe grain the key set is all the join consumes)
+    // every probe-side attribute the condition reads must be A key
+    // column (at probe grain the key set is all the join consumes)
     val rightRefs = cond.references.toSeq.filter(j.right.outputSet.contains)
     if (rightRefs.isEmpty) return None
     val nameOf = peeled.nameOf
-    def isKeyAttr(e: Expression): Boolean = e match {
-      case a: AttributeReference => nameOf.get(a.exprId.id).contains(m.key)
-      case _ => false
+    val keySet = m.keys.toSet
+    def keyNameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference =>
+        nameOf.get(a.exprId.id).filter(keySet.contains)
+      case _ => None
     }
-    if (!rightRefs.forall(a => isKeyAttr(inline(a, peeled.subst)))) return None
+    def isKeyAttr(e: Expression): Boolean = keyNameOf(e).isDefined
+    val refKey: Map[Attribute, String] = rightRefs.map(a =>
+      a -> keyNameOf(inline(a, peeled.subst)).getOrElse(return None)).toMap
     val p = parsed(spark, m).getOrElse(return None)
-    val (keyOnly, rest) = splitKeyFilters(peeled, m.key)
-    keySetScan(spark, m, p, peeled, rest).map { case (scan, rollupKey) =>
+    val (keyOnly, rest) = splitKeyFilters(peeled, keySet)
+    keySetScan(spark, m, p, peeled, rest).map { case (scan, byName) =>
       // key-only probe filters (inferred isnotnull(key), user key
-      // bounds) re-apply on the rollup key — exact, the key survives
+      // bounds) re-apply on the rollup keys — exact, keys survive
       // grouping verbatim
       val filtered = if (keyOnly.isEmpty) scan
       else Filter(keyOnly.map(_.transform {
-        case a: AttributeReference if isKeyAttr(a) => rollupKey
+        case a: AttributeReference if isKeyAttr(a) =>
+          byName(nameOf(a.exprId.id))
       }).reduce(And), scan)
       // expose the original right-side exprIds the condition references;
       // the probe-side hint described the FLAT fact read and is dropped
       // (the rollup probes at key grain — let the planner pick the
       // co-located/broadcast shape)
-      val aliases = rightRefs.map(a => Alias(rollupKey, a.name)(exprId = a.exprId))
+      val aliases = rightRefs.map(a =>
+        Alias(byName(refKey(a)), a.name)(exprId = a.exprId))
       Join(j.left, Project(aliases, filtered), j.joinType, j.condition,
         org.apache.spark.sql.catalyst.plans.logical.JoinHint(j.hint.leftHint, None))
     }

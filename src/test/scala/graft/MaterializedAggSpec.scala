@@ -51,7 +51,7 @@ class MaterializedAggSpec extends GraftSpec {
         col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
     val specs = LayoutAdvisor.adviseAggRollups(corpus, minHits = 1)
-    val onKey = specs.filter(s => s.fact == "lineitem" && s.key == "l_orderkey")
+    val onKey = specs.filter(s => s.fact == "lineitem" && s.keys == Seq("l_orderkey"))
     assert(onKey.size === 1, s"expected one l_orderkey rollup advice, got $specs")
     val s0 = onKey.head
     assert(s0.measures.size >= 6,
@@ -167,7 +167,7 @@ class MaterializedAggSpec extends GraftSpec {
       .agg((sum(cents("l_quantity")).cast(DoubleType) / 100.0 / count(lit(1)))
         .as("avg_qty"))
     val specs = LayoutAdvisor.adviseAggRollups(Seq(perPart), minHits = 1)
-    assert(specs.size === 1 && specs.head.key == "l_partkey", s"$specs")
+    assert(specs.size === 1 && specs.head.keys == Seq("l_partkey"), s"$specs")
     val name = "maspec_perpart"
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
@@ -285,7 +285,7 @@ class MaterializedAggSpec extends GraftSpec {
     MaterializedAggs.deregister(name2)
     assert(attached === staged.copy(catalogTable = name2))
     // drifted spec (different key) must refuse
-    val drifted = advisedSpec.copy(key = "l_suppkey")
+    val drifted = advisedSpec.copy(keys = Seq("l_suppkey"))
     intercept[IllegalArgumentException] {
       MaterializedAggs.attachRollup(spark, drifted, name2 + "x", aside.toString)
     }
@@ -294,7 +294,7 @@ class MaterializedAggSpec extends GraftSpec {
   test("stats: the rollup's key is recorded ≈unique, blocking useless pre-aggs") {
     val wh = graft.plans.TableStats.warehouseOf(spark)
     val st = graft.plans.TableStats.lookup(wh, meta.catalogTable)
-    assert(st.exists(_.uniqueish(meta.key)),
+    assert(st.exists(_.uniqueish(meta.keys.head)),
       s"stageRollup must record key uniqueness: $st")
   }
 
@@ -310,5 +310,189 @@ class MaterializedAggSpec extends GraftSpec {
     withMeta(meta)(assert(fired(q),
       s"filtered DISTINCT on the key must be served:\n${q.queryExecution.optimizedPlan}"))
     sameOnOff(q)
+  }
+
+  // ---------------- composite keys + coarser-grain re-aggregation
+  // (round-12b: the classic materialized-view rewrite — a query
+  // grouping a SUBSET of the rollup's keys, with predicates on key
+  // columns, is re-aggregated from the stored partials)
+
+  /** Composite rollups advised from a q1/q6-shaped corpus: the
+    * advisor folds the FILTER columns into the key (grouping columns
+    * first, predicate columns appended sorted) so the predicates
+    * become key-only at rewrite time. */
+  private lazy val compositeMetas: Seq[MaterializedAggs.Meta] = {
+    import org.apache.spark.sql.types.TimestampType
+    val li = Tables.lineitem(spark, sf)
+    val corpus = Seq(
+      // q1 shape: two-column grouping + a discount bound (11 distinct
+      // values at every SF — the folded key set reduces GUARANTEED at
+      // any scale; a shipdate bound is the same mechanism but its NDV
+      // ~= rows at toy SF, where the product guard rightly declines)
+      li.filter(col("l_discount") <= 0.04)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents("l_extendedprice")).as("s"), count(lit(1)).as("n")),
+      // q6 shape: GLOBAL aggregate, three key-foldable predicates
+      li.filter(col("l_discount").between(0.02, 0.04) && col("l_quantity") < 20)
+        .agg(sum(cents("l_extendedprice")).as("rev"), count(lit(1)).as("n")))
+    val specs = LayoutAdvisor.adviseAggRollups(corpus, minHits = 1)
+    val q1k = specs.find(_.keys == Seq("l_returnflag", "l_linestatus", "l_discount"))
+    val q6k = specs.find(_.keys == Seq("l_discount", "l_quantity"))
+    assert(q1k.isDefined && q6k.isDefined,
+      s"advisor must fold predicate columns into composite keys: $specs")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(q1k.get -> "maspec_q1keys", q6k.get -> "maspec_q6keys").map {
+      case (spec, name) =>
+        GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+        if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+        val m = MaterializedAggs.stageRollup(spark, spec, name)
+        MaterializedAggs.deregister(name)
+        m
+    }
+  }
+
+  private def withMetas[T](ms: Seq[MaterializedAggs.Meta])(f: => T): T = {
+    ms.foreach(MaterializedAggs.register)
+    try f finally ms.foreach(m => MaterializedAggs.deregister(m.catalogTable))
+  }
+
+  test("q1 shape: subset grouping re-aggregates stored partials (round-12b)") {
+    def q = Tables.lineitem(spark, sf)
+      .filter(col("l_discount") <= 0.04)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+    val ms = compositeMetas
+    withMetas(ms) {
+      assert(MaterializedAggs.fired(q, ms.head.catalogTable),
+        s"coarser-grain serve must fire:\n${q.queryExecution.optimizedPlan}")
+      // the served plan reads NO fact-grain lineitem
+      val readsFact = q.queryExecution.optimizedPlan.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString).mkString(",") == liPath
+        case _ => false
+      }
+      assert(!readsFact, "fact-grain read must be gone")
+    }
+    val on = withMetas(ms)(rows(q))
+    assert(on === rows(q), "re-aggregated result must equal the direct result")
+  }
+
+  test("q6 shape: GLOBAL filtered sum served over the composite rollup") {
+    def q = Tables.lineitem(spark, sf)
+      .filter(col("l_discount").between(0.02, 0.04) && col("l_quantity") < 20)
+      .agg(sum(cents("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+    val ms = compositeMetas
+    withMetas(ms) {
+      assert(MaterializedAggs.fired(q, ms(1).catalogTable),
+        s"global coarser serve must fire:\n${q.queryExecution.optimizedPlan}")
+    }
+    val on = withMetas(ms)(rows(q))
+    assert(on === rows(q))
+  }
+
+  test("a DIFFERENT key-column predicate re-applies on the rollup (no re-advice)") {
+    // staged for between(0.02,0.04): any predicate over key columns is
+    // key-only at rewrite time, including ones never seen at advice
+    def q = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") === 5.0 && col("l_discount") > 0.05)
+      .agg(sum(cents("l_extendedprice")).as("rev"))
+    val ms = compositeMetas
+    withMetas(ms)(assert(MaterializedAggs.fired(q, ms(1).catalogTable),
+      s"unseen key predicate must still serve:\n${q.queryExecution.optimizedPlan}"))
+    assert(withMetas(ms)(rows(q)) === rows(q))
+  }
+
+  test("global count over a filtered-empty rollup is 0, not null") {
+    def q = Tables.lineitem(spark, sf)
+      .filter(col("l_discount") > 1.0) // matches nothing
+      .agg(count(lit(1)).as("n"))
+    val ms = compositeMetas
+    // both composite rollups carry l_discount — EITHER may serve
+    withMetas(ms)(assert(ms.exists(m => MaterializedAggs.fired(q, m.catalogTable)),
+      s"empty-result global count must serve:\n${q.queryExecution.optimizedPlan}"))
+    assert(withMetas(ms)(rows(q)) === Seq(Seq(0L)))
+    assert(rows(q) === Seq(Seq(0L)))
+  }
+
+  test("coarser grain declines non-decomposable and distinct aggregates") {
+    // exact-grain advice records ANY aggregate (stored FINAL values) —
+    // stage an avg at full grain, then query it one level coarser
+    val li = Tables.lineitem(spark, sf)
+    def fullGrain = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    val specs = LayoutAdvisor.adviseAggRollups(Seq(fullGrain), minHits = 1)
+    assert(specs.size === 1 &&
+      specs.head.keys == Seq("l_returnflag", "l_linestatus"), s"$specs")
+    val name = "maspec_avg2"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val m = MaterializedAggs.stageRollup(spark, specs.head, name)
+    MaterializedAggs.deregister(name)
+    // exact grain: avg serves as a stored FINAL value
+    withMeta(m)(assert(MaterializedAggs.fired(fullGrain, name),
+      s"exact-grain avg must serve:\n${fullGrain.queryExecution.optimizedPlan}"))
+    assert(withMeta(m)(rows(fullGrain)) === rows(fullGrain))
+    // coarser grain: a bare Average cannot re-aggregate — decline
+    def coarser = li.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("aq"))
+    withMeta(m)(assert(!MaterializedAggs.fired(coarser, name),
+      s"coarser avg must DECLINE:\n${coarser.queryExecution.optimizedPlan}"))
+    // distinct aggregates never re-aggregate
+    def dq = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("d"))
+    withMeta(m)(assert(!MaterializedAggs.fired(dq, name)))
+  }
+
+  test("composite advice requires a GUARANTEED reduction (NDV product bound)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("agg_prod")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(dir))
+    (1L to 4000L).map(i => (i, i % 7L, i % 11L, i * 2.0))
+      .toDF("u", "g", "w", "v")
+      .write.parquet(dir.resolve("t.parquet").toString)
+    val df = spark.read.parquet(dir.resolve("t.parquet").toString)
+    // grouping g + filter on near-unique u → composite (g, u): the NDV
+    // product bound (7 × ~4000) cannot prove reduction → SKIPPED (the
+    // rollup write would cost a fact-sized shuffle for nothing)
+    val skip = LayoutAdvisor.adviseAggRollups(
+      Seq(df.filter(col("u") < 100L).groupBy(col("g"))
+        .agg(sum(col("v")).as("s"))), minHits = 1)
+    assert(skip.isEmpty, s"near-fact-grain composite must be declined: $skip")
+    // same shape over a low-NDV predicate column → advised (7 × 11 ≪ rows)
+    val ok = LayoutAdvisor.adviseAggRollups(
+      Seq(df.filter(col("w") < 5L).groupBy(col("g"))
+        .agg(sum(col("v")).as("s"))), minHits = 1)
+    assert(ok.size === 1 && ok.head.keys == Seq("g", "w"),
+      s"guaranteed-reduction composite must be advised: $ok")
+  }
+
+  test("decimal re-sum casts back to the query's result type, bit-exact") {
+    // the q1 DECIMAL idiom: sum(cast(x as decimal(12,2))) — the re-sum
+    // widens to decimal(32,2) and must cast back to decimal(22,2)
+    val dec = (c: String) => col(c).cast(DecimalType(12, 2))
+    def q1dec = Tables.lineitem(spark, sf)
+      .filter(col("l_discount") <= 0.04)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+    val specs = LayoutAdvisor.adviseAggRollups(Seq(q1dec), minHits = 1)
+    assert(specs.size === 1 && specs.head.keys ==
+      Seq("l_returnflag", "l_linestatus", "l_discount"), s"$specs")
+    val name = "maspec_dec"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+    val m = MaterializedAggs.stageRollup(spark, specs.head, name)
+    MaterializedAggs.deregister(name)
+    withMeta(m) {
+      assert(MaterializedAggs.fired(q1dec, name),
+        s"decimal re-sum must serve:\n${q1dec.queryExecution.optimizedPlan}")
+      assert(q1dec.schema("sum_qty").dataType === DoubleType)
+    }
+    assert(withMeta(m)(rows(q1dec)) === rows(q1dec))
   }
 }

@@ -483,7 +483,7 @@ class OperatorsSpec extends GraftSpec {
     val path = graft.plans.MaterializedJoins.leafPath(fact)
     val keys = (0L until 997L).filter(_ % 13L == 0L).toDF("kk")
     val meta = graft.plans.MaterializedAggs.Meta(
-      "bloomrollup_t", "f", path, "k",
+      "bloomrollup_t", "f", path, Seq("k"),
       Seq(graft.plans.MaterializedAggs.Measure("m1", "count(1)")))
     graft.plans.MaterializedAggs.register(meta)
     try {
