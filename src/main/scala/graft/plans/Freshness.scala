@@ -51,18 +51,40 @@ object Freshness {
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Fingerprint of a live FileIndex: sorted `path len` lines, SHA-1.
+  /** The raw inventory a fingerprint hashes: sorted `path len` lines.
     * Falls back to names-only for FileIndex impls that do not expose
     * statuses (appends still change the name set — Spark writers never
-    * mutate files in place). */
-  def ofIndex(idx: FileIndex): String = {
+    * mutate files in place). Exposed so incremental maintenance
+    * ([[MaterializedAggs.refreshRollup]]) can DIFF a staged inventory
+    * against the live one instead of only equality-checking hashes. */
+  def entriesOfIndex(idx: FileIndex): Seq[String] = {
     val entries = idx match {
       case p: PartitioningAwareFileIndex =>
         p.allFiles().map(f => s"${norm(f.getPath.toString)} ${f.getLen}")
       case other => other.inputFiles.map(norm).toSeq
     }
-    sha1(entries.sorted.mkString("\n"))
+    entries.sorted
   }
+
+  /** Inventory lines of a parquet read of `path` (same strings the
+    * fingerprint hashes — `sha1(lines.mkString("\n")) == ofPath`). */
+  def entriesOfPath(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path.split(',').toIndexedSeq: _*)
+      .queryExecution.analyzed.collect {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location
+      } match {
+      case Seq(loc) => entriesOfIndex(loc)
+      case _ => sys.error(s"Freshness.entriesOfPath($path): no single file scan")
+    }
+
+  /** Fingerprint of a live FileIndex: sorted `path len` lines, SHA-1. */
+  def ofIndex(idx: FileIndex): String =
+    sha1(entriesOfIndex(idx).mkString("\n"))
+
+  /** Fingerprint of an [[entriesOfIndex]]/[[entriesOfPath]] inventory. */
+  def ofEntries(entries: Seq[String]): String =
+    sha1(entries.sorted.mkString("\n"))
 
   /** Fingerprint of the single file scan under `df`'s analyzed plan
     * (None when the plan has no or several file leaves). */

@@ -154,14 +154,30 @@ object MaterializedAggs {
     * fresh JVM needs to re-[[attachRollup]] without re-aggregating. */
   val RollupSidecar = "_graft_rollup"
 
-  private def sidecarBody(meta: Meta): String = {
+  private def sidecarBody(meta: Meta, files: Seq[String]): String = {
     val measureLines = meta.measures.map(m =>
       (Seq("measure", m.name, m.agg) ++ m.cond.map(c => Seq("cond", c))
         .getOrElse(Nil)).mkString("\t"))
+    // the base-file INVENTORY behind the fingerprint — what
+    // [[refreshRollup]] diffs against the live listing to find the
+    // appended delta (tab-prefixed; `path len` exactly as hashed)
+    val fileLines = files.map(f => s"file\t$f")
     (Seq(
       s"fact ${meta.fact} ${meta.factPath}",
       s"key ${meta.keys.mkString(",")}",
-      s"fp ${meta.fingerprint}") ++ measureLines).mkString("", "\n", "\n")
+      s"fp ${meta.fingerprint}") ++ measureLines ++ fileLines)
+      .mkString("", "\n", "\n")
+  }
+
+  /** The staged base-file inventory a rollup sidecar records (empty for
+    * pre-refresh sidecars — refresh then declines to full re-stage). */
+  private def stagedInventory(dir: java.nio.file.Path): Seq[String] = {
+    val sidecar = dir.resolve(RollupSidecar)
+    if (!java.nio.file.Files.exists(sidecar)) Nil
+    else new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+      .split("\n").toSeq.collect {
+        case l if l.startsWith("file\t") => l.stripPrefix("file\t")
+      }
   }
 
   private def parseSidecar(catalogTable: String, path: String): Meta = {
@@ -210,7 +226,8 @@ object MaterializedAggs {
     spark.conf.set(Flag, "false")
     try {
       val fact = spark.read.parquet(spec.factPath.split(',').toIndexedSeq: _*)
-      val fp = Freshness.ofPath(spark, spec.factPath)
+      val inventory = Freshness.entriesOfPath(spark, spec.factPath)
+      val fp = Freshness.ofEntries(inventory)
       val aggs = spec.measures.map(m => expr(m.agg).as(m.name))
       require(aggs.nonEmpty, s"stageRollup($name): no measures advised")
       require(spec.keys.nonEmpty, s"stageRollup($name): no keys advised")
@@ -228,7 +245,7 @@ object MaterializedAggs {
         org.apache.spark.sql.catalyst.TableIdentifier(name)).location
       java.nio.file.Files.write(
         java.nio.file.Paths.get(loc.getPath, RollupSidecar),
-        sidecarBody(meta).getBytes("UTF-8"))
+        sidecarBody(meta, inventory).getBytes("UTF-8"))
       register(meta)
       meta
     } finally {
@@ -262,6 +279,136 @@ object MaterializedAggs {
     val meta = recorded.copy(catalogTable = name)
     register(meta)
     meta
+  }
+
+  /** INCREMENTAL rollup maintenance (round-12b): when the base fact
+    * gained files since staging (append-only growth — the layout
+    * freshness story's common case), aggregate ONLY the delta files and
+    * MERGE the partials into the staged rollup, instead of re-staging
+    * from scratch. At 100 TB this is the difference between touching
+    * the appended day and re-shuffling the whole history: the staged
+    * measures are themselves per-key partials, and sum/count partials
+    * merge by +, min/max by themselves — the same decomposition the
+    * coarser-grain serve exploits. A distinct or non-decomposable
+    * measure refuses loudly (full re-stage is the recovery), as does
+    * any non-append drift (a staged file missing or resized — the
+    * delta is then not well-defined).
+    *
+    * The swap mirrors [[graft.sources.TabularWriter.compactBuckets]]'s
+    * rename-aside discipline: every crash window keeps both copies on
+    * disk, and the post-swap window before the new sidecar lands is
+    * safe by construction — the registered fingerprint no longer
+    * matches the live base, so the rewrite declines rather than serve
+    * a half-refreshed table. Returns (and registers) the refreshed
+    * Meta; a no-op when the base is unchanged. */
+  def refreshRollup(spark: SparkSession, meta: Meta): Meta = {
+    import org.apache.spark.sql.functions.{col, expr, max, min, sum}
+    val saved = spark.conf.getOption(Flag)
+    spark.conf.set(Flag, "false")
+    try {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(meta.catalogTable)
+      val cat = spark.sessionState.catalog.getTableMetadata(ident)
+      val dir = java.nio.file.Paths.get(cat.location.getPath)
+      val staged = stagedInventory(dir)
+      require(staged.nonEmpty,
+        s"refreshRollup(${meta.catalogTable}): sidecar records no file " +
+          "inventory (pre-refresh staging) — re-stage")
+      val live = Freshness.entriesOfPath(spark, meta.factPath)
+      if (staged.toSet == live.toSet) return meta // fresh — no-op
+      val missing = staged.toSet -- live.toSet
+      require(missing.isEmpty,
+        s"refreshRollup(${meta.catalogTable}): base files changed or " +
+          s"disappeared (${missing.take(3).mkString("; ")}) — growth is not " +
+          "append-only, re-stage")
+      val factDf = spark.read.parquet(meta.factPath.split(',').toIndexedSeq: _*)
+      val kinds: Seq[(Measure, String)] = meta.measures.map { ms =>
+        ms -> mergeKind(factDf, ms.agg).getOrElse(
+          throw new IllegalArgumentException(
+            s"refreshRollup(${meta.catalogTable}): measure ${ms.name} = " +
+              s"${ms.agg} does not merge (distinct or non-decomposable) — re-stage"))
+      }
+      val deltaFiles = live.filterNot(staged.toSet)
+        .map(l => l.substring(0, l.lastIndexOf(' ')))
+      val deltaAggs = meta.measures.map(ms => expr(ms.agg).as(ms.name))
+      val delta = spark.read.schema(factDf.schema)
+        .parquet(deltaFiles.toIndexedSeq: _*)
+        .groupBy(meta.keys.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+      val old = spark.table(meta.catalogTable)
+      val orderedCols = old.columns.toSeq.map(col)
+      val mergeExprs = kinds.map { case (ms, k) =>
+        val storedType = old.schema(ms.name).dataType
+        (k match {
+          // a re-sum widens (decimals) — cast back to the stored type,
+          // bit-exact by the same argument as the coarser-grain serve
+          case "sum" => sum(col(ms.name)).cast(storedType)
+          case "min" => min(col(ms.name))
+          case "max" => max(col(ms.name))
+        }).as(ms.name)
+      }
+      val merged = old.unionByName(delta.select(orderedCols: _*))
+        .groupBy(meta.keys.map(col): _*)
+        .agg(mergeExprs.head, mergeExprs.tail: _*)
+        .select(orderedCols: _*)
+      val spec = cat.bucketSpec.getOrElse(sys.error(
+        s"refreshRollup(${meta.catalogTable}): not a bucketed table"))
+      val tmp = meta.catalogTable + "__refreshing"
+      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val tmpLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tmp)))
+      val fs = tmpLoc.getFileSystem(hconf)
+      if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+      graft.sources.TabularWriter.toBucketedTable(
+        merged, tmp, spec.bucketColumnNames.head, spec.numBuckets, sorted = true)
+      val aside = meta.catalogTable + "__prerefresh"
+      spark.sql(s"DROP TABLE IF EXISTS `$aside`")
+      val asideLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(aside)))
+      if (fs.exists(asideLoc)) fs.delete(asideLoc, true)
+      spark.sql(s"ALTER TABLE `${meta.catalogTable}` RENAME TO `$aside`")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `${meta.catalogTable}`")
+      spark.sql(s"DROP TABLE `$aside`")
+      val fresh = meta.copy(fingerprint = Freshness.ofEntries(live))
+      val newLoc = spark.sessionState.catalog.getTableMetadata(ident).location
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(newLoc.getPath, RollupSidecar),
+        sidecarBody(fresh, live).getBytes("UTF-8"))
+      TableStats.analyze(spark, spark.table(meta.catalogTable),
+        meta.catalogTable, meta.keys)
+      RewriteMaterializedAgg.invalidate(meta.catalogTable)
+      register(fresh)
+      fresh
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(Flag, v)
+        case None => spark.conf.unset(Flag)
+      }
+    }
+  }
+
+  /** How a staged measure's per-key partials MERGE across delta
+    * batches: sum/count (filtered or not — the filter applies inside
+    * each partial) merge by sum, min/max by themselves; distinct and
+    * everything else do not merge. */
+  private def mergeKind(fact: org.apache.spark.sql.DataFrame,
+      agg: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max, Min, Sum}
+    val qe = fact.groupBy()
+      .agg(org.apache.spark.sql.functions.expr(agg).as("__m")).queryExecution
+    qe.optimizedPlan.collectFirst { case ag: Aggregate => ag }.flatMap { ag =>
+      val aes = ag.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      if (aes.size != 1 || aes.head.isDistinct) None
+      else aes.head.aggregateFunction match {
+        case _: Sum | _: Count => Some("sum")
+        case _: Min => Some("min")
+        case _: Max => Some("max")
+        case _ => None
+      }
+    }
   }
 
   // ------------------------------------------------- shared machinery

@@ -447,6 +447,77 @@ class MaterializedAggSpec extends GraftSpec {
     withMeta(m)(assert(!MaterializedAggs.fired(dq, name)))
   }
 
+  test("incremental refresh: append-only base growth merges the delta (round-12b)") {
+    // private copy of the fact so appends cannot disturb other tests
+    val dir = java.nio.file.Files.createTempDirectory("maspec_refresh")
+    sys.addShutdownHook(GateFixtures.deleteRecursively(dir))
+    val base = dir.resolve("fact").toString
+    Tables.lineitem(spark, sf).limit(500).write.mode("overwrite").parquet(base)
+    def corpusQ = spark.read.parquet(base).groupBy(col("l_orderkey"))
+      .agg(sum(cents("l_quantity")).as("qty"), count(lit(1)).as("n"),
+        min(cents("l_extendedprice")).as("mn"),
+        max(cents("l_extendedprice")).as("mx"))
+    val spec = LayoutAdvisor.adviseAggRollups(Seq(corpusQ), minHits = 1).head
+    val name = "maspec_refresh"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    for (n <- Seq(name, name + "__refreshing", name + "__prerefresh")) {
+      if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE `$n`")
+      GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, n))
+    }
+    val m = MaterializedAggs.stageRollup(spark, spec, name)
+    MaterializedAggs.deregister(name)
+    // fresh base → refresh is a no-op
+    assert(MaterializedAggs.refreshRollup(spark, m) === m)
+    MaterializedAggs.deregister(name)
+    // APPEND: overlapping keys get merged partials, new keys appear
+    Tables.lineitem(spark, sf).limit(800).write.mode("append").parquet(base)
+    spark.catalog.refreshByPath(base)
+    withMeta(m)(assert(!MaterializedAggs.fired(corpusQ, name),
+      "stale rollup must decline before the refresh"))
+    val fresh = MaterializedAggs.refreshRollup(spark, m) // registers
+    try {
+      assert(fresh.fingerprint !== m.fingerprint)
+      assert(MaterializedAggs.fired(corpusQ, name),
+        s"refreshed rollup must serve:\n${corpusQ.queryExecution.optimizedPlan}")
+      val served = rows(corpusQ)
+      MaterializedAggs.deregister(name)
+      assert(served === rows(corpusQ),
+        "delta-merged rollup must equal the direct result over the grown base")
+    } finally MaterializedAggs.deregister(name)
+    // a non-mergeable measure (avg stored as a FINAL value) refuses
+    def avgQ = spark.read.parquet(base).groupBy(col("l_orderkey"))
+      .agg(avg(col("l_quantity")).as("a"))
+    val avgSpec = LayoutAdvisor.adviseAggRollups(Seq(avgQ), minHits = 1).head
+    val avgName = "maspec_refresh_avg"
+    if (spark.catalog.tableExists(avgName)) spark.sql(s"DROP TABLE `$avgName`")
+    GateFixtures.deleteRecursively(java.nio.file.Paths.get(wh, avgName))
+    val avgMeta = MaterializedAggs.stageRollup(spark, avgSpec, avgName)
+    MaterializedAggs.deregister(avgName)
+    Tables.lineitem(spark, sf).limit(100).write.mode("append").parquet(base)
+    spark.catalog.refreshByPath(base)
+    val avgRes = try Left(MaterializedAggs.refreshRollup(spark, avgMeta))
+      catch { case e: IllegalArgumentException => Right(e.getMessage) }
+    MaterializedAggs.deregister(avgName)
+    assert(avgRes.isRight, s"avg refresh must refuse; got $avgRes " +
+      s"(measures=${avgMeta.measures})")
+    // non-append drift (a STAGED file disappeared) refuses — the file
+    // to delete comes from the refreshed sidecar's own inventory
+    // (deleting an arbitrary parquet file could hit a post-refresh
+    // delta file, which IS still append-only growth)
+    val sidecar = java.nio.file.Paths.get(wh, name,
+      MaterializedAggs.RollupSidecar)
+    val stagedLine = java.nio.file.Files.readAllLines(sidecar)
+      .toArray.map(_.toString).collectFirst {
+        case l if l.startsWith("file\t") => l.stripPrefix("file\t")
+      }.get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      stagedLine.substring(0, stagedLine.lastIndexOf(' '))))
+    spark.catalog.refreshByPath(base)
+    intercept[IllegalArgumentException] {
+      MaterializedAggs.refreshRollup(spark, fresh)
+    }
+  }
+
   test("composite advice requires a GUARANTEED reduction (NDV product bound)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("agg_prod")
