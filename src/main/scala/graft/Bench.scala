@@ -34,6 +34,7 @@ object Bench {
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench-trace] $name start ${System.currentTimeMillis()}")
       val t0 = System.nanoTime()
       try run(fn)
       catch { case e: Throwable =>

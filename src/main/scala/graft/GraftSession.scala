@@ -76,6 +76,19 @@ object GraftSession {
         "supplier.s_suppkey,nation.n_nationkey,region.r_regionkey," +
         "documents.doc_id,embeddings.vec_id")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    // Generated-class cache sized for a long-lived multi-query session.
+    // The default (100 entries) thrashes on any workload with more than
+    // ~100 distinct codegen units: every re-run of a query whose classes
+    // were evicted pays Janino compilation PLUS a cold-JIT pass of the
+    // freshly loaded class INSIDE the query — measured on the 212-query
+    // bench as a 2–4× tax on compute-heavy queries (graph_pagerank's two
+    // dominant stages: 48 s cumulative CPU cold vs 5.5–9.5 s hot over
+    // identical 2.4M-row inputs; full suite 217.9 → 121.8 s, geomean
+    // 0.60, from this one setting — OPTIMIZATION_r12.md). The cache
+    // holds class references (metadata, not data), so the cost is
+    // metaspace the ContextCleaner/GC reclaims with the session; 8192
+    // covers hundreds of concurrent query shapes at any data scale.
+    .config("spark.sql.codegen.cache.maxEntries", "8192")
 
   /** Between-query session hygiene for the multi-query mains (Bench,
     * Verify): gates can leave state behind — streaming memory-sink
