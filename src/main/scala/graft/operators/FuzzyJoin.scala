@@ -35,7 +35,16 @@ object FuzzyJoin {
     * deletions (on low-entropy keys — zero-padded ids, URLs — those are
     * the overwhelming bulk of untagged collisions). */
   def selfJoinLev1(df: DataFrame, id: Column, str: Column): DataFrame = {
-    val base = df.select(id.as("__fid"), str.as("__fs"))
+    // parallelism floor (same guard as the text kernels): the variant
+    // Generate + broadcast probe + per-candidate levenshtein verify are
+    // narrow CPU-bound work over the RAW row count — a small input (one
+    // parquet split) would otherwise run the dominant stage on as many
+    // tasks as there are file splits (event-log measured at sf0.1: the
+    // fused probe/verify stage ran on 3 tasks at ~1.4 s each while 29
+    // cores idled; ensureDefault is a no-op at real scale where splits
+    // already exceed cores)
+    val base = Parallelism.ensureDefault(
+      df.select(id.as("__fid"), str.as("__fs")))
     val dels = when(length(col("__fs")) > 0,
       transform(sequence(lit(1), length(col("__fs"))),
         i => struct(

@@ -55,7 +55,20 @@ object Graph {
         .select(explode(col("its")).as("src"), col("its"))
         .select(col("src"), explode(col("its")).as("dst"))
         .filter(col("src") < col("dst"))
+      // the deduped half is LAZILY localCheckpoint'ed: the union below
+      // reads it twice (direct + mirrored) and downstream consumers
+      // (pageRankNano's deg aggregate, its deg join, its init node set)
+      // multiply the traversals further — ReuseExchange dedups the
+      // pair exchange itself, but the post-exchange 2.4M-row dedup
+      // aggregate ran once PER CONSUMER STAGE (event-log measured at
+      // sf0.1: two identical shuffle-read-2.4M → emit-364k stages per
+      // execution, the two dominant stages of the whole query). The
+      // checkpoint caches the smallest frame in the pipeline (the
+      // canonical half-edge set, |E|/2 rows — at 100 TB the exploded
+      // pair set is ~2× bigger and the basket relation bigger still),
+      // so the dedup runs exactly once per run.
       val half = pairs.repartition(col("src"), col("dst")).distinct()
+        .localCheckpoint(false)
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BlockDedup, Graph, Multimodal}
+import graft.operators.{BlockDedup, FuzzyJoin, Graph, Multimodal}
 import graft.schema.FieldSpec
 import graft.sources.TabularReader
 import org.apache.spark.sql.functions._
@@ -92,6 +92,32 @@ class MiscSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ck === noCk)
     assert(ck.size === 4 && ck.values.forall(_ > 0L))
+  }
+
+  test("fuzzyJoin selfJoinLev1 equals the all-pairs semantic definition") {
+    import spark.implicits._
+    // substitution (abc/abd), deletion/insertion (abc/abcd, abc/ab),
+    // exact duplicate (xyz/xyz), distance-2 decoys that share a
+    // single-deletion variant via two DIFFERENT positions (acXc/aXcc
+    // both delete to acc) and unrelated strings — the blocking must
+    // find exactly the Levenshtein<=1 pairs, no more, regardless of
+    // the parallelism floor's round-robin repartition (r12: the floor
+    // was added so the Generate/probe stage is never split-bound)
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "abcd"), (4L, "ab"),
+      (5L, "xyz"), (6L, "xyz"), (7L, "acxc"), (8L, "aycc"), (9L, "hello"))
+      .toDF("id", "s")
+    val got = FuzzyJoin.selfJoinLev1(rows, col("id"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows.as("a").crossJoin(rows.as("b"))
+      .where(col("a.id") < col("b.id") &&
+        levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)) &&
+      got.contains((1L, 4L, 1L)) && got.contains((5L, 6L, 0L)) &&
+      !got.exists(p => p._1 == 7L && p._2 == 8L))
   }
 
   test("coOccurrenceEdges: symmetric, no self-loops, basket-bounded") {
