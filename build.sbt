@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked process inherits sbt's own stdout/stderr instead of being
+// routed through sbt's logger: program stdout (e.g. graft.Bench's
+// one-line JSON contract) is never re-leveled to Info — where `sbt
+// -error` would silently swallow it — and Spark's log4j stderr stays on
+// stderr instead of polluting stdout as "[error]" lines.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,9 +32,12 @@ object Bench {
       GraftSession.clearSessionState(spark)
     }
 
+    // Event-log correlation stamps, stderr only; opt-in so routine runs
+    // don't carry 212 lines of diagnostic noise (SPARK_GRAFT_TRACE=1).
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").exists(v => v == "1" || v == "true")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.err.println(s"[bench-trace] $name start ${System.currentTimeMillis()}")
+      if (trace) System.err.println(s"[bench-trace] $name start ${System.currentTimeMillis()}")
       val t0 = System.nanoTime()
       try run(fn)
       catch { case e: Throwable =>
@@ -52,7 +55,26 @@ object Bench {
     // a failed query's fast-fail time must not read as a speedup: the
     // failures travel in the same JSON line the consumer parses
     val failedJson = failed.map(JsonOut.q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${JsonOut.q(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${JsonOut.q(sfDir)}}"""
+    println(line)
+    // Consumer contract hardening: the one-line JSON for 212 queries is
+    // ~8 KB, and a consumer that keeps only a tail of stdout (or one that
+    // reads past sbt's own trailer lines) can lose it. Persist the
+    // identical line to a file in the working directory, and re-print it
+    // as the very last act of main — after spark.stop(), so no shutdown
+    // logging can follow it on stdout. scripts/bench.sh additionally runs
+    // sbt at -error log level so the JSON is the final stdout line of the
+    // whole process.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_results.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_results.json: ${e.getMessage}")
+    }
     spark.stop()
+    println(line)
   }
 }

@@ -84,10 +84,14 @@ object GraftSession {
     // bench as a 2–4× tax on compute-heavy queries (graph_pagerank's two
     // dominant stages: 48 s cumulative CPU cold vs 5.5–9.5 s hot over
     // identical 2.4M-row inputs; full suite 217.9 → 121.8 s, geomean
-    // 0.60, from this one setting — OPTIMIZATION_r12.md). The cache
-    // holds class references (metadata, not data), so the cost is
-    // metaspace the ContextCleaner/GC reclaims with the session; 8192
-    // covers hundreds of concurrent query shapes at any data scale.
+    // 0.60, from this one setting — OPTIMIZATION_r12.md). Caveat: this
+    // is a STATIC conf sizing a process-global singleton — the value
+    // present at the FIRST codegen in a JVM wins, a later same-JVM
+    // session silently keeps that size, and the cached classes
+    // (metaspace, not data) live until process exit, not session stop.
+    // 8192 classes of metadata is a few hundred MB of metaspace at
+    // worst, sized for a long-lived multi-query service at any data
+    // scale.
     .config("spark.sql.codegen.cache.maxEntries", "8192")
 
   /** Between-query session hygiene for the multi-query mains (Bench,

@@ -29,7 +29,18 @@ object Graph {
     * distinct ordered pairs of distinct items sharing a basket, emitted
     * in both directions. Basket size bounds the per-row fanout (the
     * standard market-basket constraint — the reference's workloads cap
-    * the analogous per-user history the same way). */
+    * the analogous per-user history the same way).
+    *
+    * The returned frame is backed by a `localCheckpoint` of the
+    * canonical half-edge set (see body): its lineage is TRUNCATED, so
+    * it cannot be recomputed after the blocks are dropped — callers
+    * must not hold it across `GraftSession.clearSessionState` (which
+    * unpersists every persistent RDD) and, on a cluster, a lost
+    * executor fails the consumer instead of recomputing
+    * (pageRankNano's scaladoc documents the same trade; long-lived
+    * cluster jobs should re-derive edges or use `setCheckpointDir` +
+    * `.checkpoint()`). Each query in the engine's mains rebuilds its
+    * frames per run, so the fragility is bounded to one invocation. */
   def coOccurrenceEdges(df: DataFrame, basket: Column, item: Column): DataFrame =
     // ONE exchange by basket (shuffle-first: a collect_set partial over
     // spread high-cardinality baskets can't reduce — Aggregates
@@ -55,7 +66,12 @@ object Graph {
         .select(explode(col("its")).as("src"), col("its"))
         .select(col("src"), explode(col("its")).as("dst"))
         .filter(col("src") < col("dst"))
-      // the deduped half is LAZILY localCheckpoint'ed: the union below
+      // the deduped half is localCheckpoint'ed (lazy=false only defers
+      // the FINAL result stage under AQE: localCheckpoint calls
+      // executedPlan.execute(), which materializes every upstream
+      // shuffle stage eagerly at construction — building the edges
+      // frame, even for explain-only paths, already runs the basket
+      // aggregate and dedup shuffles): the union below
       // reads it twice (direct + mirrored) and downstream consumers
       // (pageRankNano's deg aggregate, its deg join, its init node set)
       // multiply the traversals further — ReuseExchange dedups the
