@@ -53,6 +53,26 @@ class ClusterSpec extends GraftSpec {
     assert(got(7L) === 7L) // self-loop-only node is its own singleton
   }
 
+  test("fused convergence signature: already-converged star input resolves " +
+    "in one confirmation round with results intact") {
+    // a min-rooted star is large-star/small-star's fixpoint: the first
+    // round reproduces the edge set exactly, so the loop must stop on
+    // the FIRST signature equality (the fused in-action signature path)
+    // and still emit every member + the root as its own component
+    val star = (1L to 40L).map(i => (0L, i))
+    val got = ccOf(star)
+    assert(got === (0L to 40L).map(i => i -> 0L).toMap)
+  }
+
+  test("fused convergence signature: deep chain and duplicate-heavy input " +
+    "agree with union-find (multi-round path)") {
+    // chain forces ~log2(n) rounds; duplicated + reversed edges exercise
+    // the signature over a dedup-heavy round output
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val edges = chain ++ chain.map(_.swap) ++ chain
+    assert(ccOf(edges) === bruteComponents(edges))
+  }
+
   test("result is invariant to input partition layout") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
