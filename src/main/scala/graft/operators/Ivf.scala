@@ -94,12 +94,19 @@ object Ivf {
     * Clusters that attracted no vectors report 0. */
   def clusterSummary(corpus: DataFrame, id: Column, vec: Column,
       k: Int, iters: Int, scale: Double): DataFrame = {
-    // lazily localCheckpoint: kmeans re-reads this frame iters+1 times
-    // (init + every Lloyd sweep) and the occupancy count once more — an
-    // expensive upstream pipeline would otherwise re-execute per sweep
-    // (the [[graft.operators.Graph]] / DedupClusters iteration
-    // discipline)
-    val q = quantized(corpus, id, vec, scale).localCheckpoint(false)
+    // persist(MEMORY_AND_DISK), not localCheckpoint: kmeans re-reads
+    // this frame iters+1 times (init + every Lloyd sweep) and the
+    // occupancy count once more — an expensive upstream pipeline would
+    // otherwise re-execute per sweep. Unlike the iterative-LOOP frames
+    // (DedupClusters rounds, pageRankNano frontiers, whose plans grow
+    // per round and need the lineage CUT), the consumers here are
+    // sequential driver-side actions over one fixed frame, so persist
+    // gives the same single materialization with lineage intact: on a
+    // cluster a lost executor RECOMPUTES the blocks instead of failing
+    // the query (round-13 A/B: times within box noise of the previous
+    // localCheckpoint, OPTIMIZATION_r13.md).
+    val q = quantized(corpus, id, vec, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeans(q, k, iters)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -119,7 +126,11 @@ object Ivf {
     * scanned, never collected. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
       nClusters: Int, iters: Int, nprobe: Int, scale: Double): DataFrame = {
-    val cq = quantized(corpus, col("id"), col("vec"), scale).localCheckpoint(false)
+    // persist, not localCheckpoint — see clusterSummary: lineage stays
+    // intact for executor-loss recompute; kmeans materializes the cache
+    // before any same-plan consumer reads it
+    val cq = quantized(corpus, col("id"), col("vec"), scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeans(cq, nClusters, iters)
     val c = Ann.withNorm(cq.select(col("id").as("n_id"), col("vec").as("cv"),
       nearestCentroid(col("qv"), cents).as("cid")), "cv", "__cn")
@@ -148,7 +159,11 @@ object Ivf {
   def semanticPrune(corpus: DataFrame, threshold: Double,
       k: Int, iters: Int, scale: Double): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val cq = quantized(corpus, col("id"), col("vec"), scale).localCheckpoint(false)
+    // persist, not localCheckpoint — see clusterSummary: lineage stays
+    // intact for executor-loss recompute; kmeans materializes the cache
+    // before any same-plan consumer reads it
+    val cq = quantized(corpus, col("id"), col("vec"), scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeans(cq, k, iters)
     val asg = cq.select(col("id"), col("vec"),
       nearestCentroid(col("qv"), cents).as("cluster_id"))
